@@ -1,0 +1,53 @@
+"""Index construction driver (`biscuit_tpu index`).
+
+Reproduces the reference pipeline (/root/reference/lib/aln/bwtindex.c:206-347)
+with a different construction algorithm: instead of is.c / bwt_gen.c we build
+a plain suffix array with native SA-IS (biscuit_tpu/native/sais.cpp) and
+derive BWT + occ checkpoints + sampled SA from it. The resulting values are
+identical to the reference's bwt_t (tested against oracle-built .bwt/.sa
+files); only the on-disk layout is new (gather-friendly npz, fmindex.py).
+
+Converted-genome semantics (bntseq.c:542-633):
+  parent  = [C->T(fwd), C->T(revcomp(fwd))]   (conversion AFTER revcomp)
+  daughter= [G->A(fwd), G->A(revcomp(fwd))]
+with N bases randomized from the same lrand48(seed=11) stream in each pass.
+"""
+import numpy as np
+
+from .. import native
+from .fasta import pack_genome
+from .fmindex import BisIndex, StrandIndex, build_strand_index
+
+
+def converted_doubled(codes: np.ndarray, parent: bool) -> np.ndarray:
+    """Doubled converted sequence for one strand index."""
+    fwd = codes
+    rev = (3 - codes)[::-1]
+    out = np.concatenate([fwd, rev])
+    if parent:
+        out = np.where(out == 1, 3, out)  # C -> T
+    else:
+        out = np.where(out == 2, 0, out)  # G -> A
+    return out.astype(np.uint8)
+
+
+def build_strand(codes: np.ndarray, parent: bool) -> StrandIndex:
+    doubled = converted_doubled(codes, parent)
+    sa = native.suffix_array(doubled)
+    bwt_codes, primary = native.bwt_from_sa(doubled, sa)
+    return build_strand_index(doubled, sa, bwt_codes, primary)
+
+
+def build_index(fasta_path: str, prefix: str | None = None) -> BisIndex:
+    pg = pack_genome(fasta_path)
+    idx = BisIndex(
+        par=build_strand(pg.codes, parent=True),
+        dau=build_strand(pg.codes, parent=False),
+        pac=pg.codes,
+        anns=pg.anns,
+        ambs=pg.ambs,
+        l_pac=pg.l_pac,
+    )
+    if prefix:
+        idx.save(prefix)
+    return idx

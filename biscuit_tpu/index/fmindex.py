@@ -1,0 +1,216 @@
+"""TPU-friendly FM-index arrays + (de)serialization.
+
+The reference interleaves occ checkpoints and BWT words in one 512-bit unit
+(/root/reference/lib/aln/bwt.h:48-101). For TPU we instead keep two flat
+gather-friendly arrays:
+
+  words  : uint32[n_words]  2-bit BWT chars, base i at shift ((15-(i&15))*2)
+  occ_cp : uint32[n_blocks+1, 4]  counts of each base in bwt[0 : 128*b)
+
+plus L2 (cumulative base counts), primary (rank of the removed '$' row) and a
+sampled suffix array every 32 ranks — identical values to the reference's
+bwt_t, verified against its on-disk .bwt/.sa files in tests.
+
+NOTE: uint32 occ/sa limits one strand index to < 2^32 chars (doubled genome);
+large-genome (human-scale doubled > 4G) support will split hi/lo words.
+"""
+from dataclasses import dataclass
+from typing import Dict, List
+
+import json
+import numpy as np
+
+from .fasta import Ann, Amb, PackedGenome, pack_2bit, unpack_2bit
+
+OCC_INTERVAL = 128
+SA_INTERVAL = 32
+
+
+@dataclass
+class StrandIndex:
+    """FM-index over one converted doubled genome (parent or daughter)."""
+    words: np.ndarray      # uint32[n_words]
+    occ_cp: np.ndarray     # uint32[n_blocks+1, 4]
+    L2: np.ndarray         # int64[5] cumulative: 0, #A, #A+#C, ...
+    primary: int
+    seq_len: int
+    sa_samples: np.ndarray  # uint32[n_sa], rank k*32 -> text pos; [0] unused
+
+    def bwt_char(self, k: int) -> int:
+        """BWT char at $-removed position k (debug/host path)."""
+        return int(self.words[k >> 4] >> ((~k & 15) << 1) & 3)
+
+
+@dataclass
+class BisIndex:
+    """Complete biscuit_tpu index: parent (C->T) + daughter (G->A) strand
+    FM-indexes, unconverted forward pac, and contig annotations."""
+    par: StrandIndex
+    dau: StrandIndex
+    pac: np.ndarray        # uint8[l_pac] unconverted forward codes 0..3
+    anns: List[Ann]
+    ambs: List[Amb]
+    l_pac: int
+
+    def save(self, prefix: str) -> None:
+        meta = {
+            "l_pac": self.l_pac,
+            "anns": [vars(a) for a in self.anns],
+            "ambs": [vars(a) for a in self.ambs],
+            "version": 1,
+        }
+        arrays: Dict[str, np.ndarray] = {"pac": pack_2bit(self.pac)}
+        for tag, s in (("par", self.par), ("dau", self.dau)):
+            arrays[f"{tag}_words"] = s.words
+            arrays[f"{tag}_occ"] = s.occ_cp
+            arrays[f"{tag}_L2"] = s.L2
+            arrays[f"{tag}_primary"] = np.int64(s.primary)
+            arrays[f"{tag}_seq_len"] = np.int64(s.seq_len)
+            arrays[f"{tag}_sa"] = s.sa_samples
+        np.savez(prefix + ".btidx.npz", **arrays)
+        with open(prefix + ".btidx.json", "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, prefix: str) -> "BisIndex":
+        z = np.load(prefix + ".btidx.npz")
+        with open(prefix + ".btidx.json") as f:
+            meta = json.load(f)
+        strands = {}
+        for tag in ("par", "dau"):
+            strands[tag] = StrandIndex(
+                words=z[f"{tag}_words"],
+                occ_cp=z[f"{tag}_occ"],
+                L2=z[f"{tag}_L2"],
+                primary=int(z[f"{tag}_primary"]),
+                seq_len=int(z[f"{tag}_seq_len"]),
+                sa_samples=z[f"{tag}_sa"],
+            )
+        l_pac = meta["l_pac"]
+        return cls(
+            par=strands["par"],
+            dau=strands["dau"],
+            pac=unpack_2bit(z["pac"], l_pac),
+            anns=[Ann(**a) for a in meta["anns"]],
+            ambs=[Amb(**a) for a in meta["ambs"]],
+            l_pac=l_pac,
+        )
+
+
+def pack_words(bwt_codes: np.ndarray) -> np.ndarray:
+    """Pack uint8 BWT codes into uint32 words, base i at shift (15-(i&15))*2
+    (same in-word layout as the reference so occ popcount tricks match)."""
+    n = len(bwt_codes)
+    n_words = (n + 15) // 16
+    padded = np.zeros(n_words * 16, dtype=np.uint32)
+    padded[:n] = bwt_codes
+    lanes = padded.reshape(-1, 16)
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+    return (lanes << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+
+
+def occ_checkpoints(bwt_codes: np.ndarray) -> np.ndarray:
+    """occ_cp[b, c] = count of base c in bwt[0 : 128*b), one extra row at the
+    end holding the totals."""
+    n = len(bwt_codes)
+    n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+    cp = np.zeros((n_blocks + 1, 4), dtype=np.uint64)
+    onehot = np.zeros((n_blocks * OCC_INTERVAL, 4), dtype=np.uint32)
+    onehot[np.arange(n), bwt_codes] = 1
+    per_block = onehot.reshape(n_blocks, OCC_INTERVAL, 4).sum(axis=1)
+    cp[1:] = per_block.cumsum(axis=0)
+    return cp.astype(np.uint32)
+
+
+def build_strand_index(doubled_codes: np.ndarray, sa: np.ndarray, bwt_codes: np.ndarray,
+                       primary: int) -> StrandIndex:
+    """Assemble a StrandIndex from a suffix array + $-removed BWT codes."""
+    n = len(doubled_codes)
+    counts = np.bincount(doubled_codes, minlength=4)[:4]
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = np.cumsum(counts)
+    # sampled SA in the reference rank convention: full-matrix rank k in
+    # [0, n]; rank 0 is the '$' row (text pos n, stored as sentinel -1);
+    # rank k>=1 -> SA[k-1]. Samples at ranks k % 32 == 0.
+    n_sa = (n + SA_INTERVAL) // SA_INTERVAL
+    sa_samples = np.empty(n_sa, dtype=np.uint32)
+    sa_samples[0] = np.uint32(0xFFFFFFFF)
+    ranks = np.arange(1, n_sa) * SA_INTERVAL
+    sa_samples[1:] = sa[ranks - 1].astype(np.uint32)
+    return StrandIndex(
+        words=pack_words(bwt_codes),
+        occ_cp=occ_checkpoints(bwt_codes),
+        L2=L2,
+        primary=primary,
+        seq_len=n,
+        sa_samples=sa_samples,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readers for the REFERENCE on-disk index formats — used by parity tests to
+# compare against oracle-built artifacts, and to import existing indexes.
+# Formats: bwt_dump_bwt / bwt_dump_sa (/root/reference/lib/aln/bwt.c:402-422),
+# occ-interleaved layout bwt_bwtupdate_core (bwtindex.c:130-154).
+# ---------------------------------------------------------------------------
+
+def read_reference_bwt(path: str) -> StrandIndex:
+    raw = np.fromfile(path, dtype=np.uint8)
+    primary = int(np.frombuffer(raw[:8], dtype=np.uint64)[0])
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = np.frombuffer(raw[8:40], dtype=np.uint64).astype(np.int64)
+    seq_len = int(L2[4])
+    body = np.frombuffer(raw[40:], dtype=np.uint32)
+    # interleaved: per 128-base block, 8 words occ (4 x uint64 LE) then up to
+    # 8 words of BWT chars; a trailing 8-word occ entry closes the stream.
+    n_blocks = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
+    n_words_total = (seq_len + 15) // 16
+    words = np.empty(n_words_total, dtype=np.uint32)
+    occ_cp = np.empty((n_blocks + 1, 4), dtype=np.uint32)
+    pos = 0
+    wpos = 0
+    for b in range(n_blocks):
+        occ_cp[b] = body[pos:pos + 8].view(np.uint64).astype(np.uint32)
+        pos += 8
+        nw = min(8, n_words_total - wpos)
+        words[wpos:wpos + nw] = body[pos:pos + nw]
+        pos += nw
+        wpos += nw
+    occ_cp[n_blocks] = body[pos:pos + 8].view(np.uint64).astype(np.uint32)
+    n_sa = (seq_len + SA_INTERVAL) // SA_INTERVAL
+    return StrandIndex(words=words, occ_cp=occ_cp, L2=L2, primary=primary,
+                       seq_len=seq_len,
+                       sa_samples=np.zeros(n_sa, dtype=np.uint32))
+
+
+def read_reference_sa(path: str, idx: StrandIndex) -> None:
+    """Fill idx.sa_samples from a reference .sa file (bwt_dump_sa layout)."""
+    raw = np.fromfile(path, dtype=np.uint64)
+    primary, sa_intv, seq_len = int(raw[0]), int(raw[5]), int(raw[6])
+    assert primary == idx.primary, "SA-BWT inconsistency: primary mismatch"
+    assert sa_intv == SA_INTERVAL
+    assert seq_len == idx.seq_len
+    vals = raw[7:]
+    idx.sa_samples = np.empty(len(vals) + 1, dtype=np.uint32)
+    idx.sa_samples[0] = np.uint32(0xFFFFFFFF)
+    idx.sa_samples[1:] = vals.astype(np.uint32)
+
+
+def read_reference_ann(prefix: str):
+    """Parse .bis.ann/.bis.amb (bis_bns_dump, bntseq.c:509-540)."""
+    anns: List[Ann] = []
+    ambs: List[Amb] = []
+    with open(prefix + ".bis.ann") as f:
+        l_pac, n_seqs, _seed = [int(x) for x in f.readline().split()]
+        for _ in range(n_seqs):
+            parts = f.readline().rstrip("\n").split(" ", 2)
+            gi, name = int(parts[0]), parts[1]
+            anno = parts[2] if len(parts) > 2 else ""
+            off, ln, namb = [int(x) for x in f.readline().split()]
+            anns.append(Ann(name, anno, off, ln, namb, gi))
+    with open(prefix + ".bis.amb") as f:
+        _l, _n, n_holes = [int(x) for x in f.readline().split()]
+        for _ in range(n_holes):
+            off, ln, ch = f.readline().split()
+            ambs.append(Amb(int(off), int(ln), ch))
+    return l_pac, anns, ambs

@@ -1,0 +1,48 @@
+import os
+import subprocess
+import sys
+
+# Force a deterministic 8-device CPU mesh for sharding tests BEFORE jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.path.join(REPO, "tools", "oracle", "build", "oracle_biscuit")
+ORACLE_LIB = os.path.join(REPO, "tools", "oracle", "build", "libref_aln.so")
+
+
+def ensure_oracle():
+    """Build the reference test oracle on demand; skip tests if impossible."""
+    if not os.path.exists(ORACLE):
+        r = subprocess.run(["make", "-j4"], cwd=os.path.join(REPO, "tools", "oracle"),
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("reference oracle unavailable: " + r.stderr.decode()[-500:])
+    return ORACLE
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    return ensure_oracle()
+
+
+@pytest.fixture(scope="session")
+def small_dataset(tmp_path_factory, oracle):
+    """Small genome + SE reads with reference index + SAM already built."""
+    d = tmp_path_factory.mktemp("small")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_testdata.py"), str(d),
+         "--genome-size", "60000", "--n-reads", "400", "--n-chroms", "2"],
+        check=True, capture_output=True)
+    fa = str(d / "genome.fa")
+    subprocess.run([oracle, "index", fa], check=True, capture_output=True)
+    with open(d / "oracle.sam", "w") as f:
+        subprocess.run([oracle, "align", fa, str(d / "reads.fq")],
+                       check=True, stdout=f, stderr=subprocess.DEVNULL)
+    return d
