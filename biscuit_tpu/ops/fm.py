@@ -1,0 +1,277 @@
+"""FM-index rank/extension/SA-lookup ops.
+
+Two implementations with identical semantics (reference behavior:
+/root/reference/lib/aln/bwt.c bwt_occ4/bwt_2occ4/bwt_extend/bwt_sa):
+
+  * FMNumpy  — scalar/vectorized host implementation; ground truth for tests
+               and the host fallback path.
+  * batched JAX functions — device path, vectorized over query batches.
+               occ counting uses the same 2-bit popcount trick as the
+               reference's __occ_aux, which maps directly onto the VPU via
+               lax.population_count on the packed uint32 BWT words.
+
+Both operate on the flat arrays of index/fmindex.py (words + occ checkpoints
+every 128 bases), not the reference's interleaved 512-bit units.
+
+Rank-space conventions (careful — parity-critical):
+  k ranges over [-1, seq_len]; the '$' row (rank `primary`) is not stored in
+  the BWT string, so char access first applies k -= (k >= primary).
+"""
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..index.fmindex import StrandIndex
+
+OCC_SHIFT = 7  # 128 bases/block
+WORDS_PER_BLOCK = 8
+
+
+# ---------------------------------------------------------------------------
+# numpy ground truth
+# ---------------------------------------------------------------------------
+
+class FMNumpy:
+    """Host FM-index ops over StrandIndex arrays (vectorized numpy)."""
+
+    def __init__(self, s: StrandIndex):
+        self.words = s.words.astype(np.uint32)
+        self.occ_cp = s.occ_cp.astype(np.int64)
+        self.L2 = s.L2.astype(np.int64)
+        self.primary = int(s.primary)
+        self.seq_len = int(s.seq_len)
+        self.sa_samples = s.sa_samples.astype(np.int64)
+        self.sa_intv = 32
+
+    def bwt_char(self, k):
+        """BWT char at $-removed position k (vectorized)."""
+        k = np.asarray(k, dtype=np.int64)
+        return (self.words[k >> 4] >> (((~k & 15) << 1).astype(np.uint32))) & 3
+
+    def occ4(self, k):
+        """occ counts of all 4 bases in bwt[0..k] inclusive, k in [-1, seq_len].
+        Returns int64 [..., 4]."""
+        k = np.asarray(k, dtype=np.int64)
+        scalar = k.ndim == 0
+        k = np.atleast_1d(k)
+        out = np.zeros(k.shape + (4,), dtype=np.int64)
+        full = k == self.seq_len
+        out[full] = (self.L2[1:5] - self.L2[0:4])
+        mid = (~full) & (k >= 0)
+        kk = k[mid] - (k[mid] >= self.primary)
+        block = kk >> OCC_SHIFT
+        acc = self.occ_cp[block].copy()  # [M,4]
+        w_idx = (kk >> 4) & 7
+        t_low = (~kk & 15).astype(np.uint32)  # number of masked-off low bases in partial word
+        base_word = block * WORDS_PER_BLOCK
+        for j in range(WORDS_PER_BLOCK):
+            w = self.words[np.minimum(base_word + j, len(self.words) - 1)]
+            sel_full = j < w_idx
+            sel_part = j == w_idx
+            wm = np.where(sel_part, (w >> (t_low << 1)) << (t_low << 1), w)
+            active = sel_full | sel_part
+            for c in range(4):
+                y = wm.astype(np.uint64)
+                t = ((y if c & 2 else ~y) >> 1) & (y if c & 1 else ~y) & np.uint64(0x55555555)
+                cnt = popcount64(t)
+                if c == 0:
+                    cnt = cnt - np.where(sel_part, t_low.astype(np.int64), 0)
+                acc[:, c] += np.where(active, cnt, 0)
+        out[mid] = acc
+        return out[0] if scalar else out
+
+    def occ(self, k, c):
+        return self.occ4(k)[..., c]
+
+    def extend(self, ik, is_back: bool):
+        """Reference bwt_extend (bwt.c:278-293) on interval rows
+        ik = [..., 3] (x0, x1, s). Returns ok [..., 4, 3]."""
+        ik = np.asarray(ik, dtype=np.int64)
+        # reference indexes x[!is_back]
+        xnb = ik[..., 0] if is_back else ik[..., 1]
+        xb = ik[..., 1] if is_back else ik[..., 0]
+        s = ik[..., 2]
+        tk = self.occ4(xnb - 1)
+        tl = self.occ4(xnb - 1 + s)
+        ok = np.zeros(ik.shape[:-1] + (4, 3), dtype=np.int64)
+        nb_axis = 0 if is_back else 1
+        b_axis = 1 - nb_axis
+        for c in range(4):
+            ok[..., c, nb_axis] = self.L2[c] + 1 + tk[..., c]
+            ok[..., c, 2] = tl[..., c] - tk[..., c]
+        crosses = (xnb <= self.primary) & (xnb + s - 1 >= self.primary)
+        ok[..., 3, b_axis] = xb + crosses
+        ok[..., 2, b_axis] = ok[..., 3, b_axis] + ok[..., 3, 2]
+        ok[..., 1, b_axis] = ok[..., 2, b_axis] + ok[..., 2, 2]
+        ok[..., 0, b_axis] = ok[..., 1, b_axis] + ok[..., 1, 2]
+        return ok
+
+    def sa(self, k):
+        """Text position for rank k (reference bwt_sa walk, bwt.c:87-97)."""
+        k = np.asarray(k, dtype=np.int64)
+        scalar = k.ndim == 0
+        k = np.atleast_1d(k).copy()
+        add = np.zeros_like(k)
+        mask = self.sa_intv - 1
+        active = (k & mask) != 0
+        while active.any():
+            ka = k[active]
+            add[active] += 1
+            k[active] = self.inv_psi(ka)
+            active = (k & mask) != 0
+        res = add + self.sa_samples[k // self.sa_intv]
+        return res[0] if scalar else res
+
+    def inv_psi(self, k):
+        x = k - (k > self.primary)
+        c = self.bwt_char(x)
+        o4 = self.occ4(k)
+        occs = np.take_along_axis(o4, c[..., None].astype(np.int64), axis=-1)[..., 0]
+        x2 = self.L2[c] + occs
+        return np.where(k == self.primary, 0, x2)
+
+    def set_intv(self, other: "FMNumpy", c):
+        """Reference bwt_set_intv (bwt.h:105): initial 1-base bi-interval; the
+        complement-side position comes from the OTHER strand index's L2."""
+        c = np.asarray(c, dtype=np.int64)
+        x0 = self.L2[c] + 1
+        s = self.L2[c + 1] - self.L2[c]
+        x1 = other.L2[3 - c] + 1
+        return np.stack([x0, x1, s], axis=-1)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# JAX device path (batched; int32 ranks — genome < 2^31 for now)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FMArrays:
+    """Device-resident FM-index arrays for one strand."""
+    words: jnp.ndarray     # uint32[n_words]
+    occ_cp: jnp.ndarray    # int32[n_blocks+1, 4]
+    L2: jnp.ndarray        # int32[5]
+    primary: jnp.ndarray   # int32 scalar
+    seq_len: jnp.ndarray   # int32 scalar
+    sa_samples: jnp.ndarray  # int32[n_sa]
+
+    @classmethod
+    def from_strand(cls, s: StrandIndex) -> "FMArrays":
+        return cls(
+            words=jnp.asarray(s.words, dtype=jnp.uint32),
+            occ_cp=jnp.asarray(s.occ_cp.astype(np.int64), dtype=jnp.int32),
+            L2=jnp.asarray(s.L2, dtype=jnp.int32),
+            primary=jnp.int32(s.primary),
+            seq_len=jnp.int32(s.seq_len),
+            sa_samples=jnp.asarray(s.sa_samples.astype(np.int64), dtype=jnp.int32),
+        )
+
+
+jax.tree_util.register_pytree_node(
+    FMArrays,
+    lambda f: ((f.words, f.occ_cp, f.L2, f.primary, f.seq_len, f.sa_samples), None),
+    lambda _, ch: FMArrays(*ch),
+)
+
+
+def _count_base_in_word(w: jnp.ndarray, c: int) -> jnp.ndarray:
+    """# of occurrences of 2-bit base c in a packed uint32 word (16 bases)."""
+    y = w
+    hi = y if (c & 2) else ~y
+    lo = y if (c & 1) else ~y
+    t = ((hi >> 1) & lo) & jnp.uint32(0x55555555)
+    return jax.lax.population_count(t).astype(jnp.int32)
+
+
+def fm_occ4(fm: FMArrays, k: jnp.ndarray) -> jnp.ndarray:
+    """Batched occ4: counts of each base in bwt[0..k], k int32 [...]. Handles
+    k == -1 (zeros) and k == seq_len (totals)."""
+    k = k.astype(jnp.int32)
+    is_neg = k < 0
+    is_full = k == fm.seq_len
+    ksafe = jnp.clip(k, 0, fm.seq_len - 1)
+    kk = ksafe - (ksafe >= fm.primary).astype(jnp.int32)
+    block = kk >> OCC_SHIFT
+    acc = fm.occ_cp[block]  # [..., 4]
+    w_idx = (kk >> 4) & 7
+    t_low = (~kk & 15).astype(jnp.uint32)
+    base_word = block * WORDS_PER_BLOCK
+    counts = jnp.zeros(k.shape + (4,), dtype=jnp.int32)
+    for j in range(WORDS_PER_BLOCK):
+        w = fm.words[jnp.minimum(base_word + j, fm.words.shape[0] - 1)]
+        sel_full = j < w_idx
+        sel_part = j == w_idx
+        wm = jnp.where(sel_part, (w >> (t_low << 1)) << (t_low << 1), w)
+        active = sel_full | sel_part
+        per_c = jnp.stack([_count_base_in_word(wm, c) for c in range(4)], axis=-1)
+        corr = jnp.where(sel_part, t_low.astype(jnp.int32), 0)
+        per_c = per_c.at[..., 0].add(-corr)
+        counts = counts + jnp.where(active[..., None], per_c, 0)
+    res = acc + counts
+    totals = (fm.L2[1:5] - fm.L2[0:4])[None]
+    res = jnp.where(is_full[..., None], jnp.broadcast_to(totals, res.shape), res)
+    res = jnp.where(is_neg[..., None], 0, res)
+    return res
+
+
+def fm_extend(fm: FMArrays, ik: jnp.ndarray, is_back: bool) -> jnp.ndarray:
+    """Batched bwt_extend. ik [..., 3] = (x0, x1, s) -> ok [..., 4, 3]."""
+    xnb = ik[..., 0] if is_back else ik[..., 1]
+    xb = ik[..., 1] if is_back else ik[..., 0]
+    s = ik[..., 2]
+    tk = fm_occ4(fm, xnb - 1)
+    tl = fm_occ4(fm, xnb - 1 + s)
+    sizes = tl - tk  # [..., 4]
+    x_nb_new = fm.L2[:4] + 1 + tk  # [..., 4]
+    crosses = ((xnb <= fm.primary) & (xnb + s - 1 >= fm.primary)).astype(jnp.int32)
+    xb3 = xb + crosses
+    xb2 = xb3 + sizes[..., 3]
+    xb1 = xb2 + sizes[..., 2]
+    xb0 = xb1 + sizes[..., 1]
+    x_b_new = jnp.stack([xb0, xb1, xb2, xb3], axis=-1)
+    # reference writes ok[i].x[!is_back] = L2+1+tk (the queried index's axis)
+    # and ok[i].x[is_back] = cumulative positions (bwt.c:284-292)
+    if is_back:
+        return jnp.stack([x_nb_new, x_b_new, sizes], axis=-1)
+    return jnp.stack([x_b_new, x_nb_new, sizes], axis=-1)
+
+
+def fm_bwt_char(fm: FMArrays, k: jnp.ndarray) -> jnp.ndarray:
+    return (fm.words[k >> 4] >> (((~k & 15) << 1).astype(jnp.uint32))).astype(jnp.int32) & 3
+
+
+def fm_inv_psi(fm: FMArrays, k: jnp.ndarray) -> jnp.ndarray:
+    x = k - (k > fm.primary).astype(jnp.int32)
+    c = fm_bwt_char(fm, x)
+    o4 = fm_occ4(fm, k)
+    occs = jnp.take_along_axis(o4, c[..., None], axis=-1)[..., 0]
+    return jnp.where(k == fm.primary, 0, fm.L2[c] + occs)
+
+
+def fm_sa(fm: FMArrays, k: jnp.ndarray, sa_intv: int = 32) -> jnp.ndarray:
+    """Batched SA lookup via inverse-Psi walk to the nearest sampled rank."""
+    def body(state):
+        k, add, act = state
+        k2 = fm_inv_psi(fm, k)
+        k = jnp.where(act, k2, k)
+        add = add + act.astype(jnp.int32)
+        act = (k & (sa_intv - 1)) != 0
+        return k, add, act
+
+    def cond(state):
+        return state[2].any()
+
+    add0 = jnp.zeros_like(k)
+    act0 = (k & (sa_intv - 1)) != 0
+    k, add, _ = jax.lax.while_loop(cond, body, (k, add0, act0))
+    return add + fm.sa_samples[k // sa_intv]

@@ -2,13 +2,20 @@ import os
 import subprocess
 import sys
 
-# Force a deterministic 8-device CPU mesh for sharding tests BEFORE jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force a deterministic 8-device CPU mesh for sharding tests. The axon TPU
+# plugin (if present in this environment) force-sets jax_platforms="axon,cpu"
+# at interpreter start, so overriding the env var is not enough — update the
+# config before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
