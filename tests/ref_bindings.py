@@ -44,7 +44,70 @@ def lib():
         L.bwt_seed_strategy1.argtypes = [C.c_void_p, C.c_void_p, C.c_int, C.c_char_p,
                                          C.c_int, C.c_int, C.c_int, C.POINTER(BwtIntv)]
         L.bwt_seed_strategy1.restype = C.c_int
+        ip = C.POINTER(C.c_int)
+        L.ksw_extend2.argtypes = [C.c_int, C.c_char_p, C.c_int, C.c_char_p, C.c_int,
+                                  C.c_char_p, C.c_int, C.c_int, C.c_int, C.c_int,
+                                  C.c_int, C.c_int, C.c_int, C.c_int,
+                                  ip, ip, ip, ip, ip]
+        L.ksw_extend2.restype = C.c_int
+        L.ksw_global2.argtypes = [C.c_int, C.c_char_p, C.c_int, C.c_char_p, C.c_int,
+                                  C.c_char_p, C.c_int, C.c_int, C.c_int, C.c_int,
+                                  C.c_int, ip, C.POINTER(C.POINTER(C.c_uint32))]
+        L.ksw_global2.restype = C.c_int
+        L.ksw_align2.argtypes = [C.c_int, C.c_char_p, C.c_int, C.c_char_p, C.c_int,
+                                 C.c_char_p, C.c_int, C.c_int, C.c_int, C.c_int,
+                                 C.c_int, C.c_void_p]
+        L.ksw_align2.restype = KswR
     return _lib
+
+
+class KswR(C.Structure):
+    _fields_ = [("score", C.c_int), ("te", C.c_int), ("qe", C.c_int),
+                ("score2", C.c_int), ("te2", C.c_int), ("tb", C.c_int),
+                ("qb", C.c_int)]
+
+
+KSW_XBYTE = 0x10000
+KSW_XSTOP = 0x20000
+KSW_XSUBO = 0x40000
+KSW_XSTART = 0x80000
+
+
+def _buf(a):
+    return bytes(np.asarray(a, dtype=np.uint8))
+
+
+def ksw_extend2(query, target, mat, o_del, e_del, o_ins, e_ins, w,
+                end_bonus, zdrop, h0):
+    qle, tle, gtle, gscore, max_off = (C.c_int() for _ in range(5))
+    sc = lib().ksw_extend2(len(query), _buf(query), len(target), _buf(target), 5,
+                           bytes(np.asarray(mat, dtype=np.int8).reshape(-1).view(np.uint8)),
+                           o_del, e_del, o_ins, e_ins, w, end_bonus, zdrop, h0,
+                           C.byref(qle), C.byref(tle), C.byref(gtle),
+                           C.byref(gscore), C.byref(max_off))
+    return sc, qle.value, tle.value, gtle.value, gscore.value, max_off.value
+
+
+def ksw_global2(query, target, mat, o_del, e_del, o_ins, e_ins, w):
+    n_cigar = C.c_int()
+    cig = C.POINTER(C.c_uint32)()
+    sc = lib().ksw_global2(len(query), _buf(query), len(target), _buf(target), 5,
+                           bytes(np.asarray(mat, dtype=np.int8).reshape(-1).view(np.uint8)),
+                           o_del, e_del, o_ins, e_ins, w,
+                           C.byref(n_cigar), C.byref(cig))
+    cigar = [(cig[i] & 0xF, cig[i] >> 4) for i in range(n_cigar.value)]
+    return sc, cigar
+
+
+def ksw_align2(query, target, mat, o_del, e_del, o_ins, e_ins, xtra):
+    # ksw_align2 reverses query/target in place (and restores them), so pass
+    # mutable buffers
+    qb = C.create_string_buffer(_buf(query), len(query))
+    tb = C.create_string_buffer(_buf(target), len(target))
+    r = lib().ksw_align2(len(query), qb, len(target), tb, 5,
+                         bytes(np.asarray(mat, dtype=np.int8).reshape(-1).view(np.uint8)),
+                         o_del, e_del, o_ins, e_ins, xtra, None)
+    return r
 
 
 class RefBWT:
