@@ -1,10 +1,10 @@
-"""SMEM seeding — host (numpy) implementation with exact reference semantics.
+"""SMEM seeding — host implementation with exact reference semantics.
 
 Ports the behavior of bwt_smem1a / bwt_seed_strategy1
 (/root/reference/lib/aln/bwt.c:306-396) and the 3-pass seed collection of
-mem_collect_intv (/root/reference/lib/aln/memchain.c:50-106). The device
-(batched JAX) SMEM kernel in ops/smem_batch.py must produce identical seed
-sets; this module is its ground truth and the small-batch host fallback.
+mem_collect_intv (/root/reference/lib/aln/memchain.c:50-106), on the scalar
+pure-int FM fast path. The device (batched JAX) SMEM kernel must produce
+identical seed sets; this module is its ground truth and the host fallback.
 
 A seed interval is a 5-tuple (start, end, x0, x1, s): query span [start, end),
 bi-interval (x0 forward rank, x1 complement rank, s size).
@@ -19,12 +19,11 @@ from ..ops.fm import FMNumpy
 Intv = Tuple[int, int, int, int, int]
 
 
-def smem1a(fm: FMNumpy, fmc: FMNumpy, q: np.ndarray, x: int, min_intv: int,
+def smem1a(fm: FMNumpy, fmc: FMNumpy, q, x: int, min_intv: int,
            max_intv: int = 0) -> Tuple[int, List[Intv]]:
     """Collect SMEMs covering position x. Returns (end of longest match from
     x, seeds). Only the max_intv==0 flavor is exercised by the reference
-    pipeline (bwt_smem1; the max_intv>0 branch in mem_collect_intv is dead
-    code), and only that flavor is supported here."""
+    pipeline (the max_intv>0 branch in mem_collect_intv is dead code)."""
     assert max_intv == 0
     len_q = len(q)
     if q[x] > 3:
@@ -33,19 +32,19 @@ def smem1a(fm: FMNumpy, fmc: FMNumpy, q: np.ndarray, x: int, min_intv: int,
         min_intv = 1
 
     # forward search, recording intervals at every size change
-    ik = tuple(int(v) for v in fm.set_intv(fmc, int(q[x]))) + (x + 1,)
-    # ik = (x0, x1, s, end)
+    ik = fm.set_intv_s(fmc, int(q[x])) + (x + 1,)  # (x0, x1, s, end)
     curr: List[Tuple[int, int, int, int]] = []
     i = x + 1
     while i < len_q:
-        if q[i] < 4:
-            c = 3 - int(q[i])
-            ok = fmc.extend(np.array(ik[:3], dtype=np.int64), is_back=False)
-            if int(ok[c, 2]) != ik[2]:  # interval size changed
+        qi = q[i]
+        if qi < 4:
+            c = 3 - qi
+            ok = fmc.extend_s(ik[:3], False)
+            if ok[c][2] != ik[2]:  # interval size changed
                 curr.append(ik)
-                if int(ok[c, 2]) < min_intv:
+                if ok[c][2] < min_intv:
                     break
-            ik = (int(ok[c, 0]), int(ok[c, 1]), int(ok[c, 2]), i + 1)
+            ik = ok[c] + (i + 1,)
         else:
             curr.append(ik)
             break
@@ -59,18 +58,18 @@ def smem1a(fm: FMNumpy, fmc: FMNumpy, q: np.ndarray, x: int, min_intv: int,
     mem: List[Intv] = []
     i = x - 1
     while i >= -1:
-        c = -1 if i < 0 or q[i] > 3 else int(q[i])
+        c = -1 if (i < 0 or q[i] > 3) else int(q[i])
         curr = []
         for p in prev:
             if c >= 0:
-                ok = fm.extend(np.array(p[:3], dtype=np.int64), is_back=True)
-            if c < 0 or int(ok[c, 2]) < min_intv:
-                if len(curr) == 0:
-                    if len(mem) == 0 or i + 1 < mem[-1][0]:
+                ok = fm.extend_s(p[:3], True)
+            if c < 0 or ok[c][2] < min_intv:
+                if not curr:
+                    if not mem or i + 1 < mem[-1][0]:
                         mem.append((i + 1, p[3], p[0], p[1], p[2]))
-            elif len(curr) == 0 or int(ok[c, 2]) != curr[-1][2]:
-                curr.append((int(ok[c, 0]), int(ok[c, 1]), int(ok[c, 2]), p[3]))
-        if len(curr) == 0:
+            elif not curr or ok[c][2] != curr[-1][2]:
+                curr.append(ok[c] + (p[3],))
+        if not curr:
             break
         prev = curr
         i -= 1
@@ -78,30 +77,32 @@ def smem1a(fm: FMNumpy, fmc: FMNumpy, q: np.ndarray, x: int, min_intv: int,
     return ret, mem
 
 
-def seed_strategy1(fm: FMNumpy, fmc: FMNumpy, q: np.ndarray, x: int,
+def seed_strategy1(fm: FMNumpy, fmc: FMNumpy, q, x: int,
                    min_len: int, max_intv: int) -> Tuple[int, Intv | None]:
     """LAST-like forward-only seeding (bwt_seed_strategy1, bwt.c:376-396)."""
     len_q = len(q)
     if q[x] > 3:
         return x + 1, None
-    ik = tuple(int(v) for v in fm.set_intv(fmc, int(q[x])))
+    ik = fm.set_intv_s(fmc, int(q[x]))
     i = x + 1
     while i < len_q:
-        if q[i] < 4:
-            c = 3 - int(q[i])
-            ok = fmc.extend(np.array(ik, dtype=np.int64), is_back=False)
-            if int(ok[c, 2]) < max_intv and i - x >= min_len:
-                return i + 1, (x, i + 1, int(ok[c, 0]), int(ok[c, 1]), int(ok[c, 2]))
-            ik = (int(ok[c, 0]), int(ok[c, 1]), int(ok[c, 2]))
+        qi = q[i]
+        if qi < 4:
+            c = 3 - qi
+            ok = fmc.extend_s(ik, False)
+            if ok[c][2] < max_intv and i - x >= min_len:
+                return i + 1, (x, i + 1, ok[c][0], ok[c][1], ok[c][2])
+            ik = ok[c]
         else:
             return i + 1, None
         i += 1
     return len_q, None
 
 
-def collect_intv(opt: MemOpt, fm: FMNumpy, fmc: FMNumpy,
-                 q: np.ndarray) -> List[Intv]:
+def collect_intv(opt: MemOpt, fm: FMNumpy, fmc: FMNumpy, q) -> List[Intv]:
     """3-pass seed collection (mem_collect_intv, memchain.c:50-106)."""
+    if isinstance(q, np.ndarray):
+        q = q.tolist()
     len_q = len(q)
     start_width = 2 if (opt.flag & MEM_F_SELF_OVLP) else 1
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)

@@ -29,6 +29,7 @@ class Ann:
     length: int
     n_ambs: int
     gi: int = 0
+    is_alt: int = 0
 
 
 @dataclass

@@ -35,7 +35,12 @@ WORDS_PER_BLOCK = 8
 # ---------------------------------------------------------------------------
 
 class FMNumpy:
-    """Host FM-index ops over StrandIndex arrays (vectorized numpy)."""
+    """Host FM-index ops over StrandIndex arrays.
+
+    Two granularities: vectorized numpy (occ4/extend/sa over arrays) and a
+    pure-Python-int scalar fast path (occ4_s/extend_s/sa_s) used by the host
+    SMEM/chaining pipeline, where per-call numpy overhead dominates.
+    """
 
     def __init__(self, s: StrandIndex):
         self.words = s.words.astype(np.uint32)
@@ -45,6 +50,93 @@ class FMNumpy:
         self.seq_len = int(s.seq_len)
         self.sa_samples = s.sa_samples.astype(np.int64)
         self.sa_intv = 32
+        # scalar fast path: per-word cumulative counts + Python lists/ints
+        n_words = len(self.words)
+        onehot = np.zeros((n_words, 16, 4), dtype=np.uint32)
+        w = self.words
+        for j in range(16):
+            base = (w >> np.uint32((15 - j) * 2)) & 3
+            onehot[np.arange(n_words), j, base] = 1
+        per_word = onehot.sum(axis=1)
+        cum = np.zeros((n_words + 1, 4), dtype=np.int64)
+        cum[1:] = per_word.cumsum(axis=0)
+        # trim counts past seq_len (padding bases in the last word are zeros
+        # = base A; subtract them)
+        pad = n_words * 16 - self.seq_len
+        if pad:
+            cum[n_words, 0] -= pad
+        self._occ_w = [tuple(int(x) for x in row) for row in cum]
+        self._words_l = [int(x) for x in self.words]
+        self._L2_l = tuple(int(x) for x in self.L2)
+        self._sa_l = [int(x) for x in self.sa_samples]
+        self._totals = tuple(int(self.L2[c + 1] - self.L2[c]) for c in range(4))
+
+    # ---- scalar fast path (pure ints) ----
+
+    def set_intv_s(self, other: "FMNumpy", c: int):
+        return (self._L2_l[c] + 1, other._L2_l[3 - c] + 1,
+                self._L2_l[c + 1] - self._L2_l[c])
+
+    def occ4_s(self, k: int):
+        """Scalar occ4; k in [-1, seq_len]."""
+        if k < 0:
+            return (0, 0, 0, 0)
+        if k == self.seq_len:
+            return self._totals
+        if k >= self.primary:
+            k -= 1
+        w = k >> 4
+        t_low = (~k) & 15
+        word = self._words_l[w]
+        if t_low:
+            sh = t_low << 1
+            word = (word >> sh) << sh
+        base = self._occ_w[w]
+        inv = ~word & 0xFFFFFFFF
+        c0 = (((inv >> 1) & inv) & 0x55555555).bit_count() - t_low
+        c1 = (((inv >> 1) & word) & 0x55555555).bit_count()
+        c2 = (((word >> 1) & inv) & 0x55555555).bit_count()
+        c3 = (((word >> 1) & word) & 0x55555555).bit_count()
+        return (base[0] + c0, base[1] + c1, base[2] + c2, base[3] + c3)
+
+    def extend_s(self, ik, is_back: bool):
+        """Scalar bwt_extend on an (x0, x1, s) tuple -> tuple of 4 (x0,x1,s)."""
+        x0, x1, s = ik
+        xnb = x0 if is_back else x1
+        xb = x1 if is_back else x0
+        tk = self.occ4_s(xnb - 1)
+        tl = self.occ4_s(xnb - 1 + s)
+        L2 = self._L2_l
+        sizes = (tl[0] - tk[0], tl[1] - tk[1], tl[2] - tk[2], tl[3] - tk[3])
+        xnb_new = (L2[0] + 1 + tk[0], L2[1] + 1 + tk[1],
+                   L2[2] + 1 + tk[2], L2[3] + 1 + tk[3])
+        crosses = 1 if (xnb <= self.primary <= xnb + s - 1) else 0
+        b3 = xb + crosses
+        b2 = b3 + sizes[3]
+        b1 = b2 + sizes[2]
+        b0 = b1 + sizes[1]
+        xb_new = (b0, b1, b2, b3)
+        if is_back:
+            return tuple((xnb_new[c], xb_new[c], sizes[c]) for c in range(4))
+        return tuple((xb_new[c], xnb_new[c], sizes[c]) for c in range(4))
+
+    def bwt_char_s(self, k: int) -> int:
+        return (self._words_l[k >> 4] >> (((~k) & 15) << 1)) & 3
+
+    def sa_s(self, k: int) -> int:
+        """Scalar bwt_sa walk."""
+        add = 0
+        mask = self.sa_intv - 1
+        while k & mask:
+            add += 1
+            # inv_psi
+            x = k - (1 if k > self.primary else 0)
+            c = self.bwt_char_s(x)
+            if k == self.primary:
+                k = 0
+            else:
+                k = self._L2_l[c] + self.occ4_s(k)[c]
+        return add + self._sa_l[k >> 5]
 
     def bwt_char(self, k):
         """BWT char at $-removed position k (vectorized)."""

@@ -228,17 +228,23 @@ class KswResult:
 
 
 def _local_core(query, target, mat, o_del, e_del, o_ins, e_ins,
-                minsc: int, endsc: int) -> KswResult:
-    """Scalar equivalent of ksw_i16 (ksw.c:232-334)."""
+                minsc: int, endsc: int, u8: bool = False) -> KswResult:
+    """Scalar equivalent of ksw_i16 (ksw.c:232-334), or of ksw_u8 (:111-230)
+    when u8=True (16-value lanes + score saturation at 255)."""
     qlen, tlen = len(query), len(target)
     r = KswResult()
+    if qlen == 0 or tlen == 0:
+        return r
     oe_del, oe_ins = o_del + e_del, o_ins + e_ins
     qp = mat.astype(np.int64)[np.asarray(target, dtype=np.int64)][:, np.asarray(query, dtype=np.int64)]
-    # ksw_i16 is striped over ceil(qlen/8)*8 lanes; the padding lanes score 0
-    # against every target base and participate in row maxima (they echo stale
-    # peaks for a few rows, which is visible in score2). Reproduce by
-    # extending the profile with zero columns (ksw.c:100-106: `k >= qlen? 0`).
-    ext = (qlen + 7) // 8 * 8
+    # the striped kernels pad the query to a lane multiple (8 for i16, 16 for
+    # u8); the padding lanes score 0 against every target base and participate
+    # in row maxima (they echo stale peaks for a few rows, which is visible in
+    # score2). Reproduce by extending the profile with zero columns
+    # (ksw.c:100-106: `k >= qlen? 0`).
+    lanes = 16 if u8 else 8
+    shift = (256 - int(mat.min())) & 0xFF if u8 else 0
+    ext = (qlen + lanes - 1) // lanes * lanes
     if ext > qlen:
         qp = np.concatenate([qp, np.zeros((tlen, ext - qlen), dtype=np.int64)], axis=1)
     qlen = ext
@@ -273,10 +279,12 @@ def _local_core(query, target, mat, o_del, e_del, o_ins, e_ins,
         if imax > gmax:
             gmax, te = imax, i
             Hmax[:] = H
-            if gmax >= endsc:
+            if (u8 and gmax + shift >= 255) or gmax >= endsc:
                 break
-    r.score = gmax
+    r.score = 255 if (u8 and gmax + shift >= 255) else gmax
     r.te = te
+    if u8 and r.score == 255:
+        return r  # reference skips qe/score2 when saturated (ksw.c:211)
     mx = int(Hmax.max()) if qlen else -1
     if mx >= 0:
         r.qe = int(np.nonzero(Hmax == mx)[0][0])
@@ -293,16 +301,19 @@ def _local_core(query, target, mat, o_del, e_del, o_ins, e_ins,
 def sw_align(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
              o_del: int, e_del: int, o_ins: int, e_ins: int,
              xstart: bool = True, xsubo: Optional[int] = None,
-             xstop: Optional[int] = None) -> KswResult:
-    """Exact ksw_align2 (i16 path). xsubo/xstop carry the 0xffff score args."""
+             xstop: Optional[int] = None, xbyte: bool = False) -> KswResult:
+    """Exact ksw_align2. xsubo/xstop carry the 0xffff score args; xbyte picks
+    the u8 kernel variant (16-lane padding + 255 saturation)."""
     minsc = xsubo if xsubo is not None else 0x10000
     endsc = xstop if xstop is not None else 0x10000
-    r = _local_core(query, target, mat, o_del, e_del, o_ins, e_ins, minsc, endsc)
+    r = _local_core(query, target, mat, o_del, e_del, o_ins, e_ins, minsc, endsc,
+                    u8=xbyte)
     if not xstart or (xsubo is not None and r.score < minsc):
         return r
     rq = np.ascontiguousarray(query[:r.qe + 1][::-1])
     rt = np.ascontiguousarray(target[:r.te + 1][::-1])
-    rr = _local_core(rq, rt, mat, o_del, e_del, o_ins, e_ins, 0x10000, r.score)
+    rr = _local_core(rq, rt, mat, o_del, e_del, o_ins, e_ins, 0x10000, r.score,
+                     u8=xbyte)
     if r.score == rr.score:
         r.tb = r.te - rr.te
         r.qb = r.qe - rr.qe

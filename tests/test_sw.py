@@ -94,3 +94,27 @@ def test_align_parity_random():
         got = (mine.score, mine.te, mine.qe, mine.score2, mine.te2, mine.tb, mine.qb)
         want = (ref.score, ref.te, ref.qe, ref.score2, ref.te2, ref.tb, ref.qb)
         assert got == want, f"trial={trial} q={query.tolist()} t={target.tolist()}"
+
+
+def test_align_u8_parity_random():
+    """u8 kernel variant (KSW_XBYTE), as used by mate rescue on short reads."""
+    rng = np.random.default_rng(10)
+    for trial in range(300):
+        tl = int(rng.integers(5, 200))
+        target = rng.integers(0, 4, tl).astype(np.uint8)
+        if rng.random() < 0.7:
+            core = target[int(rng.integers(0, tl // 2)):]
+            query = mutate(rng, core[:int(rng.integers(1, min(len(core), 120) + 1))])
+            if len(query) == 0:
+                continue
+        else:
+            query = rng.integers(0, 4, int(rng.integers(1, 100))).astype(np.uint8)
+        mat = MATS[trial % len(MATS)]
+        sub = 19  # min_seed_len * a, as in matesw
+        mine = sw.sw_align(query, target, mat, 6, 1, 6, 1, xstart=True,
+                           xsubo=sub, xbyte=True)
+        ref = rb.ksw_align2(query, target, mat, 6, 1, 6, 1,
+                            rb.KSW_XSTART | rb.KSW_XSUBO | rb.KSW_XBYTE | sub)
+        got = (mine.score, mine.te, mine.qe, mine.score2, mine.te2, mine.tb, mine.qb)
+        want = (ref.score, ref.te, ref.qe, ref.score2, ref.te2, ref.tb, ref.qb)
+        assert got == want, f"trial={trial} q={query.tolist()} t={target.tolist()}"
