@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Benchmark driver: aligns a synthetic WGBS read set and prints ONE JSON
+line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): reference biscuit align, 1 CPU thread on this class of
+machine = 5,967 reads/s (100 bp SE reads, 5 Mbp genome).
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_READS_PER_SEC = 5967.0
+
+
+def main():
+    n_reads = int(os.environ.get("BENCH_READS", "2000"))
+    genome = int(os.environ.get("BENCH_GENOME", "1000000"))
+    d = tempfile.mkdtemp(prefix="btbench")
+    here = os.path.dirname(os.path.abspath(__file__))
+    subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "make_testdata.py"), d,
+         "--genome-size", str(genome), "--n-reads", str(n_reads)],
+        check=True, capture_output=True)
+    fa = os.path.join(d, "genome.fa")
+    from biscuit_tpu.index.build import build_index
+    from biscuit_tpu.config import MemOpt
+    from biscuit_tpu.align.pipeline import AlignerState, process_seqs
+    from biscuit_tpu.io.fastq import fastq_iter, read_batch
+
+    idx = build_index(fa)
+    st = AlignerState(idx)
+    opt = MemOpt()
+    seqs = read_batch(fastq_iter(os.path.join(d, "reads.fq")), None, 1 << 60)
+    t0 = time.time()
+    process_seqs(opt, st, seqs, 0)
+    dt = time.time() - t0
+    rps = len(seqs) / dt
+    print(json.dumps({
+        "metric": "align_reads_per_sec",
+        "value": round(rps, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
