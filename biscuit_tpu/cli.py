@@ -5,6 +5,7 @@ and per-subcommand getopt flags. Subcommands are added as they are built.
 """
 import getopt
 import math
+import os
 import sys
 
 import numpy as np
@@ -229,9 +230,189 @@ def main_align(argv):
     return 0
 
 
+def main_pileup(argv):
+    """biscuit pileup port (/root/reference/src/pileup.c:1014-1225):
+    windowed joint methylation + SNP calling to VCF."""
+    from .io.sambam import AlignmentFile
+    from .pileup.common import RefCache, NCONTXTS
+    from .pileup.engine import (PileupConf, meth_average_table, pileup_window,
+                                vcf_header)
+
+    conf = PileupConf()
+    reg = None
+    tum = nor = None
+    outfn = None
+    statsfn = None
+    opts, args = getopt.getopt(argv, "o:w:g:@:5:3:b:s:E:M:x:C:P:Q:t:n:m:a:l:T:I:SNrcdupv:h")
+    for o, a in opts:
+        c = o[1]
+        if c == "g": reg = a
+        elif c == "@": conf.bt.n_threads = int(a)
+        elif c == "s": conf.bt.step = int(a)
+        elif c == "N": conf.comm.is_nome = 1
+        elif c == "S": conf.somatic = 1
+        elif c == "T": tum = a
+        elif c == "I": nor = a
+        elif c == "o": outfn = a
+        elif c == "w": statsfn = a
+        elif c == "v": conf.comm.verbose = int(a)
+        elif c == "b": conf.filt.min_base_qual = int(a)
+        elif c == "m": conf.filt.min_mapq = int(a)
+        elif c == "a": conf.filt.min_score = int(a)
+        elif c == "t": conf.filt.max_retention = int(a)
+        elif c == "l": conf.filt.min_read_len = int(a)
+        elif c == "5": conf.filt.min_dist_end_5p = int(a)
+        elif c == "3": conf.filt.min_dist_end_3p = int(a)
+        elif c == "r": conf.ambi_redist = 0
+        elif c == "c": conf.filt.filter_secondary = 0
+        elif c == "d": conf.filt.filter_doublecnt = 0
+        elif c == "u": conf.filt.filter_duplicate = 0
+        elif c == "p": conf.filt.filter_ppair = 0
+        elif c == "n": conf.filt.max_nm = int(a)
+        elif c == "E": conf.error = float(a)
+        elif c == "M": conf.mu = float(a)
+        elif c == "x": conf.mu_somatic = float(a)
+        elif c == "C": conf.contam = float(a)
+        elif c == "P": conf.prior1 = float(a)
+        elif c == "Q": conf.prior2 = float(a)
+        elif c == "h":
+            print("Usage: biscuit_tpu pileup [options] <ref.fa> <in1.bam> ...",
+                  file=sys.stderr)
+            return 1
+
+    if conf.somatic:
+        if len(args) < 1:
+            print("Reference input is missing", file=sys.stderr)
+            return 1
+        if not tum or not nor:
+            print("Somatic mode requires -T and -I", file=sys.stderr)
+            return 1
+        reffn = args[0]
+        in_fns = [tum, nor]
+    else:
+        if len(args) < 2:
+            print("Reference or bam input is missing", file=sys.stderr)
+            return 1
+        if tum or nor:
+            print("-T/-I require -S", file=sys.stderr)
+            return 1
+        reffn = args[0]
+        in_fns = args[1:]
+
+    bams = [AlignmentFile(fn) for fn in in_fns]
+    hdr = bams[0].header
+    # sorted targets (alphabetic, like the reference qsort by name)
+    targets = sorted(range(len(hdr.names)),
+                     key=lambda tid: hdr.names[tid])  # list of tids in name order
+    target_pairs = [(hdr.names[t], hdr.lengths[t]) for t in targets]
+
+    out = open(outfn, "w") if outfn else sys.stdout
+    out.write(vcf_header(reffn, target_pairs, ["pileup"] + argv, conf, in_fns))
+
+    rs = RefCache(reffn)
+    n_bams = len(in_fns)
+    # per-sample, per-tid context stats
+    betasum = [{} for _ in range(n_bams)]
+    cnts = [{} for _ in range(n_bams)]
+
+    def window_stats(tid):
+        bs = [betasum[sid].setdefault(tid, [0.0] * NCONTXTS) for sid in range(n_bams)]
+        cs = [cnts[sid].setdefault(tid, [0] * NCONTXTS) for sid in range(n_bams)]
+        return bs, cs
+
+    step = conf.bt.step
+    if reg:
+        if ":" in reg:
+            name, rng = reg.split(":", 1)
+            beg, end = rng.replace(",", "").split("-")
+            beg, end = int(beg), int(end)
+        else:
+            name, beg, end = reg, 0, 1 << 29
+        tid = hdr.name2tid(name)
+        beg += 1
+        beg = max(beg, 1)
+        end = min(end, hdr.lengths[tid])
+        wbeg = beg
+        while wbeg < end:
+            bs, cs = window_stats(tid)
+            out.write(pileup_window(bams, rs, conf, tid, hdr.names[tid], wbeg,
+                                    min(wbeg + step, end), bs, cs))
+            wbeg += step
+    else:
+        for t in targets:
+            tlen = hdr.lengths[t]
+            wbeg = 1
+            while wbeg < tlen:
+                bs, cs = window_stats(t)
+                out.write(pileup_window(bams, rs, conf, t, hdr.names[t], wbeg,
+                                        min(wbeg + step, tlen), bs, cs))
+                wbeg += step
+
+    if out is not sys.stdout:
+        out.close()
+    if not statsfn and outfn:
+        statsfn = outfn
+    if statsfn:
+        with open(statsfn + "_meth_average.tsv", "w") as f:
+            if conf.comm.is_nome:
+                f.write("sample\tchrm\tHCGn\tHCGb\tHCHGn\tHCHGb\tHCHHn\tHCHHb\tHCHn\tHCHb\tGCn\tGCb\n")
+            else:
+                f.write("sample\tchrm\tCGn\tCGb\tCHGn\tCHGb\tCHHn\tCHHb\tCHn\tCHb\n")
+            for sid, fn in enumerate(in_fns):
+                sample = os.path.basename(fn)
+                if sample.endswith(".bam"):
+                    sample = sample[:-4]
+                # reproduce the reference's write_func/print_meth_average1
+                # indexing: stats are accumulated by ORIGINAL tid but rows are
+                # emitted in sorted-target order with data taken at index k
+                # and name at sorted_targets[sorted_targets[k].tid]
+                # (pileup.c:128-138); identical whenever name order == tid
+                # order
+                by_row_beta = {}
+                by_row_cnt = {}
+                for k, t in enumerate(targets):
+                    by_row_beta[k] = betasum[sid].get(k, [0.0] * NCONTXTS)
+                    by_row_cnt[k] = cnts[sid].get(k, [0] * NCONTXTS)
+                names = [(hdr.names[targets[t]], hdr.lengths[t])
+                         for t in targets]
+                for line in meth_average_table(conf, sample, names,
+                                               by_row_beta, by_row_cnt):
+                    f.write(line)
+    return 0
+
+
+def main_sort(argv):
+    """Utility (not in the reference, which delegates to samtools): sort a
+    SAM/BAM by coordinate and write BAM (or SAM with -O sam)."""
+    from .io.sambam import AlignmentFile, write_bam, write_sam
+    out = None
+    fmt = "bam"
+    opts, args = getopt.getopt(argv, "o:O:h")
+    for o, a in opts:
+        if o == "-o":
+            out = a
+        elif o == "-O":
+            fmt = a
+    if not args or not out:
+        print("Usage: biscuit_tpu sort -o out.bam [-O bam|sam] <in.sam|in.bam>",
+              file=sys.stderr)
+        return 1
+    af = AlignmentFile(args[0])
+    recs = sorted(af, key=lambda r: (r.tid if r.tid >= 0 else 1 << 30, r.pos))
+    if not any(l.startswith("@HD") for l in af.header.lines):
+        af.header.lines.insert(0, "@HD\tVN:1.6\tSO:coordinate")
+    if fmt == "sam":
+        write_sam(out, af.header, recs)
+    else:
+        write_bam(out, af.header, recs)
+    return 0
+
+
 SUBCOMMANDS = {
     "index": main_index,
     "align": main_align,
+    "pileup": main_pileup,
+    "sort": main_sort,
 }
 
 
