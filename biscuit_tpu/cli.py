@@ -408,11 +408,22 @@ def main_sort(argv):
     return 0
 
 
+def _sub(name):
+    def run(argv):
+        import importlib
+        mod = importlib.import_module(f".subcmds.{name}", package="biscuit_tpu")
+        return mod.main(argv)
+    return run
+
+
 SUBCOMMANDS = {
     "index": main_index,
     "align": main_align,
     "pileup": main_pileup,
     "sort": main_sort,
+    "vcf2bed": _sub("vcf2bed"),
+    "mergecg": _sub("mergecg"),
+    "epiread": _sub("epiread"),
 }
 
 
@@ -438,7 +449,16 @@ Command:
     if cmd is None:
         print(f"Unknown subcommand: {argv[0]}", file=sys.stderr)
         return 1
-    return cmd(argv[1:])
+    try:
+        return cmd(argv[1:])
+    except BrokenPipeError:
+        # downstream consumer (e.g. `| head`) closed the pipe — exit quietly
+        # like the reference's EPIPE handling
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        os._exit(1)
 
 
 if __name__ == "__main__":
