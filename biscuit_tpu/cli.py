@@ -424,6 +424,13 @@ SUBCOMMANDS = {
     "vcf2bed": _sub("vcf2bed"),
     "mergecg": _sub("mergecg"),
     "epiread": _sub("epiread"),
+    "asm": _sub("asm"),
+    "bsstrand": _sub("bsstrand"),
+    "bsconv": _sub("bsconv"),
+    "cinread": _sub("cinread"),
+    "qc": _sub("qc"),
+    "bc": _sub("bc"),
+    "rectangle": _sub("rectangle"),
 }
 
 

@@ -1,0 +1,127 @@
+"""End-to-end downstream pipeline smoke tests:
+align -> sort -> pileup -> vcf2bed -> mergecg -> epiread -> asm, plus the QC
+family. The reference pileup chain cannot be oracle-built here (htslib needs
+network), so these assert structural invariants + biologically consistent
+values on simulated data (CpG beta ~0.75, CpH ~0.02).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+from conftest import REPO
+
+
+def run(args, cwd, **kw):
+    r = subprocess.run([sys.executable, "-m", "biscuit_tpu.cli"] + args,
+                       capture_output=True, text=True, cwd=cwd, **kw)
+    assert r.returncode == 0, f"{args}: {r.stderr[-2000:]}"
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    d = tmp_path_factory.mktemp("downstream")
+    subprocess.run(
+        [sys.executable, f"{REPO}/tools/make_testdata.py", str(d),
+         "--genome-size", "40000", "--n-reads", "400", "--pe", "--seed", "3",
+         "--n-chroms", "1"],
+        check=True, capture_output=True)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    fa = str(d / "genome.fa")
+    run(["index", fa], cwd=REPO)
+    sam = run(["align", "-b", "1", fa, str(d / "reads_1.fq"), str(d / "reads_2.fq")],
+              cwd=REPO)
+    (d / "aln.sam").write_text(sam)
+    run(["sort", "-o", str(d / "aln.bam"), str(d / "aln.sam")], cwd=REPO)
+    run(["pileup", "-o", str(d / "plp.vcf"), fa, str(d / "aln.bam")], cwd=REPO)
+    return d, fa
+
+
+def test_pileup_vcf(pipeline):
+    d, fa = pipeline
+    lines = (d / "plp.vcf").read_text().splitlines()
+    body = [l for l in lines if not l.startswith("#")]
+    assert len(body) > 500
+    assert any("CX=CG" in l for l in body)
+    # meth average tsv written and CpG beta in simulated range
+    tsv = (str(d / "plp.vcf") + "_meth_average.tsv")
+    rows = open(tsv).read().splitlines()
+    assert rows[0].startswith("sample\tchrm\tCGn")
+    wg = [r for r in rows if "WholeGenome" in r][0].split("\t")
+    cg_beta = float(wg[3].rstrip("%"))
+    assert 65 < cg_beta < 85, wg
+    ch_beta = float(wg[9].rstrip("%"))
+    assert ch_beta < 10, wg
+
+
+def test_vcf2bed_and_mergecg(pipeline):
+    d, fa = pipeline
+    bed = run(["vcf2bed", "-t", "cg", str(d / "plp.vcf")], cwd=REPO)
+    assert bed
+    rows = [l.split("\t") for l in bed.splitlines()]
+    for r in rows:
+        assert int(r[2]) == int(r[1]) + 1
+        assert r[3] == "." or 0 <= float(r[3]) <= 1
+    (d / "cg.bed").write_text(bed)
+    merged = run(["mergecg", fa, str(d / "cg.bed")], cwd=REPO)
+    mrows = [l.split("\t") for l in merged.splitlines()]
+    assert len(mrows) < len(rows)
+    assert any(int(r[2]) - int(r[1]) == 2 for r in mrows)  # merged CpG pairs
+    assert all(r[5].startswith("C:") for r in mrows[:5])
+
+
+def test_epiread_asm(pipeline):
+    d, fa = pipeline
+    snps = run(["vcf2bed", "-t", "snp", str(d / "plp.vcf")], cwd=REPO)
+    (d / "snps.bed").write_text(snps)
+    epi = run(["epiread", "-B", str(d / "snps.bed"), fa, str(d / "aln.bam")], cwd=REPO)
+    assert epi
+    for l in epi.splitlines()[:20]:
+        f = l.split("\t")
+        assert len(f) == 9
+        assert f[5] in "+-"
+    pw = run(["epiread", "-P", "-B", str(d / "snps.bed"), fa, str(d / "aln.bam")],
+             cwd=REPO)
+    (d / "pw.epiread").write_text(pw)
+    if pw.strip():
+        out = run(["asm", str(d / "pw.epiread")], cwd=REPO)
+        for l in out.splitlines():
+            f = l.split("\t")
+            assert len(f) == 11
+            assert 0 <= float(f[9]) <= 1
+
+
+def test_qc_and_bsstrand(pipeline, tmp_path):
+    d, fa = pipeline
+    run(["qc", fa, str(d / "aln.bam"), str(tmp_path / "s")], cwd=REPO)
+    for suffix in ("_mapq_table.txt", "_dup_report.txt", "_strand_table.txt",
+                   "_totalReadConversionRate.txt", "_CpGRetentionByReadPos.txt",
+                   "_CpHRetentionByReadPos.txt", "_isize_table.txt"):
+        assert (tmp_path / ("s" + suffix)).exists(), suffix
+    conv = (tmp_path / "s_totalReadConversionRate.txt").read_text().splitlines()[2].split("\t")
+    assert 0.6 < float(conv[2]) < 0.9      # CpG retention ~0.75
+    assert float(conv[0]) < 0.1            # CpA retention ~0.02
+
+    r = subprocess.run([sys.executable, "-m", "biscuit_tpu.cli", "bsstrand", fa,
+                        str(d / "aln.bam")], capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0
+    assert "Mapped reads: " in r.stderr
+    assert "Confusion counts" in r.stderr
+
+
+def test_bam_roundtrip(pipeline):
+    d, fa = pipeline
+    sys.path.insert(0, REPO)
+    from biscuit_tpu.io.sambam import AlignmentFile
+    sam = AlignmentFile(str(d / "aln.sam"))
+    bam = AlignmentFile(str(d / "aln.bam"))
+    srecs = sorted(sam, key=lambda r: (r.tid, r.pos, r.qname, r.flag))
+    brecs = sorted(bam, key=lambda r: (r.tid, r.pos, r.qname, r.flag))
+    assert len(srecs) == len(brecs)
+    for a, b in zip(srecs, brecs):
+        assert (a.qname, a.flag, a.tid, a.pos, a.cigar, a.seq, a.qual) == \
+               (b.qname, b.flag, b.tid, b.pos, b.cigar, b.seq, b.qual)
+        assert a.tags == b.tags
