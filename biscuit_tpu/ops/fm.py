@@ -287,7 +287,8 @@ def _count_base_in_word(w: jnp.ndarray, c: int) -> jnp.ndarray:
 
 def fm_occ4(fm: FMArrays, k: jnp.ndarray) -> jnp.ndarray:
     """Batched occ4: counts of each base in bwt[0..k], k int32 [...]. Handles
-    k == -1 (zeros) and k == seq_len (totals)."""
+    k == -1 (zeros) and k == seq_len (totals). One [.., 8]-word block gather
+    + VPU popcounts per query."""
     k = k.astype(jnp.int32)
     is_neg = k < 0
     is_full = k == fm.seq_len
@@ -295,20 +296,33 @@ def fm_occ4(fm: FMArrays, k: jnp.ndarray) -> jnp.ndarray:
     kk = ksafe - (ksafe >= fm.primary).astype(jnp.int32)
     block = kk >> OCC_SHIFT
     acc = fm.occ_cp[block]  # [..., 4]
-    w_idx = (kk >> 4) & 7
-    t_low = (~kk & 15).astype(jnp.uint32)
-    base_word = block * WORDS_PER_BLOCK
-    counts = jnp.zeros(k.shape + (4,), dtype=jnp.int32)
-    for j in range(WORDS_PER_BLOCK):
-        w = fm.words[jnp.minimum(base_word + j, fm.words.shape[0] - 1)]
-        sel_full = j < w_idx
-        sel_part = j == w_idx
-        wm = jnp.where(sel_part, (w >> (t_low << 1)) << (t_low << 1), w)
-        active = sel_full | sel_part
-        per_c = jnp.stack([_count_base_in_word(wm, c) for c in range(4)], axis=-1)
-        corr = jnp.where(sel_part, t_low.astype(jnp.int32), 0)
-        per_c = per_c.at[..., 0].add(-corr)
-        counts = counts + jnp.where(active[..., None], per_c, 0)
+    w_idx = ((kk >> 4) & 7)[..., None]                      # [..., 1]
+    t_low = (~kk & 15).astype(jnp.uint32)[..., None]        # [..., 1]
+    idx = jnp.minimum(block[..., None] * WORDS_PER_BLOCK
+                      + jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32),
+                      fm.words.shape[0] - 1)
+    w8 = fm.words[idx]                                       # [..., 8] uint32
+    jj = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)
+    sel_part = jj == w_idx
+    active = jj <= w_idx
+    wm = jnp.where(sel_part, (w8 >> (t_low << 1)) << (t_low << 1), w8)
+    wm = jnp.where(active, wm, jnp.uint32(0xFFFFFFFF))  # inactive words count 0 below
+    inv = ~wm
+    lo1 = wm & jnp.uint32(0x55555555)
+    c0 = jax.lax.population_count(((inv >> 1) & inv) & jnp.uint32(0x55555555))
+    c1 = jax.lax.population_count((inv >> 1) & lo1)
+    c2 = jax.lax.population_count((wm >> 1) & (inv & jnp.uint32(0x55555555)))
+    c3 = jax.lax.population_count((wm >> 1) & lo1)
+    # per-word A-count correction: masked-off low bases of the partial word
+    # read as zeros (= base A); fully-inactive words were set to all-ones (= T
+    # pattern counts c3) so zero them via the active mask instead
+    corr = jnp.where(sel_part, t_low.astype(jnp.int32), 0)
+    counts = jnp.stack([
+        jnp.sum(jnp.where(active, c0.astype(jnp.int32) - corr, 0), axis=-1),
+        jnp.sum(jnp.where(active, c1, 0).astype(jnp.int32), axis=-1),
+        jnp.sum(jnp.where(active, c2, 0).astype(jnp.int32), axis=-1),
+        jnp.sum(jnp.where(active, c3, 0).astype(jnp.int32), axis=-1),
+    ], axis=-1)
     res = acc + counts
     totals = (fm.L2[1:5] - fm.L2[0:4])[None]
     res = jnp.where(is_full[..., None], jnp.broadcast_to(totals, res.shape), res)
