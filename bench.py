@@ -4,6 +4,10 @@ line {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline (BASELINE.md): reference biscuit align, 1 CPU thread on this class of
 machine = 5,967 reads/s (100 bp SE reads, 5 Mbp genome).
+
+Engine selection: the TPU device engine (batched SMEM/SA/SW kernels) when a
+non-CPU backend is available, else the host engine. Override with
+BENCH_ENGINE=host|device.
 """
 import json
 import os
@@ -18,7 +22,7 @@ BASELINE_READS_PER_SEC = 5967.0
 
 
 def main():
-    n_reads = int(os.environ.get("BENCH_READS", "2000"))
+    n_reads = int(os.environ.get("BENCH_READS", "4000"))
     genome = int(os.environ.get("BENCH_GENOME", "1000000"))
     d = tempfile.mkdtemp(prefix="btbench")
     here = os.path.dirname(os.path.abspath(__file__))
@@ -27,18 +31,35 @@ def main():
          "--genome-size", str(genome), "--n-reads", str(n_reads)],
         check=True, capture_output=True)
     fa = os.path.join(d, "genome.fa")
+
+    import jax
     from biscuit_tpu.index.build import build_index
     from biscuit_tpu.config import MemOpt
     from biscuit_tpu.align.pipeline import AlignerState, process_seqs
     from biscuit_tpu.io.fastq import fastq_iter, read_batch
 
+    engine = os.environ.get("BENCH_ENGINE")
+    if engine is None:
+        engine = "device" if jax.default_backend() != "cpu" else "host"
+
     idx = build_index(fa)
     st = AlignerState(idx)
     opt = MemOpt()
     seqs = read_batch(fastq_iter(os.path.join(d, "reads.fq")), None, 1 << 60)
-    t0 = time.time()
-    process_seqs(opt, st, seqs, 0)
-    dt = time.time() - t0
+
+    if engine == "device":
+        from biscuit_tpu.align.device_engine import DeviceAligner, process_seqs_device
+        dev = DeviceAligner(st)
+        # warm-up/compile on a small slice
+        warm = read_batch(fastq_iter(os.path.join(d, "reads.fq")), None, 20000)
+        process_seqs_device(MemOpt(), st, warm[:128], 0, engine=dev)
+        t0 = time.time()
+        process_seqs_device(opt, st, seqs, 0, engine=dev)
+        dt = time.time() - t0
+    else:
+        t0 = time.time()
+        process_seqs(opt, st, seqs, 0)
+        dt = time.time() - t0
     rps = len(seqs) / dt
     print(json.dumps({
         "metric": "align_reads_per_sec",

@@ -94,9 +94,10 @@ def _merge_seed_to_chain(opt: MemOpt, l_pac: int, c: Chain, s: Seed, seed_rid: i
 
 def mem_chain(opt: MemOpt, fm: FMNumpy, fmc: FMNumpy, idx, l_seq: int,
               bisseq: np.ndarray, parent: int,
-              seeds_intv=None) -> List[Chain]:
+              seeds_intv=None, sa_lookup=None) -> List[Chain]:
     """memchain.c:268-393. `seeds_intv` may carry precomputed collect_intv
-    output (e.g. from the batched device seeder)."""
+    output and `sa_lookup(seed_idx, k, x0)` precomputed SA positions (both
+    from the batched device path)."""
     l_pac = idx.l_pac
     chains: List[Chain] = []
     if l_seq < opt.min_seed_len:
@@ -118,13 +119,14 @@ def mem_chain(opt: MemOpt, fm: FMNumpy, fmc: FMNumpy, idx, l_seq: int,
     keys: List[int] = []  # sorted chain positions (B-tree key order)
     tree: List[Chain] = []
 
-    for (sb, se, x0, _x1, size) in mem:
+    for seed_i, (sb, se, x0, _x1, size) in enumerate(mem):
         slen = se - sb
         k = 0
         count = 0
         while k < size and count < opt.max_occ and \
                 ((count > 5 and k < opt.max_occ) or count <= 5):
-            rbeg = fm.sa_s(x0 + k)
+            rbeg = sa_lookup(seed_i, k, x0) if sa_lookup is not None \
+                else fm.sa_s(x0 + k)
             s = Seed(rbeg=rbeg, qbeg=sb, len=slen, score=slen)
             rid = bnsmod.intv2rid(idx, s.rbeg, s.rbeg + s.len)
             k += 1

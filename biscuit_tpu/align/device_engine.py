@@ -1,0 +1,270 @@
+"""Device (TPU) alignment engine: batched seeding + SA lookup + extension.
+
+Replaces the three hot stages of worker1 with batched JAX kernels while
+reusing the exact host logic (chaining, region bookkeeping) via the
+extension-request generator protocol (region.chain2region_gen). Output is
+identical to the host engine (tested in tests/test_device_engine.py).
+
+Batch flow per call:
+  1. host: read clipping + in-silico conversion; build (read, parent) lanes
+  2. device: 3-pass SMEM seed collection (ops/seed_batch.smem_batch)
+  3. device: batched SA walks for seed occurrence positions
+  4. host: chaining + chain filtering per lane
+  5. device: banded extension, scheduled in lockstep rounds across lanes
+  6. host: region merge + downstream (mark primary, pairing, SAM)
+"""
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import MemOpt, MEM_F_PE, MEM_F_NO_RESCUE
+from ..index.fmindex import BisIndex
+from ..ops import sw
+from ..ops.seed_batch import FMPair, collect_intv_batch, sa_batch
+from ..ops.sw_batch import sw_extend_batch
+from .chain import mem_chain, mem_chain_flt, mem_flt_chained_seeds
+from .pair import PeStat, pestat
+from .region import AlnRegs, chain2region_gen, drive_gen, mark_primary, matesw, merge_regions
+from .smem import collect_intv
+from .pipeline import AlignerState, bsconvert, worker2_pe, worker2_se
+from .io_helpers import read_clipping
+
+SA_PREFETCH_CAP = 64
+
+
+class DeviceAligner:
+    def __init__(self, st: AlignerState):
+        self.st = st
+        self.fmpair = FMPair.from_index(st.idx)
+
+    # ------------------------------------------------------------------
+    def _collect_seeds(self, opt: MemOpt, lanes: List[Tuple]):
+        """lanes: list of (seq, parent). Returns per-lane seed lists and SA
+        position lookup tables."""
+        st = self.st
+        B = len(lanes)
+        L = max(s.l_seq for s, _p in lanes)
+        L = max((L + 31) // 32 * 32, 32)  # shape bucket
+        Lcap = max(L + 8, 160)
+        q = np.full((B, L), 4, dtype=np.int32)
+        lens = np.zeros(B, np.int32)
+        parents = np.zeros(B, np.int32)
+        for i, (s, p) in enumerate(lanes):
+            conv = bsconvert(s, p)
+            q[i, :s.l_seq] = conv
+            lens[i] = s.l_seq
+            parents[i] = p
+        seeds, overflow = collect_intv_batch(self.fmpair, q, lens, parents,
+                                             opt, C=Lcap)
+        # host fallback for overflowing lanes (rare)
+        for i in np.nonzero(overflow)[0]:
+            s, p = lanes[i]
+            fm, fmc = st.fm_pair(p)
+            seeds[i] = collect_intv(opt, fm, fmc, bsconvert(s, p))
+
+        # batched SA for up to SA_PREFETCH_CAP occurrences per seed
+        jobs_which = []
+        jobs_rank = []
+        index: List[List[Tuple[int, int]]] = []  # per lane: (offset, kmax)
+        off = 0
+        for i, lane_seeds in enumerate(seeds):
+            lane_idx = []
+            for (_sb, _se, x0, _x1, size) in lane_seeds:
+                kmax = min(size, SA_PREFETCH_CAP)
+                lane_idx.append((off, kmax))
+                for k in range(kmax):
+                    jobs_which.append(parents[i])
+                    jobs_rank.append(x0 + k)
+                off += kmax
+            index.append(lane_idx)
+        if jobs_rank:
+            pos = np.asarray(sa_batch(self.fmpair,
+                                      jnp.asarray(np.array(jobs_which, np.int32)),
+                                      jnp.asarray(np.array(jobs_rank, np.int32))))
+        else:
+            pos = np.zeros(0, np.int32)
+
+        lookups = []
+        for i, lane_idx in enumerate(index):
+            p = int(parents[i])
+            fm = self.st.fm[p]
+
+            def mk(lane_idx=lane_idx, fm=fm):
+                def sa_lookup(seed_i, k, x0):
+                    o, kmax = lane_idx[seed_i]
+                    if k < kmax:
+                        return int(pos[o + k])
+                    return fm.sa_s(x0 + k)  # beyond prefetch: scalar walk
+                return sa_lookup
+            lookups.append(mk())
+        return seeds, lookups
+
+    # ------------------------------------------------------------------
+    def _extend_scheduled(self, opt: MemOpt, jobs: List):
+        """jobs: generators yielding 6-tuples (qs, rs, aw, pen, h0, parent).
+        Runs them all to completion with batched device SW rounds."""
+        active: List[list] = []
+        for gen in jobs:
+            try:
+                active.append([gen, next(gen)])
+            except StopIteration:
+                pass
+        def bucket(n, step=64):
+            return max((n + step - 1) // step * step, step)
+
+        while active:
+            B = len(active)
+            # bucket padded shapes so the jitted kernel compiles a bounded
+            # number of variants on TPU
+            Lq = bucket(max(max(len(e[1][0]), 1) for e in active))
+            Lt = bucket(max(max(len(e[1][1]), 1) for e in active))
+            q = np.zeros((B, Lq), np.int32)
+            t = np.zeros((B, Lt), np.int32)
+            qlens = np.zeros(B, np.int32)
+            tlens = np.zeros(B, np.int32)
+            ws = np.zeros(B, np.int32)
+            ebs = np.zeros(B, np.int32)
+            h0s = np.zeros(B, np.int32)
+            msel = np.zeros(B, np.int32)
+            for i, (gen, (qs, rs, aw, pen, h0, parent)) in enumerate(active):
+                q[i, :len(qs)] = qs
+                qlens[i] = len(qs)
+                t[i, :len(rs)] = rs
+                tlens[i] = len(rs)
+                ws[i] = aw
+                ebs[i] = pen
+                h0s[i] = h0
+                msel[i] = parent
+            out = sw_extend_batch(jnp.asarray(q), jnp.asarray(qlens),
+                                  jnp.asarray(t), jnp.asarray(tlens),
+                                  self._mats(opt), jnp.asarray(msel),
+                                  opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                                  jnp.asarray(ws), jnp.asarray(ebs),
+                                  opt.zdrop, jnp.asarray(h0s))
+            res = {k: np.asarray(v) for k, v in out.items()}
+            nxt = []
+            for i, entry in enumerate(active):
+                gen = entry[0]
+                r = (int(res["score"][i]), int(res["qle"][i]), int(res["tle"][i]),
+                     int(res["gtle"][i]), int(res["gscore"][i]),
+                     int(res["max_off"][i]))
+                try:
+                    entry[1] = gen.send(r)
+                    nxt.append(entry)
+                except StopIteration:
+                    pass
+            active = nxt
+
+    def _mats(self, opt: MemOpt):
+        if not hasattr(self, "_mats_cache"):
+            self._mats_cache = jnp.asarray(
+                np.stack([opt.gamat, opt.ctmat]).astype(np.int32))
+        return self._mats_cache
+
+    # ------------------------------------------------------------------
+    def regs_for_batch(self, opt: MemOpt, seqs) -> List[AlnRegs]:
+        """worker1 for a batch (SE or PE layout handled by caller policy):
+        returns one AlnRegs per seq in `seqs`, each merged."""
+        st = self.st
+        idx = st.idx
+        # lane policy (bwamem.c:311-375): order matters for emission parity
+        lane_plan: List[Tuple[int, int]] = []  # (seq_idx, parent)
+        pe = bool(opt.flag & MEM_F_PE)
+        for i, s in enumerate(seqs):
+            if not pe:
+                if not (opt.parent & 1) or (opt.parent >> 1):
+                    lane_plan.append((i, 0))
+                if not (opt.parent & 1) or not (opt.parent >> 1):
+                    lane_plan.append((i, 1))
+            else:
+                if i % 2 == 0:
+                    lane_plan.append((i, 1))
+                    if not opt.parent:
+                        lane_plan.append((i, 0))
+                else:
+                    lane_plan.append((i, 0))
+                    if not opt.parent:
+                        lane_plan.append((i, 1))
+        lanes = [(seqs[i], p) for i, p in lane_plan]
+        seeds, lookups = self._collect_seeds(opt, lanes)
+
+        # chaining (host) + build extension generators
+        all_regs: List[AlnRegs] = [AlnRegs() for _ in seqs]
+        gens = []
+        for li, (si, parent) in enumerate(lane_plan):
+            s = seqs[si]
+            fm, fmc = st.fm_pair(parent)
+            chns = mem_chain(opt, fm, fmc, idx, s.l_seq, bsconvert(s, parent),
+                             parent, seeds_intv=seeds[li], sa_lookup=lookups[li])
+            chns = mem_chain_flt(opt, chns)
+            mem_flt_chained_seeds(opt, idx, s.l_seq, s.seq, chns, parent)
+            gens.append((chain2region_gen(opt, idx, s.l_seq, s.seq, parent,
+                                          chns, all_regs[si]), parent))
+        # The reference runs a read's two strand passes sequentially
+        # (bwamem.c:327-333): the second pass's containment checks must see
+        # the first pass's regions, and chain2region_gen captures reg0 =
+        # len(regs) when its body first runs. So lanes of the same read are
+        # chained into one sequential generator; different reads run in
+        # lockstep batches.
+        by_read: Dict[int, List] = {}
+        for gen_parent, (si, _p) in zip(gens, lane_plan):
+            by_read.setdefault(si, []).append(gen_parent)
+        self._extend_scheduled(
+            opt, [_chain_generators(lst) for lst in by_read.values()])
+
+        for si, s in enumerate(seqs):
+            merge_regions(opt, idx, s.seq, s.l_seq, all_regs[si])
+        return all_regs
+
+
+def _chain_generators(gen_parent_list):
+    """Run several (gen, parent) sequentially as one generator, tagging each
+    yielded 5-tuple request with its lane's parent (for matrix selection)."""
+    for gen, parent in gen_parent_list:
+        try:
+            req = next(gen)
+        except StopIteration:
+            continue
+        while True:
+            result = yield req + (parent,)
+            try:
+                req = gen.send(result)
+            except StopIteration:
+                break
+
+
+DEVICE_BATCH = 2048  # reads per device sweep (bounds SMEM machine buffers)
+
+
+def process_seqs_device(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
+                        pes0=None, rg_id: str = "",
+                        engine: Optional[DeviceAligner] = None) -> None:
+    """mem_process_seqs with the device-backed worker1."""
+    dev = engine or DeviceAligner(st)
+    pe = bool(opt.flag & MEM_F_PE)
+    if pe:
+        for i in range(0, len(seqs), 2):
+            s1, s2 = seqs[i], seqs[i + 1]
+            if s1.name != s2.name and not (
+                    s1.name[:-1] == s2.name[:-1] and s1.name[-1] == "1"
+                    and s2.name[-1] == "2"):
+                raise RuntimeError(
+                    f'paired reads have different names: "{s1.name}", "{s2.name}"')
+    for s in seqs:
+        read_clipping(s, opt.adaptor1 if (not pe or s.id % 2 == 0)
+                      else opt.adaptor2, opt)
+    step = DEVICE_BATCH * 2 if pe else DEVICE_BATCH
+    all_regs: List[AlnRegs] = []
+    for lo in range(0, len(seqs), step):
+        all_regs.extend(dev.regs_for_batch(opt, seqs[lo:lo + step]))
+    if not (opt.flag & MEM_F_PE):
+        for i, s in enumerate(seqs):
+            worker2_se(opt, st, s, all_regs[i], n_processed, i, rg_id)
+    else:
+        n_pairs = len(seqs) >> 1
+        pes = pes0 if pes0 is not None else pestat(opt, st.idx, all_regs)
+        for i in range(n_pairs):
+            worker2_pe(opt, st, (seqs[i << 1], seqs[(i << 1) | 1]),
+                       (all_regs[i << 1], all_regs[(i << 1) | 1]), pes,
+                       n_processed, i, rg_id)

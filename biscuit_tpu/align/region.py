@@ -113,8 +113,10 @@ def _asymmetric_flt_seed(rseq: np.ndarray, query: np.ndarray, s: Seed, rbeg: int
 
 
 def _left_extend(opt: MemOpt, s: Seed, query: np.ndarray, rseq: np.ndarray,
-                 rmax0: int, parent: int, reg: AlnReg) -> int:
-    """memchain.c:613-672. Returns the actual bandwidth aw."""
+                 rmax0: int, parent: int, reg: AlnReg):
+    """memchain.c:613-672. Generator: yields (qs, rs, aw, end_bonus, h0)
+    extension-try requests, receives (score, qle, tle, gtle, gscore, max_off).
+    Returns the actual bandwidth aw."""
     if s.qbeg == 0:
         reg.score = reg.truesc = s.len * opt.a
         reg.qb = 0
@@ -123,15 +125,13 @@ def _left_extend(opt: MemOpt, s: Seed, query: np.ndarray, rseq: np.ndarray,
     qs = query[:s.qbeg][::-1]
     tmp = s.rbeg - rmax0
     rs = rseq[:tmp][::-1]
-    mat = opt.ctmat if parent else opt.gamat
     aw = opt.w
     qle = tle = gtle = gscore = 0
     for i in range(MAX_BAND_TRY):
         prev = reg.score
         aw = opt.w << i
-        reg.score, qle, tle, gtle, gscore, max_off = sw.sw_extend(
-            qs, rs, mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, aw,
-            opt.pen_clip5, opt.zdrop, s.len * opt.a)
+        reg.score, qle, tle, gtle, gscore, max_off = \
+            yield (qs, rs, aw, opt.pen_clip5, s.len * opt.a)
         if reg.score == prev or max_off < (aw >> 1) + (aw >> 2):
             break
     if gscore <= 0 or gscore <= reg.score - opt.pen_clip5:
@@ -147,8 +147,8 @@ def _left_extend(opt: MemOpt, s: Seed, query: np.ndarray, rseq: np.ndarray,
 
 def _right_extend(opt: MemOpt, s: Seed, query: np.ndarray, l_query: int,
                   rseq: np.ndarray, rmax0: int, rmax1: int, parent: int,
-                  reg: AlnReg) -> int:
-    """memchain.c:677-730."""
+                  reg: AlnReg):
+    """memchain.c:677-730. Generator like _left_extend."""
     if s.qbeg + s.len == l_query:
         reg.qe = l_query
         reg.re = s.rbeg + s.len
@@ -157,15 +157,13 @@ def _right_extend(opt: MemOpt, s: Seed, query: np.ndarray, l_query: int,
     qe = s.qbeg + s.len
     re_ = s.rbeg + s.len - rmax0
     assert re_ >= 0
-    mat = opt.ctmat if parent else opt.gamat
     aw = opt.w
     qle = tle = gtle = gscore = 0
     for i in range(MAX_BAND_TRY):
         prev = reg.score
         aw = opt.w << i
-        reg.score, qle, tle, gtle, gscore, max_off = sw.sw_extend(
-            query[qe:], rseq[re_:rmax1 - rmax0], mat, opt.o_del, opt.e_del,
-            opt.o_ins, opt.e_ins, aw, opt.pen_clip3, opt.zdrop, sc0)
+        reg.score, qle, tle, gtle, gscore, max_off = \
+            yield (query[qe:], rseq[re_:rmax1 - rmax0], aw, opt.pen_clip3, sc0)
         if reg.score == prev or max_off < (aw >> 1) + (aw >> 2):
             break
     if gscore <= 0 or gscore <= reg.score - opt.pen_clip3:
@@ -248,8 +246,9 @@ def chain2region1(opt: MemOpt, idx, rseq: np.ndarray, rmax, rid: int,
         reg.w = opt.w
         reg.score = reg.truesc = -1
         reg.rid = rid
-        aw0 = _left_extend(opt, s, query, rseq, rmax[0], parent, reg)
-        aw1 = _right_extend(opt, s, query, l_query, rseq, rmax[0], rmax[1], parent, reg)
+        aw0 = yield from _left_extend(opt, s, query, rseq, rmax[0], parent, reg)
+        aw1 = yield from _right_extend(opt, s, query, l_query, rseq, rmax[0],
+                                       rmax[1], parent, reg)
         reg.bss = getbss(parent, idx, reg.rb)
         reg.parent = parent
         if getbss(parent, idx, reg.re) != reg.bss:
@@ -265,9 +264,11 @@ def chain2region1(opt: MemOpt, idx, rseq: np.ndarray, rmax, rid: int,
         reg.frac_rep = frac_rep
 
 
-def chain2region(opt: MemOpt, idx, l_seq: int, query: np.ndarray, parent: int,
-                 chns: List[Chain], regs: AlnRegs) -> None:
-    """memchain.c:873-904."""
+def chain2region_gen(opt: MemOpt, idx, l_seq: int, query: np.ndarray,
+                     parent: int, chns: List[Chain], regs: AlnRegs):
+    """memchain.c:873-904 as an extension-request generator (see
+    _left_extend); drive with `drive_gen` (host) or batch-schedule the yields
+    across lanes (device engine)."""
     reg0 = len(regs)
     for c in chns:
         if not c.seeds:
@@ -275,11 +276,33 @@ def chain2region(opt: MemOpt, idx, l_seq: int, query: np.ndarray, parent: int,
         rmax0, rmax1 = chain_reference_span(opt, l_seq, idx.l_pac, c)
         rseq, rid, rmax0, rmax1 = bnsmod.fetch_seq(idx, rmax0, c.seeds[0].rbeg, rmax1)
         n0 = len(regs)
-        chain2region1(opt, idx, rseq, (rmax0, rmax1), rid, l_seq, query,
-                      c.seeds, regs, parent, reg0, c.frac_rep)
+        yield from chain2region1(opt, idx, rseq, (rmax0, rmax1), rid, l_seq,
+                                 query, c.seeds, regs, parent, reg0, c.frac_rep)
         if len(regs) == n0 and c.seeds_extra:
-            chain2region1(opt, idx, rseq, (rmax0, rmax1), rid, l_seq, query,
-                          c.seeds_extra, regs, parent, reg0, c.frac_rep)
+            yield from chain2region1(opt, idx, rseq, (rmax0, rmax1), rid,
+                                     l_seq, query, c.seeds_extra, regs,
+                                     parent, reg0, c.frac_rep)
+
+
+def drive_gen(gen, opt: MemOpt, parent: int) -> None:
+    """Run an extension-request generator on the host SW kernel."""
+    mat = opt.ctmat if parent else opt.gamat
+    try:
+        req = next(gen)
+        while True:
+            qs, rs, aw, pen, h0 = req
+            res = sw.sw_extend(qs, rs, mat, opt.o_del, opt.e_del, opt.o_ins,
+                               opt.e_ins, aw, pen, opt.zdrop, h0)
+            req = gen.send(res)
+    except StopIteration:
+        pass
+
+
+def chain2region(opt: MemOpt, idx, l_seq: int, query: np.ndarray, parent: int,
+                 chns: List[Chain], regs: AlnRegs) -> None:
+    """Host path: generator + scalar SW driver."""
+    drive_gen(chain2region_gen(opt, idx, l_seq, query, parent, chns, regs),
+              opt, parent)
 
 
 # ---------------------------------------------------------------------------

@@ -191,12 +191,24 @@ def main_align(argv):
     if not no_hdr:
         out.write(sam_header(idx, hdr_line, pg))
 
+    engine = os.environ.get("BISCUIT_TPU_ENGINE", "host")
+    dev = None
+    if engine == "device":
+        from .align.device_engine import DeviceAligner, process_seqs_device
+        dev = DeviceAligner(st)
+
+    def run_batch(seqs, n_processed):
+        if dev is not None:
+            process_seqs_device(opt, st, seqs, n_processed, pes0, rg_id, engine=dev)
+        else:
+            process_seqs(opt, st, seqs, n_processed, pes0, rg_id)
+
     if seq1 is not None:
         seqs = [make_bseq("inputread", None, seq1, None)]
         if seq2 is not None:
             seqs.append(make_bseq("inputread", None, seq2, None))
             opt.flag |= MEM_F_PE
-        process_seqs(opt, st, seqs, 0, pes0, rg_id)
+        run_batch(seqs, 0)
         for s in seqs:
             if s.sam:
                 out.write(s.sam)
@@ -222,7 +234,7 @@ def main_align(argv):
                 s.comment = None
         print(f"[M::process] read {len(seqs)} sequences ({sum(s.l_seq for s in seqs)} bp)...",
               file=sys.stderr)
-        process_seqs(opt, st, seqs, n_processed, pes0, rg_id)
+        run_batch(seqs, n_processed)
         n_processed += len(seqs)
         for s in seqs:
             if s.sam:

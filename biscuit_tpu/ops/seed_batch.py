@@ -353,6 +353,41 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
     return final["seeds"], final["n_seeds"], final["overflow"], final["iters"]
 
 
+@jax.jit
+def sa_batch(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Batched SA lookup (bwt_sa walk) with per-lane strand selection."""
+    n_words = fm.words.shape[1]
+
+    def bwt_char(which, kk):
+        w = fm.words.reshape(-1)[which * n_words + (kk >> 4)]
+        return ((w >> (((~kk & 15) << 1).astype(jnp.uint32))) & 3).astype(jnp.int32)
+
+    def inv_psi(which, kk):
+        prim = fm.primary[which]
+        x = kk - (kk > prim).astype(jnp.int32)
+        c = bwt_char(which, x)
+        o4 = occ4_sel(fm, which, kk)
+        occs = jnp.take_along_axis(o4, c[..., None], axis=-1)[..., 0]
+        return jnp.where(kk == prim, 0, fm.L2[which, c] + occs)
+
+    def body(state):
+        kk, add, act = state
+        k2 = inv_psi(which, kk)
+        kk = jnp.where(act, k2, kk)
+        add = add + act.astype(jnp.int32)
+        act = (kk & 31) != 0
+        return kk, add, act
+
+    def cond(state):
+        return state[2].any()
+
+    add0 = jnp.zeros_like(k)
+    act0 = (k & 31) != 0
+    kf, add, _ = jax.lax.while_loop(cond, body, (k, add0, act0))
+    n_sa = fm.sa_samples.shape[1]
+    return add + fm.sa_samples.reshape(-1)[which * n_sa + (kf >> 5)]
+
+
 def collect_intv_batch(fm: FMPair, reads, lens, parents, opt,
                        C: int = 160, S: int = 96):
     """Device-backed mem_collect_intv over a batch: pass 1 (SMEM scan) on
