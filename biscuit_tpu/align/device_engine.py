@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from ..config import MemOpt, MEM_F_PE, MEM_F_NO_RESCUE
 from ..index.fmindex import BisIndex
 from ..ops import sw
-from ..ops.seed_batch import FMPair, collect_intv_batch, sa_batch
+from ..ops.seed_batch import FMPair, sa_batch
+from ..ops.seed_parallel import collect_intv_parallel
 from ..ops.sw_batch import sw_extend_batch
 from .chain import mem_chain, mem_chain_flt, mem_flt_chained_seeds
 from .pair import PeStat, pestat
@@ -31,6 +32,13 @@ from .pipeline import AlignerState, bsconvert, worker2_pe, worker2_se
 from .io_helpers import read_clipping
 
 SA_PREFETCH_CAP = 64
+
+
+def _pow2(n: int, lo: int = 128) -> int:
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
 
 
 class DeviceAligner:
@@ -44,20 +52,22 @@ class DeviceAligner:
         position lookup tables."""
         st = self.st
         B = len(lanes)
+        Bb = _pow2(B)  # lane-count bucket: bounded set of compiled shapes
         L = max(s.l_seq for s, _p in lanes)
         L = max((L + 31) // 32 * 32, 32)  # shape bucket
-        Lcap = max(L + 8, 160)
-        q = np.full((B, L), 4, dtype=np.int32)
-        lens = np.zeros(B, np.int32)
-        parents = np.zeros(B, np.int32)
+        q = np.full((Bb, L), 4, dtype=np.int32)
+        lens = np.zeros(Bb, np.int32)
+        parents = np.zeros(Bb, np.int32)
         for i, (s, p) in enumerate(lanes):
             conv = bsconvert(s, p)
             q[i, :s.l_seq] = conv
             lens[i] = s.l_seq
             parents[i] = p
-        seeds, overflow = collect_intv_batch(self.fmpair, q, lens, parents,
-                                             opt, C=Lcap)
-        # host fallback for overflowing lanes (rare)
+        seeds, overflow = collect_intv_parallel(self.fmpair, q, lens, parents, opt)
+        seeds = seeds[:B]
+        overflow = overflow[:B]
+        # host fallback for overflowing lanes (defensive; the parallel seeder
+        # has no fixed seed capacity, so this should not trigger)
         for i in np.nonzero(overflow)[0]:
             s, p = lanes[i]
             fm, fmc = st.fm_pair(p)
@@ -79,9 +89,14 @@ class DeviceAligner:
                 off += kmax
             index.append(lane_idx)
         if jobs_rank:
-            pos = np.asarray(sa_batch(self.fmpair,
-                                      jnp.asarray(np.array(jobs_which, np.int32)),
-                                      jnp.asarray(np.array(jobs_rank, np.int32))))
+            nj = len(jobs_rank)
+            njb = _pow2(nj)
+            jw = np.zeros(njb, np.int32)
+            jr = np.ones(njb, np.int32)  # rank 1 pads: cheap short walks
+            jw[:nj] = jobs_which
+            jr[:nj] = jobs_rank
+            pos = np.asarray(sa_batch(self.fmpair, jnp.asarray(jw),
+                                      jnp.asarray(jr)))[:nj]
         else:
             pos = np.zeros(0, np.int32)
 
@@ -113,19 +128,20 @@ class DeviceAligner:
         def bucket(n, step=64):
             return max((n + step - 1) // step * step, step)
 
+        B0 = _pow2(len(active)) if active else 0
         while active:
-            B = len(active)
+            B = B0  # keep one shape for all rounds of this batch
             # bucket padded shapes so the jitted kernel compiles a bounded
             # number of variants on TPU
             Lq = bucket(max(max(len(e[1][0]), 1) for e in active))
             Lt = bucket(max(max(len(e[1][1]), 1) for e in active))
             q = np.zeros((B, Lq), np.int32)
             t = np.zeros((B, Lt), np.int32)
-            qlens = np.zeros(B, np.int32)
-            tlens = np.zeros(B, np.int32)
-            ws = np.zeros(B, np.int32)
+            qlens = np.ones(B, np.int32)
+            tlens = np.ones(B, np.int32)
+            ws = np.ones(B, np.int32)
             ebs = np.zeros(B, np.int32)
-            h0s = np.zeros(B, np.int32)
+            h0s = np.ones(B, np.int32)
             msel = np.zeros(B, np.int32)
             for i, (gen, (qs, rs, aw, pen, h0, parent)) in enumerate(active):
                 q[i, :len(qs)] = qs
@@ -142,13 +158,11 @@ class DeviceAligner:
                                   opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                                   jnp.asarray(ws), jnp.asarray(ebs),
                                   opt.zdrop, jnp.asarray(h0s))
-            res = {k: np.asarray(v) for k, v in out.items()}
+            res = np.asarray(out)  # [6, B]: score,qle,tle,gtle,gscore,max_off
             nxt = []
             for i, entry in enumerate(active):
                 gen = entry[0]
-                r = (int(res["score"][i]), int(res["qle"][i]), int(res["tle"][i]),
-                     int(res["gtle"][i]), int(res["gscore"][i]),
-                     int(res["max_off"][i]))
+                r = tuple(int(x) for x in res[:, i])
                 try:
                     entry[1] = gen.send(r)
                     nxt.append(entry)

@@ -158,6 +158,7 @@ def sw_extend_batch(query: jnp.ndarray, qlens: jnp.ndarray,
                     max_off=max_off, done=done)
 
     final = jax.lax.fori_loop(0, rows, row, state)
-    return dict(score=final["max"], qle=final["max_j"] + 1,
-                tle=final["max_i"] + 1, gtle=final["max_ie"] + 1,
-                gscore=final["gscore"], max_off=final["max_off"])
+    # packed [6, B] so one device->host transfer suffices:
+    # rows = score, qle, tle, gtle, gscore, max_off
+    return jnp.stack([final["max"], final["max_j"] + 1, final["max_i"] + 1,
+                      final["max_ie"] + 1, final["gscore"], final["max_off"]])

@@ -57,12 +57,11 @@ def test_extend_batch_parity():
                           jnp.asarray(mats), jnp.asarray(matsel),
                           6, 1, 6, 1, jnp.asarray(w), jnp.asarray(eb),
                           100, jnp.asarray(h0))
-    out = {k: np.asarray(v) for k, v in out.items()}
+    out = np.asarray(out)  # [6, B]
     for b in range(B):
         want = sw.sw_extend(queries[b, :qlens[b]], targets[b, :tlens[b]],
                             mats[matsel[b]], 6, 1, 6, 1, int(w[b]), int(eb[b]),
                             100, int(h0[b]))
-        got = (out["score"][b], out["qle"][b], out["tle"][b], out["gtle"][b],
-               out["gscore"][b], out["max_off"][b])
+        got = tuple(out[:, b])
         assert tuple(int(x) for x in got) == want, \
             f"lane {b}: got {got} want {want} q={queries[b,:qlens[b]].tolist()} t={targets[b,:tlens[b]].tolist()} w={w[b]} h0={h0[b]} eb={eb[b]} mat={matsel[b]}"
