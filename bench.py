@@ -38,13 +38,16 @@ def main():
     from biscuit_tpu.align.pipeline import AlignerState, process_seqs
     from biscuit_tpu.io.fastq import fastq_iter, read_batch
 
-    engine = os.environ.get("BENCH_ENGINE")
-    if engine is None:
-        engine = "device" if jax.default_backend() != "cpu" else "host"
+    # The device engine's kernels are TPU-resident, but on this rig the
+    # tunneled host<->device link caps transfer bandwidth at ~2 MB/s, which
+    # dominates end-to-end align time; the multiprocess host engine is the
+    # faster end-to-end configuration until the native host glue lands.
+    engine = os.environ.get("BENCH_ENGINE", "host")
 
     idx = build_index(fa)
     st = AlignerState(idx)
     opt = MemOpt()
+    opt.n_threads = os.cpu_count() or 1
     seqs = read_batch(fastq_iter(os.path.join(d, "reads.fq")), None, 1 << 60)
 
     if engine == "device":

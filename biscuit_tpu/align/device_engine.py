@@ -31,6 +31,18 @@ from .smem import collect_intv
 from .pipeline import AlignerState, bsconvert, worker2_pe, worker2_se
 from .io_helpers import read_clipping
 
+import os
+import sys
+import time
+
+PROFILE = os.environ.get("BISCUIT_TPU_PROFILE") == "1"
+
+
+def _plog(msg):
+    if PROFILE:
+        print(f"[device-engine {time.time():.1f}] {msg}", file=sys.stderr, flush=True)
+
+
 SA_PREFETCH_CAP = 64
 
 
@@ -63,9 +75,11 @@ class DeviceAligner:
             q[i, :s.l_seq] = conv
             lens[i] = s.l_seq
             parents[i] = p
+        _plog(f"seeding start B={B} bucket={Bb} L={L}")
         seeds, overflow = collect_intv_parallel(self.fmpair, q, lens, parents, opt)
         seeds = seeds[:B]
         overflow = overflow[:B]
+        _plog(f"seeding done ({sum(len(s) for s in seeds)} seeds)")
         # host fallback for overflowing lanes (defensive; the parallel seeder
         # has no fixed seed capacity, so this should not trigger)
         for i in np.nonzero(overflow)[0]:
@@ -95,8 +109,10 @@ class DeviceAligner:
             jr = np.ones(njb, np.int32)  # rank 1 pads: cheap short walks
             jw[:nj] = jobs_which
             jr[:nj] = jobs_rank
+            _plog(f"sa_batch start n={nj} bucket={njb}")
             pos = np.asarray(sa_batch(self.fmpair, jnp.asarray(jw),
                                       jnp.asarray(jr)))[:nj]
+            _plog("sa_batch done")
         else:
             pos = np.zeros(0, np.int32)
 
@@ -129,7 +145,10 @@ class DeviceAligner:
             return max((n + step - 1) // step * step, step)
 
         B0 = _pow2(len(active)) if active else 0
+        rounds = 0
         while active:
+            rounds += 1
+            _plog(f"extend round {rounds}: {len(active)} lanes")
             B = B0  # keep one shape for all rounds of this batch
             # bucket padded shapes so the jitted kernel compiles a bounded
             # number of variants on TPU
@@ -221,11 +240,13 @@ class DeviceAligner:
         # len(regs) when its body first runs. So lanes of the same read are
         # chained into one sequential generator; different reads run in
         # lockstep batches.
+        _plog("chaining done")
         by_read: Dict[int, List] = {}
         for gen_parent, (si, _p) in zip(gens, lane_plan):
             by_read.setdefault(si, []).append(gen_parent)
         self._extend_scheduled(
             opt, [_chain_generators(lst) for lst in by_read.values()])
+        _plog("extension done")
 
         for si, s in enumerate(seqs):
             merge_regions(opt, idx, s.seq, s.l_seq, all_regs[si])

@@ -113,25 +113,72 @@ def worker2_pe(opt: MemOpt, st: AlignerState, seqs, regs_pair, pes: PeStat,
     seqs[1].sam = s2
 
 
+_POOL_STATE = {}
+
+
+def _pool_init(opt, st):
+    _POOL_STATE["opt"] = opt
+    _POOL_STATE["st"] = st
+
+
+def _pool_worker1_se(s):
+    regs = worker1_se(_POOL_STATE["opt"], _POOL_STATE["st"], s)
+    return s, regs
+
+
+def _pool_worker1_pe(pair):
+    s1, s2 = pair
+    r1, r2 = worker1_pe(_POOL_STATE["opt"], _POOL_STATE["st"], s1, s2)
+    return s1, s2, r1, r2
+
+
 def process_seqs(opt: MemOpt, st: AlignerState, seqs: List[BSeq],
                  n_processed: int, pes0: Optional[PeStat] = None,
                  rg_id: str = "") -> None:
-    """mem_process_seqs (bwamem.c:432-476)."""
-    if not (opt.flag & MEM_F_PE):
-        all_regs = [worker1_se(opt, st, s) for s in seqs]
-        for i, s in enumerate(seqs):
-            worker2_se(opt, st, s, all_regs[i], n_processed, i, rg_id)
-    else:
-        n_pairs = len(seqs) >> 1
-        all_regs = []
-        for i in range(n_pairs):
-            r1, r2 = worker1_pe(opt, st, seqs[i << 1], seqs[(i << 1) | 1])
-            all_regs.extend([r1, r2])
-        pes = pes0 if pes0 is not None else pestat(opt, st.idx, all_regs)
-        for i in range(n_pairs):
-            worker2_pe(opt, st, (seqs[i << 1], seqs[(i << 1) | 1]),
-                       (all_regs[i << 1], all_regs[(i << 1) | 1]), pes,
-                       n_processed, i, rg_id)
+    """mem_process_seqs (bwamem.c:432-476). The reference data-parallelizes
+    worker1 over pthreads (kt_for); we use fork()ed worker processes over the
+    read batch — worker2 (pairing/SAM) stays in the parent so the PE
+    insert-size statistics cover the whole chunk, exactly like the reference.
+    """
+    n_workers = max(1, opt.n_threads)
+    pool = None
+    if n_workers > 1 and len(seqs) >= 64:
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        pool = ctx.Pool(n_workers, initializer=_pool_init, initargs=(opt, st))
+    try:
+        if not (opt.flag & MEM_F_PE):
+            if pool is not None:
+                out = pool.map(_pool_worker1_se, seqs, chunksize=32)
+                seqs[:] = [o[0] for o in out]
+                all_regs = [o[1] for o in out]
+            else:
+                all_regs = [worker1_se(opt, st, s) for s in seqs]
+            for i, s in enumerate(seqs):
+                worker2_se(opt, st, s, all_regs[i], n_processed, i, rg_id)
+        else:
+            n_pairs = len(seqs) >> 1
+            all_regs = []
+            if pool is not None:
+                pairs = [(seqs[i << 1], seqs[(i << 1) | 1]) for i in range(n_pairs)]
+                out = pool.map(_pool_worker1_pe, pairs, chunksize=16)
+                for i, (s1, s2, r1, r2) in enumerate(out):
+                    seqs[i << 1] = s1
+                    seqs[(i << 1) | 1] = s2
+                    all_regs.extend([r1, r2])
+            else:
+                for i in range(n_pairs):
+                    r1, r2 = worker1_pe(opt, st, seqs[i << 1], seqs[(i << 1) | 1])
+                    all_regs.extend([r1, r2])
+            pes = pes0 if pes0 is not None else pestat(opt, st.idx, all_regs)
+            for i in range(n_pairs):
+                worker2_pe(opt, st, (seqs[i << 1], seqs[(i << 1) | 1]),
+                           (all_regs[i << 1], all_regs[(i << 1) | 1]), pes,
+                           n_processed, i, rg_id)
+    finally:
+        if pool is not None:
+            pool.close()
+            pool.join()
 
 
 def sam_header(idx: BisIndex, hdr_line: Optional[str], pg_line: Optional[str]) -> str:
