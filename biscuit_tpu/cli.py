@@ -443,6 +443,7 @@ SUBCOMMANDS = {
     "qc": _sub("qc"),
     "bc": _sub("bc"),
     "rectangle": _sub("rectangle"),
+    "tview": _sub("tview"),
 }
 
 

@@ -49,6 +49,10 @@ class FMNumpy:
         self.primary = int(s.primary)
         self.seq_len = int(s.seq_len)
         self.sa_samples = s.sa_samples.astype(np.int64)
+        # rank 0 is the '$' row; the reference stores (bwtint_t)-1 there so
+        # that a walk ending at rank 0 yields add - 1 via unsigned wrap
+        # (bwt.c:84,94-96). Use a true -1 for the same arithmetic.
+        self.sa_samples[0] = -1
         self.sa_intv = 32
         # scalar fast path: per-word cumulative counts + Python lists/ints
         n_words = len(self.words)

@@ -49,7 +49,12 @@ def test_sa_vs_reference(setup):
         fmn = fmops.FMNumpy(s)
         fmj = fmops.FMArrays.from_strand(s)
         rng = np.random.default_rng(3)
-        ks = rng.integers(1, s.seq_len + 1, 100).astype(np.int64)
+        # exhaustive low ranks (covers walks that cross the primary/'$' row,
+        # where the reference relies on unsigned wrap of sa[0] == -1) plus a
+        # random sample
+        ks = np.unique(np.concatenate([
+            np.arange(1, min(4096, s.seq_len + 1)),
+            rng.integers(1, s.seq_len + 1, 200)])).astype(np.int64)
         mine = fmn.sa(ks)
         refv = np.array([ref.sa(int(k)) for k in ks])
         np.testing.assert_array_equal(mine, refv, err_msg=strand)

@@ -1,0 +1,88 @@
+"""NOMe-seq, somatic, and tview modes."""
+import subprocess
+import sys
+
+import pytest
+
+from conftest import REPO
+
+
+def run(args, cwd=REPO, check=True):
+    r = subprocess.run([sys.executable, "-m", "biscuit_tpu.cli"] + args,
+                       capture_output=True, text=True, cwd=cwd)
+    if check:
+        assert r.returncode == 0, f"{args}: {r.stderr[-1500:]}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("modes")
+    subprocess.run(
+        [sys.executable, f"{REPO}/tools/make_testdata.py", str(d),
+         "--genome-size", "30000", "--n-reads", "300", "--pe", "--seed", "9",
+         "--n-chroms", "1"],
+        check=True, capture_output=True)
+    fa = str(d / "genome.fa")
+    run(["index", fa])
+    sam = run(["align", "-b", "1", fa, str(d / "reads_1.fq"),
+               str(d / "reads_2.fq")]).stdout
+    (d / "aln.sam").write_text(sam)
+    run(["sort", "-o", str(d / "aln.bam"), str(d / "aln.sam")])
+    return d, fa
+
+
+def test_nome_pileup_and_epiread(data):
+    d, fa = data
+    r = run(["pileup", "-N", "-o", str(d / "nome.vcf"), fa, str(d / "aln.bam")])
+    body = [l for l in (d / "nome.vcf").read_text().splitlines()
+            if not l.startswith("#")]
+    assert any("CX=HCG" in l for l in body)
+    assert any("CX=GCH" in l for l in body)
+    # NOMe beta tracks
+    hcg = run(["vcf2bed", "-t", "hcg", str(d / "nome.vcf")]).stdout
+    gch = run(["vcf2bed", "-t", "gch", str(d / "nome.vcf")]).stdout
+    assert hcg and gch
+    (d / "hcg.bed").write_text(hcg)
+    merged = run(["mergecg", "-N", fa, str(d / "hcg.bed")]).stdout
+    assert merged
+    # NOMe epiread has a GC column
+    epi = run(["epiread", "-N", fa, str(d / "aln.bam")]).stdout
+    for line in epi.splitlines()[:10]:
+        f = line.split("\t")
+        assert len(f) == 9
+        assert f[7] != "."  # GC RLE string populated in NOMe mode
+    # old NOMe epiread has HCG + GCH columns
+    old = run(["epiread", "-N", "-O", fa, str(d / "aln.bam")]).stdout
+    assert old
+
+
+def test_somatic_pileup(data):
+    d, fa = data
+    r = run(["pileup", "-S", "-T", str(d / "aln.bam"), "-I", str(d / "aln.bam"),
+             "-o", str(d / "som.vcf"), fa])
+    txt = (d / "som.vcf").read_text()
+    assert "##INFO=<ID=SS" in txt
+    body = [l for l in txt.splitlines() if not l.startswith("#")]
+    # two samples -> two FORMAT columns
+    assert all(len(l.split("\t")) == 11 for l in body[:20])
+    assert any(";SS=" in l for l in body), "somatic status should be annotated somewhere"
+
+
+def test_tview_dump(data):
+    d, fa = data
+    r = run(["tview", "-g", "chr1:200", "-w", "60", fa, str(d / "aln.bam")])
+    lines = r.stdout.splitlines()
+    assert lines[0].startswith("chr1:200-")
+    assert len(lines[1]) == 60  # reference line
+    assert len(lines) > 2       # some reads shown
+    body = "\n".join(lines[2:])
+    assert any(c in body for c in ".,")
+
+
+def test_verbose_pileup(data):
+    d, fa = data
+    r = run(["pileup", "-v", "1", "-o", str(d / "verb.vcf"), fa, str(d / "aln.bam")])
+    txt = (d / "verb.vcf").read_text()
+    assert "DIAGNOSE" in txt
+    assert ";Bs0=" in txt or ";Bs1=" in txt
