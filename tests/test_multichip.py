@@ -1,0 +1,74 @@
+"""Multi-chip sharded execution on the 8-device CPU mesh: the sharded device
+step must match single-device results exactly."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from biscuit_tpu.config import MemOpt
+from biscuit_tpu.index.build import build_index
+from biscuit_tpu.ops.seed_batch import FMPair
+from biscuit_tpu.ops.seed_parallel import forward_extend_all
+from biscuit_tpu.parallel.mesh import (make_mesh, sharded_pileup_counts_fn,
+                                       sharded_seed_fn)
+
+
+@pytest.fixture(scope="module")
+def setup(small_dataset):
+    idx = build_index(str(small_dataset / "genome.fa"))
+    return idx, FMPair.from_index(idx)
+
+
+def test_sharded_seeding_matches_single(setup):
+    idx, fm = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    B, L = 32, 64
+    rng = np.random.default_rng(5)
+    q = np.zeros((B, L), np.int32)
+    for b in range(B):
+        p = int(rng.integers(0, idx.l_pac - L))
+        frag = idx.pac[p:p + L].astype(np.int32)
+        q[b] = np.where(frag == 1, 3, frag)
+    lens = np.full(B, L, np.int32)
+    parents = np.ones(B, np.int32)
+
+    fn = sharded_seed_fn(mesh, fm, L, 19, 20)
+    sh2 = NamedSharding(mesh, P("dp", None))
+    sh1 = NamedSharding(mesh, P("dp"))
+    packed = np.asarray(fn(jax.device_put(jnp.asarray(q), sh2),
+                           jax.device_put(jnp.asarray(lens), sh1),
+                           jax.device_put(jnp.asarray(parents), sh1)))
+
+    starts = np.tile(np.arange(L, dtype=np.int32), B)
+    read_of = np.repeat(np.arange(B, dtype=np.int32), L)
+    single = np.asarray(forward_extend_all(
+        fm, jnp.asarray(q), jnp.asarray(lens), jnp.asarray(parents),
+        jnp.asarray(starts), jnp.asarray(read_of),
+        jnp.ones((B * L,), jnp.int32), 19, 20, max_iters=L + 2))
+    np.testing.assert_array_equal(packed, single)
+
+
+def test_sharded_pileup_count_merge(setup):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    W = 64
+    N = 32 * 8
+    rng = np.random.default_rng(6)
+    pos = rng.integers(0, W, N).astype(np.int32)
+    stat = rng.integers(0, 32, N).astype(np.int32)
+    valid = np.ones(N, bool)
+    fn = sharded_pileup_counts_fn(mesh, W)
+    sh = NamedSharding(mesh, P("dp"))
+    counts = np.asarray(fn(jax.device_put(jnp.asarray(pos), sh),
+                           jax.device_put(jnp.asarray(stat), sh),
+                           jax.device_put(jnp.asarray(valid), sh)))
+    # equals a host histogram over all shards
+    want = np.zeros((W, 32), np.int64)
+    for p, s in zip(pos, stat):
+        want[p, s] += 1
+    np.testing.assert_array_equal(counts, want)
