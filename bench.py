@@ -38,11 +38,10 @@ def main():
     from biscuit_tpu.align.pipeline import AlignerState, process_seqs
     from biscuit_tpu.io.fastq import fastq_iter, read_batch
 
-    # The device engine's kernels are TPU-resident, but on this rig the
-    # tunneled host<->device link caps transfer bandwidth at ~2 MB/s, which
-    # dominates end-to-end align time; the multiprocess host engine is the
-    # faster end-to-end configuration until the native host glue lands.
-    engine = os.environ.get("BENCH_ENGINE", "host")
+    # Default: the native engine (C++ worker1 + pooled worker2). The TPU
+    # device engine's kernels are device-fast, but this rig's tunneled
+    # host<->device link (~2 MB/s) dominates its end-to-end time.
+    engine = os.environ.get("BENCH_ENGINE", "native")
 
     idx = build_index(fa)
     st = AlignerState(idx)
@@ -58,6 +57,12 @@ def main():
         process_seqs_device(MemOpt(), st, warm[:128], 0, engine=dev)
         t0 = time.time()
         process_seqs_device(opt, st, seqs, 0, engine=dev)
+        dt = time.time() - t0
+    elif engine == "native":
+        from biscuit_tpu.align.native_engine import NativeAligner, process_seqs_native
+        nat = NativeAligner(st)
+        t0 = time.time()
+        process_seqs_native(opt, st, seqs, 0, engine=nat)
         dt = time.time() - t0
     else:
         t0 = time.time()

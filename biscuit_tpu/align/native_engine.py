@@ -1,0 +1,303 @@
+"""Native (C++) worker1 engine: per-read seeding/chaining/extension runs in
+biscuit_tpu/native/align_host.cpp with std::thread parallelism; Python keeps
+merge_regions, pairing and SAM emission. Output is identical to the Python
+host engine (tests/test_native_engine.py + E2E SAM byte-diffs).
+"""
+import ctypes as C
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import MemOpt, MEM_F_PE, MEM_F_NO_RESCUE
+from ..index.fmindex import BisIndex
+from .. import native
+from .io_helpers import read_clipping
+from .pair import PeStat, pestat
+from .pipeline import AlignerState, align1_core, worker2_pe, worker2_se
+from .region import AlnReg, AlnRegs, merge_regions
+
+
+class StrandFMC(C.Structure):
+    _fields_ = [("words", C.c_void_p), ("occ", C.c_void_p), ("L2", C.c_void_p),
+                ("sa", C.c_void_p), ("primary", C.c_int64),
+                ("seq_len", C.c_int64), ("n_words", C.c_int64)]
+
+
+class BnsC(C.Structure):
+    _fields_ = [("ann_off", C.c_void_p), ("ann_len", C.c_void_p),
+                ("ann_alt", C.c_void_p), ("n_seqs", C.c_int32),
+                ("pac", C.c_void_p), ("l_pac", C.c_int64)]
+
+
+class OptC(C.Structure):
+    _fields_ = [("a", C.c_int32), ("b", C.c_int32), ("o_del", C.c_int32),
+                ("e_del", C.c_int32), ("o_ins", C.c_int32), ("e_ins", C.c_int32),
+                ("pen_clip5", C.c_int32), ("pen_clip3", C.c_int32),
+                ("w", C.c_int32), ("zdrop", C.c_int32),
+                ("max_mem_intv", C.c_int64),
+                ("min_seed_len", C.c_int32), ("split_width", C.c_int32),
+                ("max_occ", C.c_int64), ("max_chain_gap", C.c_int32),
+                ("split_factor", C.c_double), ("mask_level", C.c_double),
+                ("drop_ratio", C.c_double), ("min_chain_weight", C.c_int32),
+                ("max_chain_extend", C.c_int64), ("flag", C.c_int32),
+                ("parent_policy", C.c_int32), ("bsstrand", C.c_int32),
+                ("is_pe", C.c_int32),
+                ("gamat", C.c_int8 * 25), ("ctmat", C.c_int8 * 25)]
+
+
+class RegionC(C.Structure):
+    _fields_ = [("rb", C.c_int64), ("re", C.c_int64), ("qb", C.c_int32),
+                ("qe", C.c_int32), ("rid", C.c_int32), ("score", C.c_int32),
+                ("truesc", C.c_int32), ("w", C.c_int32), ("seedcov", C.c_int32),
+                ("seedlen0", C.c_int32), ("frac_rep", C.c_float),
+                ("bss", C.c_uint8), ("parent", C.c_uint8),
+                ("pad0", C.c_uint8), ("pad1", C.c_uint8)]
+
+
+REG_CAP = 96
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(C.c_void_p)
+
+
+class NativeAligner:
+    def __init__(self, st: AlignerState):
+        self.st = st
+        idx = st.idx
+        self.lib = native.lib()
+        self.lib.bt_worker1_batch.restype = C.c_int
+        # keep buffers alive
+        self._bufs = []
+
+        def strand(s):
+            occ = np.ascontiguousarray(s.occ_cp.astype(np.int64))
+            words = np.ascontiguousarray(s.words)
+            L2 = np.ascontiguousarray(s.L2.astype(np.int64))
+            sa = np.ascontiguousarray(s.sa_samples.astype(np.uint32))
+            self._bufs += [occ, words, L2, sa]
+            return StrandFMC(_ptr(words), _ptr(occ), _ptr(L2), _ptr(sa),
+                             s.primary, s.seq_len, len(words))
+
+        self.dau = strand(idx.dau)
+        self.par = strand(idx.par)
+        ann_off = np.ascontiguousarray(
+            np.array([a.offset for a in idx.anns], np.int64))
+        ann_len = np.ascontiguousarray(
+            np.array([a.length for a in idx.anns], np.int32))
+        ann_alt = np.ascontiguousarray(
+            np.array([getattr(a, "is_alt", 0) for a in idx.anns], np.uint8))
+        pac = np.ascontiguousarray(idx.pac)
+        self._bufs += [ann_off, ann_len, ann_alt, pac]
+        self.bns = BnsC(_ptr(ann_off), _ptr(ann_len), _ptr(ann_alt),
+                        len(idx.anns), _ptr(pac), idx.l_pac)
+
+    def _optc(self, opt: MemOpt) -> OptC:
+        o = OptC()
+        o.a, o.b = opt.a, opt.b
+        o.o_del, o.e_del = opt.o_del, opt.e_del
+        o.o_ins, o.e_ins = opt.o_ins, opt.e_ins
+        o.pen_clip5, o.pen_clip3 = opt.pen_clip5, opt.pen_clip3
+        o.w, o.zdrop = opt.w, opt.zdrop
+        o.max_mem_intv = opt.max_mem_intv
+        o.min_seed_len = opt.min_seed_len
+        o.split_width = opt.split_width
+        o.max_occ = opt.max_occ
+        o.max_chain_gap = opt.max_chain_gap
+        o.split_factor = opt.split_factor
+        o.mask_level = opt.mask_level
+        o.drop_ratio = opt.drop_ratio
+        o.min_chain_weight = opt.min_chain_weight
+        o.max_chain_extend = opt.max_chain_extend
+        o.flag = opt.flag
+        o.parent_policy = opt.parent
+        o.bsstrand = opt.bsstrand
+        o.is_pe = 1 if (opt.flag & MEM_F_PE) else 0
+        o.gamat = (C.c_int8 * 25)(*[int(v) for v in opt.gamat.reshape(-1)])
+        o.ctmat = (C.c_int8 * 25)(*[int(v) for v in opt.ctmat.reshape(-1)])
+        return o
+
+    def worker1_batch(self, opt: MemOpt, seqs, n_threads: int) -> List[AlnRegs]:
+        n = len(seqs)
+        offs = np.zeros(n, np.int64)
+        lens = np.zeros(n, np.int32)
+        total = 0
+        for i, s in enumerate(seqs):
+            offs[i] = total
+            lens[i] = s.l_seq
+            total += s.l_seq
+        reads = np.zeros(total, np.uint8)
+        for i, s in enumerate(seqs):
+            reads[offs[i]:offs[i] + s.l_seq] = s.seq
+        out = np.zeros(n * REG_CAP, dtype=np.dtype([
+            ("rb", np.int64), ("re", np.int64), ("qb", np.int32),
+            ("qe", np.int32), ("rid", np.int32), ("score", np.int32),
+            ("truesc", np.int32), ("w", np.int32), ("seedcov", np.int32),
+            ("seedlen0", np.int32), ("frac_rep", np.float32),
+            ("bss", np.uint8), ("parent", np.uint8),
+            ("pad0", np.uint8), ("pad1", np.uint8)]))
+        out_n = np.zeros(n, np.int32)
+        rc = self.lib.bt_worker1_batch(
+            C.byref(self.dau), C.byref(self.par), C.byref(self.bns),
+            C.byref(self._optc(opt)), _ptr(reads), _ptr(offs), _ptr(lens),
+            n, _ptr(out), REG_CAP, _ptr(out_n), n_threads)
+        if rc != 0:
+            raise RuntimeError(f"bt_worker1_batch rc={rc}")
+        return out, out_n
+
+    def build_regs(self, opt: MemOpt, seqs, out, out_n, i0: int,
+                   merge: bool = True) -> List[AlnRegs]:
+        """Unpack RegionC rows (or rerun fallback reads in Python) and
+        optionally merge. i0 = global index of seqs[0] (PE policy parity)."""
+        all_regs: List[AlnRegs] = []
+        pe = bool(opt.flag & MEM_F_PE)
+        for j, s in enumerate(seqs):
+            i = i0 + j
+            regs = AlnRegs()
+            if out_n[j] < 0:
+                # fallback: rerun this read's strand passes in Python
+                if not pe:
+                    if not (opt.parent & 1) or (opt.parent >> 1):
+                        align1_core(opt, self.st, s, regs, 0)
+                    if not (opt.parent & 1) or not (opt.parent >> 1):
+                        align1_core(opt, self.st, s, regs, 1)
+                else:
+                    first = 1 if i % 2 == 0 else 0
+                    align1_core(opt, self.st, s, regs, first)
+                    if not opt.parent:
+                        align1_core(opt, self.st, s, regs, 1 - first)
+            else:
+                rows = out[j * REG_CAP:j * REG_CAP + out_n[j]]
+                for r in rows:
+                    reg = AlnReg()
+                    reg.rb = int(r["rb"])
+                    reg.re = int(r["re"])
+                    reg.qb = int(r["qb"])
+                    reg.qe = int(r["qe"])
+                    reg.rid = int(r["rid"])
+                    reg.score = int(r["score"])
+                    reg.truesc = int(r["truesc"])
+                    reg.w = int(r["w"])
+                    reg.seedcov = int(r["seedcov"])
+                    reg.seedlen0 = int(r["seedlen0"])
+                    reg.frac_rep = float(r["frac_rep"])
+                    reg.bss = int(r["bss"])
+                    reg.parent = int(r["parent"])
+                    regs.append(reg)
+            if merge:
+                merge_regions(opt, self.st.idx, s.seq, s.l_seq, regs)
+            all_regs.append(regs)
+        return all_regs
+
+
+_W2_STATE = {}
+
+
+def _w2_init(opt, st, rg_id):
+    _W2_STATE.update(opt=opt, st=st, rg_id=rg_id)
+    _W2_STATE["nat"] = None
+
+
+def _w2_nat():
+    if _W2_STATE["nat"] is None:
+        _W2_STATE["nat"] = NativeAligner(_W2_STATE["st"])
+    return _W2_STATE["nat"]
+
+
+def _w2_se_chunk(args):
+    lo, seqs, out_rows, out_n, n_processed = args
+    opt, st, rg_id = _W2_STATE["opt"], _W2_STATE["st"], _W2_STATE["rg_id"]
+    regs_list = _w2_nat().build_regs(opt, seqs, out_rows, out_n, lo)
+    sams = []
+    for j, (s, regs) in enumerate(zip(seqs, regs_list)):
+        worker2_se(opt, st, s, regs, n_processed, lo + j, rg_id)
+        sams.append(s.sam)
+    return lo, sams
+
+
+def _pe_build_chunk(args):
+    lo, seqs, out_rows, out_n = args
+    opt = _W2_STATE["opt"]
+    return lo, _w2_nat().build_regs(opt, seqs, out_rows, out_n, lo)
+
+
+def _w2_pe_chunk(args):
+    lo, seqs, regs_list, pes, n_processed = args
+    opt, st, rg_id = _W2_STATE["opt"], _W2_STATE["st"], _W2_STATE["rg_id"]
+    out = []
+    for j in range(0, len(seqs), 2):
+        pair = (seqs[j], seqs[j + 1])
+        rp = (regs_list[j], regs_list[j + 1])
+        worker2_pe(opt, st, pair, rp, pes, n_processed, lo + (j >> 1), rg_id)
+        out.append((pair[0].sam, pair[1].sam))
+    return lo, out
+
+
+def process_seqs_native(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
+                        pes0=None, rg_id: str = "",
+                        engine: Optional[NativeAligner] = None) -> None:
+    """mem_process_seqs with the native worker1 (C++ threads) and worker2
+    fanned out over a fork pool (exact: PE insert-size stats still span the
+    whole chunk, as in the reference)."""
+    nat = engine or NativeAligner(st)
+    pe = bool(opt.flag & MEM_F_PE)
+    if pe:
+        for i in range(0, len(seqs), 2):
+            s1, s2 = seqs[i], seqs[i + 1]
+            if s1.name != s2.name and not (
+                    s1.name[:-1] == s2.name[:-1] and s1.name[-1] == "1"
+                    and s2.name[-1] == "2"):
+                raise RuntimeError(
+                    f'paired reads have different names: "{s1.name}", "{s2.name}"')
+    for s in seqs:
+        read_clipping(s, opt.adaptor1 if (not pe or s.id % 2 == 0)
+                      else opt.adaptor2, opt)
+    out, out_n = nat.worker1_batch(opt, seqs, opt.n_threads)
+
+    n_workers = max(1, opt.n_threads)
+    use_pool = n_workers > 1 and len(seqs) >= 256
+    if not use_pool:
+        all_regs = nat.build_regs(opt, seqs, out, out_n, 0)
+        if not pe:
+            for i, s in enumerate(seqs):
+                worker2_se(opt, st, s, all_regs[i], n_processed, i, rg_id)
+        else:
+            pes = pes0 if pes0 is not None else pestat(opt, st.idx, all_regs)
+            for i in range(len(seqs) >> 1):
+                worker2_pe(opt, st, (seqs[i << 1], seqs[(i << 1) | 1]),
+                           (all_regs[i << 1], all_regs[(i << 1) | 1]), pes,
+                           n_processed, i, rg_id)
+        return
+
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    step = max(64, (len(seqs) + 4 * n_workers - 1) // (4 * n_workers))
+    if pe and step % 2:
+        step += 1
+
+    def chunk_args(lo):
+        return (lo, seqs[lo:lo + step],
+                out[lo * REG_CAP:(lo + len(seqs[lo:lo + step])) * REG_CAP],
+                out_n[lo:lo + step])
+
+    with ctx.Pool(n_workers, initializer=_w2_init,
+                  initargs=(opt, st, rg_id)) as pool:
+        if not pe:
+            jobs = [chunk_args(lo) + (n_processed,)
+                    for lo in range(0, len(seqs), step)]
+            for lo, sams in pool.imap(_w2_se_chunk, jobs):
+                for j, sam in enumerate(sams):
+                    seqs[lo + j].sam = sam
+        else:
+            jobs = [chunk_args(lo) for lo in range(0, len(seqs), step)]
+            all_regs: List[Optional[AlnRegs]] = [None] * len(seqs)
+            for lo, regs_list in pool.imap(_pe_build_chunk, jobs):
+                all_regs[lo:lo + len(regs_list)] = regs_list
+            pes = pes0 if pes0 is not None else pestat(opt, st.idx, all_regs)
+            jobs2 = [(lo >> 1, seqs[lo:lo + step], all_regs[lo:lo + step], pes,
+                      n_processed)
+                     for lo in range(0, len(seqs), step)]
+            for lo_pair, sams in pool.imap(_w2_pe_chunk, jobs2):
+                for j, (s1, s2) in enumerate(sams):
+                    seqs[(lo_pair + j) * 2].sam = s1
+                    seqs[(lo_pair + j) * 2 + 1].sam = s2

@@ -191,15 +191,20 @@ def main_align(argv):
     if not no_hdr:
         out.write(sam_header(idx, hdr_line, pg))
 
-    engine = os.environ.get("BISCUIT_TPU_ENGINE", "host")
-    dev = None
+    engine = os.environ.get("BISCUIT_TPU_ENGINE", "native")
+    dev = nat = None
     if engine == "device":
         from .align.device_engine import DeviceAligner, process_seqs_device
         dev = DeviceAligner(st)
+    elif engine == "native":
+        from .align.native_engine import NativeAligner, process_seqs_native
+        nat = NativeAligner(st)
 
     def run_batch(seqs, n_processed):
         if dev is not None:
             process_seqs_device(opt, st, seqs, n_processed, pes0, rg_id, engine=dev)
+        elif nat is not None:
+            process_seqs_native(opt, st, seqs, n_processed, pes0, rg_id, engine=nat)
         else:
             process_seqs(opt, st, seqs, n_processed, pes0, rg_id)
 

@@ -1,0 +1,78 @@
+"""Native C++ worker1 engine parity: identical SAM vs the Python host engine
+and the reference oracle."""
+import numpy as np
+import pytest
+
+from biscuit_tpu.config import MemOpt, MEM_F_PE, MEM_F_NO_MULTI
+from biscuit_tpu.index.build import build_index
+from biscuit_tpu.align.pipeline import AlignerState, process_seqs
+from biscuit_tpu.align.native_engine import NativeAligner, process_seqs_native
+from biscuit_tpu.io.fastq import fastq_iter, read_batch
+
+
+@pytest.fixture(scope="module")
+def setup(small_dataset):
+    idx = build_index(str(small_dataset / "genome.fa"))
+    return idx, small_dataset
+
+
+def test_se_native_matches_host(setup):
+    idx, d = setup
+    st = AlignerState(idx)
+    host_seqs = read_batch(fastq_iter(str(d / "reads.fq")), None, 1 << 60)
+    nat_seqs = read_batch(fastq_iter(str(d / "reads.fq")), None, 1 << 60)
+    opt = MemOpt()
+    opt.flag |= MEM_F_NO_MULTI
+    process_seqs(opt, st, host_seqs, 0)
+    opt2 = MemOpt()
+    opt2.flag |= MEM_F_NO_MULTI
+    process_seqs_native(opt2, st, nat_seqs, 0)
+    for h, v in zip(host_seqs, nat_seqs):
+        assert h.sam == v.sam, f"{h.name}\nhost: {h.sam}\nnat : {v.sam}"
+
+
+def test_pe_native_matches_host(tmp_path_factory, oracle):
+    import subprocess
+    import sys
+    from conftest import REPO
+    d = tmp_path_factory.mktemp("penat")
+    subprocess.run(
+        [sys.executable, f"{REPO}/tools/make_testdata.py", str(d),
+         "--genome-size", "60000", "--n-reads", "300", "--pe", "--seed", "23"],
+        check=True, capture_output=True)
+    idx = build_index(str(d / "genome.fa"))
+    st = AlignerState(idx)
+
+    def load():
+        return read_batch(fastq_iter(str(d / "reads_1.fq")),
+                          fastq_iter(str(d / "reads_2.fq")), 1 << 60)
+
+    for bmode in (0, 1):
+        opt = MemOpt()
+        opt.flag |= MEM_F_NO_MULTI | MEM_F_PE
+        opt.parent = bmode
+        host_seqs = load()
+        process_seqs(opt, st, host_seqs, 0)
+        opt2 = MemOpt()
+        opt2.flag |= MEM_F_NO_MULTI | MEM_F_PE
+        opt2.parent = bmode
+        nat_seqs = load()
+        process_seqs_native(opt2, st, nat_seqs, 0)
+        for h, v in zip(host_seqs, nat_seqs):
+            assert h.sam == v.sam, f"-b {bmode} {h.name}\nhost: {h.sam}\nnat : {v.sam}"
+
+
+def test_native_threads_deterministic(setup):
+    idx, d = setup
+    st = AlignerState(idx)
+    nat = NativeAligner(st)
+    opt = MemOpt()
+    seqs1 = read_batch(fastq_iter(str(d / "reads.fq")), None, 1 << 60)
+    seqs4 = read_batch(fastq_iter(str(d / "reads.fq")), None, 1 << 60)
+    opt.n_threads = 1
+    process_seqs_native(opt, st, seqs1, 0, engine=nat)
+    opt4 = MemOpt()
+    opt4.n_threads = 4
+    process_seqs_native(opt4, st, seqs4, 0, engine=nat)
+    for a, b in zip(seqs1, seqs4):
+        assert a.sam == b.sam
