@@ -86,32 +86,38 @@ def gen_cigar(opt: MemOpt, idx, query: np.ndarray, rb: int, re_: int,
         n_mm = n_gap = 0
         n_conv_ct = n_ret_c = n_conv_ga = n_ret_g = 0
         n_cigar = len(res.cigar)
+        qa = np.asarray(query, dtype=np.int8)
+        ra = np.asarray(rseq, dtype=np.int8)
         for k, (op, ln) in enumerate(res.cigar):
             if op == 0:
-                for i in range(ln):
-                    _q = int(query[x + i])
-                    _r = int(rseq[y + i])
-                    if _q == _r:
-                        if _q == 1:
-                            n_ret_c += 1
-                        if _q == 2:
-                            n_ret_g += 1
-                        u += 1
-                    elif parent and _q == 3 and _r == 1:
-                        md.append(str(u)); md.append(int2base[_r])
-                        n_conv_ct += 1; u = 0
-                    elif not parent and _q == 0 and _r == 2:
-                        md.append(str(u)); md.append(int2base[_r])
-                        n_conv_ga += 1; u = 0
-                    else:
-                        md.append(str(u)); md.append(int2base[_r])
-                        n_mm += 1; u = 0
+                qs = qa[x:x + ln]
+                rs_ = ra[y:y + ln]
+                eq = qs == rs_
+                n_ret_c += int(np.count_nonzero(eq & (qs == 1)))
+                n_ret_g += int(np.count_nonzero(eq & (qs == 2)))
+                if parent:
+                    conv = (~eq) & (qs == 3) & (rs_ == 1)
+                else:
+                    conv = (~eq) & (qs == 0) & (rs_ == 2)
+                n_conv = int(np.count_nonzero(conv))
+                if parent:
+                    n_conv_ct += n_conv
+                else:
+                    n_conv_ga += n_conv
+                breaks = np.nonzero(~eq)[0]
+                n_mm += len(breaks) - n_conv
+                prev = 0
+                for i in breaks:
+                    md.append(str(u + (i - prev)))
+                    md.append(int2base[rs_[i]])
+                    prev = i + 1
+                    u = 0
+                u += ln - prev
                 x += ln; y += ln
             elif op == 2:
                 if 0 < k < n_cigar - 1:
                     md.append(str(u)); md.append("^")
-                    for i in range(ln):
-                        md.append(int2base[int(rseq[y + i])])
+                    md.append("".join(int2base[c] for c in ra[y:y + ln]))
                     u = 0; n_gap += ln
                 y += ln
             elif op == 1:
@@ -273,6 +279,8 @@ def _tag_SA(opt: MemOpt, idx, seq, p0: AlnReg, regs0: Optional[AlnRegs],
 
 COMP_BASES = "TGCAN"
 FWD_BASES = "ACGTN"
+_FWD_TBL = bytes(ord(FWD_BASES[min(i, 4)]) for i in range(256))
+_COMP_TBL = bytes(ord(COMP_BASES[min(i, 4)]) for i in range(256))
 
 
 def format_sam(opt: MemOpt, idx, seq, p0: AlnReg, m0: Optional[AlnReg],
@@ -360,7 +368,7 @@ def format_sam(opt: MemOpt, idx, seq, p0: AlnReg, m0: Optional[AlnReg],
                     qe -= p.cigar[0][1]
                 if p.cigar[-1][0] in (3, 4):
                     qb += p.cigar[-1][1]
-            out.append("".join(COMP_BASES[seq0[i]] for i in range(qe - 1, qb - 1, -1)))
+            out.append(bytes(seq0[qb:qe]).translate(_COMP_TBL)[::-1].decode())
             out.append("\t")
             out.append(qual[qb:qe][::-1] if qual is not None else "*")
         else:
@@ -369,7 +377,7 @@ def format_sam(opt: MemOpt, idx, seq, p0: AlnReg, m0: Optional[AlnReg],
                     qb += p.cigar[0][1]
                 if p.cigar[-1][0] in (3, 4):
                     qe -= p.cigar[-1][1]
-            out.append("".join(FWD_BASES[seq0[i]] for i in range(qb, qe)))
+            out.append(bytes(seq0[qb:qe]).translate(_FWD_TBL).decode())
             out.append("\t")
             out.append(qual[qb:qe] if qual is not None else "*")
 
