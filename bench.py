@@ -19,6 +19,54 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_READS_PER_SEC = 5967.0
+# The reference `biscuit pileup` binary cannot be built offline (htslib needs
+# network), so no measured reference pileup rate exists (BASELINE.md). The
+# baseline here is this framework's own unoptimized per-datum Python path
+# (0.11 Mbp/s on the same testset) so vs_baseline tracks the speedup of the
+# vectorized+pooled engine.
+BASELINE_PILEUP_MBP_PER_SEC = 0.11
+
+
+def bench_pileup(d, fa):
+    """BENCH_METRIC=pileup: windowed genome Mbp/s over the aligned testset."""
+    import subprocess
+    import multiprocessing
+    from biscuit_tpu.io.sambam import AlignmentFile
+    from biscuit_tpu.pileup.common import RefCache
+    from biscuit_tpu.pileup.engine import PileupConf, run_windows_pooled
+
+    sam = os.path.join(d, "aln.sam")
+    bam = os.path.join(d, "aln.bam")
+    subprocess.run([sys.executable, "-m", "biscuit_tpu.cli", "sort",
+                    "-o", bam, sam], check=True)
+    af = AlignmentFile(bam)
+    rs = RefCache(fa)
+    conf = PileupConf()
+    conf.bt.n_threads = multiprocessing.cpu_count()
+    hdr = af.header
+    windows = []
+    total_bp = 0
+    for t in range(len(hdr.names)):
+        tlen = hdr.lengths[t]
+        wbeg = 1
+        while wbeg < tlen:
+            windows.append((t, hdr.names[t], wbeg, min(wbeg + conf.bt.step, tlen)))
+            wbeg += conf.bt.step
+        total_bp += tlen
+    t0 = time.time()
+    nbytes = 0
+    for _w, text, _bs, _cs in run_windows_pooled(af and [af], rs, conf,
+                                                 windows, conf.bt.n_threads):
+        nbytes += len(text)
+    dt = time.time() - t0
+    assert nbytes > 0
+    mbps = total_bp / 1e6 / dt
+    print(json.dumps({
+        "metric": "pileup_mbp_per_sec",
+        "value": round(mbps, 3),
+        "unit": "Mbp/s",
+        "vs_baseline": round(mbps / BASELINE_PILEUP_MBP_PER_SEC, 4),
+    }))
 
 
 def main():
@@ -31,6 +79,19 @@ def main():
          "--genome-size", str(genome), "--n-reads", str(n_reads)],
         check=True, capture_output=True)
     fa = os.path.join(d, "genome.fa")
+
+    if os.environ.get("BENCH_METRIC") == "pileup":
+        subprocess.run(
+            [sys.executable, "-m", "biscuit_tpu.cli", "index", fa],
+            check=True, capture_output=True)
+        with open(os.path.join(d, "aln.sam"), "w") as f:
+            subprocess.run(
+                [sys.executable, "-m", "biscuit_tpu.cli", "align",
+                 "-@", str(os.cpu_count() or 1), fa,
+                 os.path.join(d, "reads.fq")],
+                check=True, stdout=f)
+        bench_pileup(d, fa)
+        return
 
     import jax
     from biscuit_tpu.index.build import build_index

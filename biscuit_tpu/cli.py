@@ -338,6 +338,7 @@ def main_pileup(argv):
         return bs, cs
 
     step = conf.bt.step
+    windows = []  # (tid, name, wbeg, wend)
     if reg:
         if ":" in reg:
             name, rng = reg.split(":", 1)
@@ -346,24 +347,40 @@ def main_pileup(argv):
         else:
             name, beg, end = reg, 0, 1 << 29
         tid = hdr.name2tid(name)
+        if tid < 0:
+            print(f"[main_pileup] unknown region {reg}", file=sys.stderr)
+            return 1
         beg += 1
         beg = max(beg, 1)
         end = min(end, hdr.lengths[tid])
         wbeg = beg
         while wbeg < end:
-            bs, cs = window_stats(tid)
-            out.write(pileup_window(bams, rs, conf, tid, hdr.names[tid], wbeg,
-                                    min(wbeg + step, end), bs, cs))
+            windows.append((tid, hdr.names[tid], wbeg, min(wbeg + step, end)))
             wbeg += step
     else:
         for t in targets:
             tlen = hdr.lengths[t]
             wbeg = 1
             while wbeg < tlen:
-                bs, cs = window_stats(t)
-                out.write(pileup_window(bams, rs, conf, t, hdr.names[t], wbeg,
-                                        min(wbeg + step, tlen), bs, cs))
+                windows.append((t, hdr.names[t], wbeg, min(wbeg + step, tlen)))
                 wbeg += step
+
+    if conf.bt.n_threads > 1 and len(windows) > 1:
+        from .pileup.engine import run_windows_pooled
+        n_procs = min(conf.bt.n_threads, len(windows))
+        for (tid, _nm, _b, _e), text, wbs, wcs in run_windows_pooled(
+                bams, rs, conf, windows, n_procs):
+            out.write(text)
+            bs, cs = window_stats(tid)
+            for sid in range(n_bams):
+                for k in range(NCONTXTS):
+                    bs[sid][k] += wbs[sid][k]
+                    cs[sid][k] += wcs[sid][k]
+    else:
+        for tid, name, wbeg, wend in windows:
+            bs, cs = window_stats(tid)
+            out.write(pileup_window(bams, rs, conf, tid, name, wbeg, wend,
+                                    bs, cs))
 
     if out is not sys.stdout:
         out.close()

@@ -70,14 +70,17 @@ class MethFilter:
 
 class RefCache:
     """faidx-backed windowed reference equivalent: whole-chrom strings with
-    1-based accessors (refcache.h:52-207)."""
+    1-based accessors (refcache.h:52-207). Also exposes an uppercase byte
+    array per chromosome for vectorized base access."""
 
     def __init__(self, fasta_path: str):
         self.chroms: Dict[str, str] = {}
+        self.chrom_arrs: Dict[str, "np.ndarray"] = {}
         for name, _c, seq in read_fasta(fasta_path):
             self.chroms[name] = seq.decode()
         self.chrm: Optional[str] = None
         self.seq: str = ""
+        self.arr = None  # uppercase byte array of the current chromosome
         self.seqlen: int = 0
         self.beg = 1
         self.end = 0
@@ -85,6 +88,11 @@ class RefCache:
     def fetch(self, chrm: str, beg: int, end: int) -> None:
         self.chrm = chrm
         self.seq = self.chroms[chrm]
+        if chrm not in self.chrom_arrs:
+            import numpy as np
+            self.chrom_arrs[chrm] = np.frombuffer(
+                self.seq.upper().encode(), dtype=np.uint8).copy()
+        self.arr = self.chrom_arrs[chrm]
         self.seqlen = len(self.seq)
         self.beg = max(beg, 1)
         self.end = min(end, self.seqlen)
@@ -146,6 +154,96 @@ def iter_aligned_bases(r: AlnRecord):
             rpos += ln
         else:
             raise ValueError(f"Unknown cigar op {op}")
+
+
+def aligned_bases_np(r: AlnRecord):
+    """Vectorized iter_aligned_bases: (rpos 1-based, qpos 0-based) int64
+    arrays over M/=/X ops (same hard-clip qpos semantics)."""
+    import numpy as np
+    rp_parts = []
+    qp_parts = []
+    rpos = r.pos + 1
+    qpos = 0
+    for op, ln in r.cigar:
+        if op in (0, 7, 8):
+            a = np.arange(ln, dtype=np.int64)
+            rp_parts.append(rpos + a)
+            qp_parts.append(qpos + a)
+            rpos += ln
+            qpos += ln
+        elif op == 1 or op == 4 or op == 5:
+            qpos += ln
+        elif op == 2:
+            rpos += ln
+        else:
+            raise ValueError(f"Unknown cigar op {op}")
+    if not rp_parts:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    return np.concatenate(rp_parts), np.concatenate(qp_parts)
+
+
+def cnt_retention_np(rs: RefCache, r: AlnRecord, bsstrand: int,
+                     rp=None, qp=None, qarr=None) -> int:
+    """Vectorized cnt_retention (bisc_utils.c:76-122)."""
+    import numpy as np
+    if rp is None:
+        rp, qp = aligned_bases_np(r)
+    if qarr is None:
+        qarr = np.frombuffer(r.seq.encode(), dtype=np.uint8)
+    rb = rs.arr[rp - 1]
+    ok = qp < len(qarr)
+    qb = np.where(ok, qarr[np.minimum(qp, len(qarr) - 1)], ord("N"))
+    if bsstrand:
+        return int(np.count_nonzero((rb == ord("C")) & (qb == ord("C"))))
+    return int(np.count_nonzero((rb == ord("G")) & (qb == ord("G"))))
+
+
+def infer_bsstrand_np(rs: RefCache, r: AlnRecord, min_base_qual: int,
+                      rp=None, qp=None, qarr=None) -> int:
+    """Vectorized infer_bsstrand (bisc_utils.c:163-206)."""
+    import numpy as np
+    if rp is None:
+        rp, qp = aligned_bases_np(r)
+    if qarr is None:
+        qarr = np.frombuffer(r.seq.encode(), dtype=np.uint8)
+    ok = qp < len(qarr)
+    qb = np.where(ok, qarr[np.minimum(qp, len(qarr) - 1)], ord("N"))
+    rb = rs.arr[rp - 1]
+    if r.qual != "*":
+        quals = np.frombuffer(r.qual.encode(), dtype=np.uint8)
+        qual_ok = np.where(qp < len(quals),
+                           quals[np.minimum(qp, len(quals) - 1)], 0) - 33 >= min_base_qual
+    else:
+        qual_ok = np.ones(len(rp), bool)
+    nC2T = int(np.count_nonzero(qual_ok & (rb == ord("C")) & (qb == ord("T"))))
+    nG2A = int(np.count_nonzero(qual_ok & (rb == ord("G")) & (qb == ord("A"))))
+    return 0 if nC2T >= nG2A else 1
+
+
+def get_bsstrand_np(rs: RefCache, r: AlnRecord, min_base_qual: int,
+                    allow_u: int = 0, rp=None, qp=None, qarr=None) -> int:
+    """get_bsstrand with the vectorized inference fallback."""
+    yd = r.get_tag("YD")
+    if yd is not None:
+        if yd == "f":
+            return 0
+        if yd == "r":
+            return 1
+        if yd == "u" and allow_u:
+            return 2
+    zs = r.get_tag("ZS")
+    if zs is not None:
+        if str(zs).startswith("+"):
+            return 0
+        if str(zs).startswith("-"):
+            return 1
+    xg = r.get_tag("XG")
+    if xg is not None:
+        if xg == "CT":
+            return 0
+        if xg == "GA":
+            return 1
+    return infer_bsstrand_np(rs, r, min_base_qual, rp, qp, qarr)
 
 
 def cnt_retention(rs: RefCache, r: AlnRecord, bsstrand: int) -> int:

@@ -21,9 +21,18 @@ from .common import (BASE_A, BASE_C, BASE_G, BASE_N, BASE_R, BASE_T, BASE_Y,
                      BASECODE, BiscCommon, BiscThreads, CTXT_NA,
                      CYTOSINE_CONTEXT, CYTOSINE_CONTEXT_NOME, MethFilter,
                      METH_CONVERSION, METH_NA, METH_RETENTION, NCONTXTS,
-                     NSTATUS_BASE, NSTATUS_METH, RefCache, char_to_int8,
-                     cnt_retention, fivenuc_context, get_bsstrand,
+                     NSTATUS_BASE, NSTATUS_METH, RefCache, aligned_bases_np,
+                     char_to_int8, cnt_retention, cnt_retention_np,
+                     fivenuc_context, get_bsstrand, get_bsstrand_np,
                      get_mate_length, iter_aligned_bases)
+
+import numpy as np
+
+# 256-entry char -> int8 base-code table (vectorized char_to_int8)
+_CHAR2INT8_TBL = np.full(256, BASE_N, dtype=np.int64)
+for _c, _v in (("A", BASE_A), ("C", BASE_C), ("G", BASE_G), ("T", BASE_T),
+               ("Y", BASE_Y), ("R", BASE_R)):
+    _CHAR2INT8_TBL[ord(_c)] = _v
 
 
 @dataclass
@@ -150,14 +159,22 @@ def _verbose_format(bsstrand: int, dv: List[PileupDatum], out: List[str], sid: i
 
 
 def plp_format(rs: RefCache, chrm: str, rpos: int, dv: List[PileupDatum],
-               conf: PileupConf, n_bams: int, betasum_context, cnt_context) -> Optional[str]:
-    """pileup.c:415-640. Returns the VCF line or None."""
+               conf: PileupConf, n_bams: int, betasum_context, cnt_context,
+               pre=None) -> Optional[str]:
+    """pileup.c:415-640. Returns the VCF line or None.
+
+    When `pre` is given it is (cnts_meth, cnts_base, dp_per_sid) precomputed
+    by the vectorized window path; dv is then only needed for verbose mode."""
     rb = rs.getbase_upcase(rpos)
     if rb == "N":
         return None
     rb_code = char_to_int8(rb)
 
-    cnts_meth, cnts_base = _plp_getcnts(dv, conf, n_bams)
+    if pre is not None:
+        cnts_meth, cnts_base, dp_per_sid = pre
+    else:
+        cnts_meth, cnts_base = _plp_getcnts(dv, conf, n_bams)
+        dp_per_sid = None
     cnts_base_redist = [row[:] for row in cnts_base]
     if conf.ambi_redist:
         _redistribute_cnts(cnts_base_redist, rb_code)
@@ -266,7 +283,8 @@ def plp_format(rs: RefCache, chrm: str, rpos: int, dv: List[PileupDatum],
         cb1 = cnts_base[sid]
         cb1r = cnts_base_redist[sid]
         cm_1 = cnts_meth[sid]
-        dp = sum(1 for d in dv if d.sid == sid)
+        dp = dp_per_sid[sid] if dp_per_sid is not None \
+            else sum(1 for d in dv if d.sid == sid)
         if gq[sid] > 0 and dp:
             s.append("\t%s:%1.0f,%1.0f,%1.0f:%1.0f" % (
                 gt[sid], max(-1000, gl0[sid]), max(-1000, gl1[sid]),
@@ -317,7 +335,175 @@ def pileup_window(bams: List[AlignmentFile], rs: RefCache, conf: PileupConf,
                   tid: int, chrm: str, beg: int, end: int,
                   betasum_context, cnt_context) -> str:
     """process one [beg, end) window (1-based beg, exclusive end) — the body
-    of process_func (pileup.c:675-853)."""
+    of process_func (pileup.c:675-853). Dispatches to the vectorized
+    collection path; verbose mode keeps the per-datum path (it needs
+    per-base diagnostic records)."""
+    if not conf.comm.verbose:
+        return _pileup_window_fast(bams, rs, conf, tid, chrm, beg, end,
+                                   betasum_context, cnt_context)
+    return _pileup_window_slow(bams, rs, conf, tid, chrm, beg, end,
+                               betasum_context, cnt_context)
+
+
+def _read_passes_filters(b: AlnRecord, conf: PileupConf) -> bool:
+    if b.mapq < conf.filt.min_mapq:
+        return False
+    if b.l_qseq < conf.filt.min_read_len:
+        return False
+    if b.flag > 0:
+        if conf.filt.filter_secondary and (b.flag & FLAG_SECONDARY):
+            return False
+        if conf.filt.filter_duplicate and (b.flag & FLAG_DUP):
+            return False
+        if conf.filt.filter_ppair and (b.flag & FLAG_PAIRED) and not (b.flag & FLAG_PROPER):
+            return False
+        if conf.filt.filter_qcfail and (b.flag & FLAG_QCFAIL):
+            return False
+    nm = b.get_tag("NM")
+    if nm is not None and nm > conf.filt.max_nm:
+        return False
+    as_ = b.get_tag("AS")
+    if as_ is not None and as_ < conf.filt.min_score:
+        return False
+    return True
+
+
+def _pileup_window_fast(bams: List[AlignmentFile], rs: RefCache, conf: PileupConf,
+                        tid: int, chrm: str, beg: int, end: int,
+                        betasum_context, cnt_context) -> str:
+    """Vectorized window pileup: per-read numpy base extraction, bincount
+    count matrices over (pos, sample, status), and a vectorized emit mask —
+    byte-identical output to the per-datum path."""
+    n_bams = len(bams)
+    rs.fetch(chrm, beg - 100 if beg > 100 else 1, end + 100)
+    ref = rs.arr
+    seqlen = rs.seqlen
+    P = end - beg
+
+    pos_l, sid_l, stat_l, pass_l = [], [], [], []
+    f = conf.filt
+    for sid, bam in enumerate(bams):
+        for b in bam.fetch(tid, (beg - 1) if beg > 1 else 1, end):
+            if not _read_passes_filters(b, conf):
+                continue
+            rp, qp = aligned_bases_np(b)
+            if len(rp) == 0:
+                continue
+            qarr = np.frombuffer(b.seq.encode(), dtype=np.uint8)
+            bsstrand = get_bsstrand_np(rs, b, conf.filt.min_base_qual, 0,
+                                       rp, qp, qarr)
+            cnt_ret = cnt_retention_np(rs, b, bsstrand, rp, qp, qarr)
+            if cnt_ret > conf.filt.max_retention:
+                continue
+            keep = (rp >= beg) & (rp < end)
+            if conf.filt.filter_doublecnt and (b.flag & FLAG_READ2):
+                rpos0 = b.pos + 1
+                rmpos = b.mpos + 1
+                read_length = b.rlen()
+                mc = b.get_tag("MC")
+                mate_length = get_mate_length(mc) if mc is not None else read_length
+                rend = rpos0 + read_length - 1
+                rmend = rmpos + mate_length - 1
+                keep &= ~((rp >= max(rpos0, rmpos)) & (rp <= min(rend, rmend)))
+            if not keep.any():
+                continue
+            rpk = rp[keep]
+            qpk = qp[keep]
+            okq = qpk < len(qarr)
+            qb = np.where(okq, qarr[np.minimum(qpk, len(qarr) - 1)], ord("N"))
+            valid_r = (rpk >= 1) & (rpk <= seqlen)
+            rb = np.where(valid_r, ref[np.minimum(rpk, seqlen) - 1], ord("N"))
+            base = _CHAR2INT8_TBL[qb]
+            if bsstrand:  # BSC
+                meth = np.where(rb == ord("G"),
+                                np.where(qb == ord("A"), METH_CONVERSION,
+                                         np.where(qb == ord("G"), METH_RETENTION,
+                                                  METH_NA)),
+                                METH_NA)
+                base = np.where(qb == ord("A"), BASE_R, base)
+            else:  # BSW
+                meth = np.where(rb == ord("C"),
+                                np.where(qb == ord("T"), METH_CONVERSION,
+                                         np.where(qb == ord("C"), METH_RETENTION,
+                                                  METH_NA)),
+                                METH_NA)
+                base = np.where(qb == ord("T"), BASE_Y, base)
+            stat = meth | (base << 4)
+            if b.qual != "*":
+                quals = np.frombuffer(b.qual.encode(), dtype=np.uint8)
+                q = np.where(qpk < len(quals),
+                             quals[np.minimum(qpk, len(quals) - 1)].astype(np.int64) - 33,
+                             -33)
+            else:
+                q = np.zeros(len(rpk), np.int64)
+            pos_l.append(rpk)
+            sid_l.append(np.full(len(rpk), sid, np.int64))
+            stat_l.append(stat)
+            # datum-level filter (pileup.c plp_getcnts): base qual, distance
+            # from the 5'/3' read ends
+            pass_l.append((q >= f.min_base_qual) & (qpk + 1 > f.min_dist_end_5p)
+                          & (b.l_qseq >= qpk + 1 + f.min_dist_end_3p))
+
+    if not pos_l:
+        return ""
+    pos = np.concatenate(pos_l)
+    sid = np.concatenate(sid_l)
+    stat = np.concatenate(stat_l)
+    passm = np.concatenate(pass_l)
+
+    p = pos - beg  # 0..P-1
+    # depth per (pos, sid) over ALL data
+    dp_arr = np.bincount(p * n_bams + sid, minlength=P * n_bams).reshape(P, n_bams)
+    # filtered counts per (pos, sid, status)
+    pp = p[passm]
+    ps = sid[passm]
+    pstat = stat[passm]
+    meth_idx = pstat & 0xF
+    base_idx = pstat >> 4
+    cm = np.bincount((pp * n_bams + ps) * NSTATUS_METH + meth_idx,
+                     minlength=P * n_bams * NSTATUS_METH).reshape(P, n_bams, NSTATUS_METH)
+    cb = np.bincount((pp * n_bams + ps) * NSTATUS_BASE + base_idx,
+                     minlength=P * n_bams * NSTATUS_BASE).reshape(P, n_bams, NSTATUS_BASE)
+
+    # vectorized emit mask: position must have data, non-N ref, and either
+    # meth signal or a potential alt allele (see _top_mutant semantics: Y is
+    # never an alt for C/T refs, R never for A/G refs; redistribution can only
+    # move Y/R counts into already-occupied or ref categories when no other
+    # non-ref base is present)
+    covered = dp_arr.sum(axis=1) > 0
+    rbw = np.full(P, ord("N"), np.int64)
+    wpos = np.arange(beg, end)
+    vr = (wpos >= 1) & (wpos <= seqlen)
+    rbw[vr] = ref[np.minimum(wpos[vr], seqlen) - 1]
+    rb_codew = _CHAR2INT8_TBL[np.minimum(rbw, 255)]
+    meth_sig = (cm[:, :, METH_RETENTION].sum(axis=1)
+                + cm[:, :, METH_CONVERSION].sum(axis=1)) > 0
+    ball = cb.sum(axis=1)  # [P, NSTATUS_BASE]
+    nonref = ball.sum(axis=1) - ball[np.arange(P), np.minimum(rb_codew, NSTATUS_BASE - 1)] \
+        - ball[:, BASE_N]
+    # subtract always-excluded ambiguity codes
+    y_excl = np.isin(rb_codew, (BASE_C, BASE_T))
+    r_excl = np.isin(rb_codew, (BASE_A, BASE_G))
+    maybe_alt = nonref - np.where(y_excl, ball[:, BASE_Y], 0) \
+        - np.where(r_excl, ball[:, BASE_R], 0) > 0
+    emit = covered & (rbw != ord("N")) & (meth_sig | maybe_alt)
+
+    out = []
+    for pi in np.nonzero(emit)[0]:
+        cnts_meth = cm[pi].tolist()
+        cnts_base = cb[pi].tolist()
+        dp_per_sid = dp_arr[pi].tolist()
+        line = plp_format(rs, chrm, beg + int(pi), None, conf, n_bams,
+                          betasum_context, cnt_context,
+                          pre=(cnts_meth, cnts_base, dp_per_sid))
+        if line:
+            out.append(line)
+    return "".join(out)
+
+
+def _pileup_window_slow(bams: List[AlignmentFile], rs: RefCache, conf: PileupConf,
+                        tid: int, chrm: str, beg: int, end: int,
+                        betasum_context, cnt_context) -> str:
     n_bams = len(bams)
     plp: Dict[int, List[PileupDatum]] = {}
     rs.fetch(chrm, beg - 100 if beg > 100 else 1, end + 100)
@@ -410,6 +596,41 @@ def pileup_window(bams: List[AlignmentFile], rs: RefCache, conf: PileupConf,
             if line:
                 out.append(line)
     return "".join(out)
+
+
+# ---- multiprocess window execution (bisc_threads_t equivalent) ----------
+# The reference runs windows on a thread pool (pileup.c process/wqueue,
+# default 3 threads) and writes results back in window order. We fork worker
+# processes sharing the parent's in-memory BAM/reference via copy-on-write
+# and stream results back in submission order.
+_POOL_G = None
+
+
+def _pool_window1(job):
+    bams, rs, conf = _POOL_G
+    tid, name, wbeg, wend = job
+    n_bams = len(bams)
+    bs = [[0.0] * NCONTXTS for _ in range(n_bams)]
+    cs = [[0] * NCONTXTS for _ in range(n_bams)]
+    text = pileup_window(bams, rs, conf, tid, name, wbeg, wend, bs, cs)
+    return text, bs, cs
+
+
+def run_windows_pooled(bams, rs, conf, windows, n_procs):
+    """Yield (window, text, bs, cs) for each (tid, name, beg, end) window, in
+    order, computed by a fork pool of n_procs workers."""
+    global _POOL_G
+    _POOL_G = (bams, rs, conf)
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    try:
+        with ctx.Pool(n_procs) as pool:
+            for w, (text, bs, cs) in zip(windows,
+                                         pool.imap(_pool_window1, windows,
+                                                   chunksize=1)):
+                yield w, text, bs, cs
+    finally:
+        _POOL_G = None
 
 
 def vcf_header(reffn: str, targets, argv: List[str], conf: PileupConf,

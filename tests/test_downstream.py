@@ -57,6 +57,46 @@ def test_pileup_vcf(pipeline):
     assert ch_beta < 10, wg
 
 
+def test_pileup_fast_matches_slow(pipeline):
+    """The vectorized window path must be byte-identical to the per-datum
+    reference-semantics path, including the side beta statistics."""
+    d, fa = pipeline
+    from biscuit_tpu.io.sambam import AlignmentFile
+    from biscuit_tpu.pileup.common import NCONTXTS, RefCache
+    from biscuit_tpu.pileup.engine import (PileupConf, _pileup_window_slow,
+                                           pileup_window)
+
+    rs = RefCache(fa)
+    af = AlignmentFile(str(d / "aln.bam"))
+    conf = PileupConf()
+    name = af.header.names[0]
+    tlen = af.header.lengths[0]
+
+    def run_path(fn):
+        bs = [[0.0] * NCONTXTS]
+        cs = [[0] * NCONTXTS]
+        out = []
+        wbeg = 1
+        while wbeg < tlen:
+            out.append(fn([af], rs, conf, 0, name, wbeg,
+                          min(wbeg + 7000, tlen), bs, cs))
+            wbeg += 7000
+        return "".join(out), bs, cs
+
+    fast = run_path(pileup_window)
+    slow = run_path(_pileup_window_slow)
+    assert fast[0] == slow[0]
+    assert fast[1] == slow[1] and fast[2] == slow[2]
+
+
+def test_pileup_pooled_matches_serial(pipeline):
+    d, fa = pipeline
+    out1 = run(["pileup", "-@", "1", fa, str(d / "aln.bam")], cwd=REPO)
+    out3 = run(["pileup", "-@", "3", fa, str(d / "aln.bam")], cwd=REPO)
+    strip = lambda s: [l for l in s.splitlines() if not l.startswith("##program")]
+    assert strip(out1) == strip(out3)
+
+
 def test_vcf2bed_and_mergecg(pipeline):
     d, fa = pipeline
     bed = run(["vcf2bed", "-t", "cg", str(d / "plp.vcf")], cwd=REPO)
