@@ -18,15 +18,23 @@ _lib = None
 
 def _build() -> None:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", _SO] + _SOURCES + ["-lz", "-lpthread"]
-    subprocess.run(cmd, check=True)
+    base = ["g++", "-O3", "-funroll-loops", "-std=c++17", "-shared", "-fPIC",
+            "-o", _SO]
+    tail = _SOURCES + ["-lz", "-lpthread"]
+    # -march=native turns __builtin_popcount into the POPCNT instruction
+    # (the occ4 hot loop); fall back to the portable build if unsupported.
+    r = subprocess.run(base[:2] + ["-march=native"] + base[2:] + tail,
+                       capture_output=True)
+    if r.returncode != 0:
+        subprocess.run(base + tail, check=True)
 
 
 def lib() -> ctypes.CDLL:
     global _lib
     if _lib is None:
         stale = not os.path.exists(_SO) or any(
-            os.path.getmtime(src) > os.path.getmtime(_SO) for src in _SOURCES
+            os.path.getmtime(src) > os.path.getmtime(_SO)
+            for src in _SOURCES + [os.path.join(_DIR, "__init__.py")]
         )
         if stale:
             _build()
