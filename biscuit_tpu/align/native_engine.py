@@ -8,7 +8,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..config import MemOpt, MEM_F_PE, MEM_F_NO_RESCUE
+from ..config import MemOpt, MEM_F_PE, MEM_F_NO_RESCUE, MEM_F_REF_HDR
 from ..index.fmindex import BisIndex
 from .. import native
 from .io_helpers import read_clipping
@@ -54,11 +54,33 @@ class RegionC(C.Structure):
                 ("pad0", C.c_uint8), ("pad1", C.c_uint8)]
 
 
+class Opt2C(C.Structure):
+    _fields_ = [("T", C.c_int32),
+                ("XA_drop_ratio", C.c_double), ("mask_level_redun", C.c_double),
+                ("mapQ_coef_len", C.c_double), ("mapQ_coef_fac", C.c_double),
+                ("max_XA_hits", C.c_int32), ("max_XA_hits_alt", C.c_int32),
+                ("pen_unpaired", C.c_int32), ("pad", C.c_int32)]
+
+
 REG_CAP = 96
 
 
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(C.c_void_p)
+
+
+def _pack_strs(items: List[bytes]):
+    """Concatenate byte strings; return (buffer, offsets[n], lens[n])."""
+    n = len(items)
+    offs = np.zeros(n, np.int64)
+    lens = np.zeros(n, np.int32)
+    total = 0
+    for i, b in enumerate(items):
+        offs[i] = total
+        lens[i] = len(b)
+        total += len(b)
+    buf = C.create_string_buffer(b"".join(items), max(total, 1))
+    return buf, offs, lens
 
 
 class NativeAligner:
@@ -116,6 +138,92 @@ class NativeAligner:
         o.gamat = (C.c_int8 * 25)(*[int(v) for v in opt.gamat.reshape(-1)])
         o.ctmat = (C.c_int8 * 25)(*[int(v) for v in opt.ctmat.reshape(-1)])
         return o
+
+    def _opt2c(self, opt: MemOpt) -> Opt2C:
+        o = Opt2C()
+        o.T = opt.T
+        o.XA_drop_ratio = opt.XA_drop_ratio
+        o.mask_level_redun = opt.mask_level_redun
+        o.mapQ_coef_len = opt.mapQ_coef_len
+        o.mapQ_coef_fac = opt.mapQ_coef_fac
+        o.max_XA_hits = opt.max_XA_hits
+        o.max_XA_hits_alt = opt.max_XA_hits_alt
+        o.pen_unpaired = opt.pen_unpaired
+        return o
+
+    def align_se_batch(self, opt: MemOpt, seqs, n_processed: int,
+                       rg_id: str, n_threads: int) -> List[Optional[str]]:
+        """Fused C++ worker1+worker2 for SE reads (bt_align_se_batch).
+        Returns per-read SAM text, or None for reads needing the Python
+        fallback. Reads must already be clipped (read_clipping)."""
+        n = len(seqs)
+        L = self.lib
+        L.bt_align_se_batch.restype = C.c_int
+        L.bt_buf_free.restype = None
+
+        offs = np.zeros(n, np.int64)
+        lens = np.zeros(n, np.int32)
+        offs0 = np.zeros(n, np.int64)
+        lens0 = np.zeros(n, np.int32)
+        t = t0 = 0
+        for i, s in enumerate(seqs):
+            offs[i] = t
+            lens[i] = s.l_seq
+            t += s.l_seq
+            offs0[i] = t0
+            lens0[i] = s.l_seq0
+            t0 += s.l_seq0
+        reads = np.zeros(max(t, 1), np.uint8)
+        reads0 = np.zeros(max(t0, 1), np.uint8)
+        for i, s in enumerate(seqs):
+            reads[offs[i]:offs[i] + s.l_seq] = s.seq
+            reads0[offs0[i]:offs0[i] + s.l_seq0] = s.seq0
+        quals, qoffs, qlens = _pack_strs(
+            [(s.qual.encode() if s.qual is not None else b"") for s in seqs])
+        names, noffs, nlens = _pack_strs(
+            [(s.name if not s.comment else f"{s.name}_{s.comment}").encode()
+             for s in seqs])
+        clip5 = np.array([s.clip5 for s in seqs], np.int32)
+        clip3 = np.array([s.clip3 for s in seqs], np.int32)
+        py_only = np.array(
+            [1 if (s.barcode or s.umi) else 0 for s in seqs], np.uint8)
+        ann_nm = [a.name.encode() for a in self.st.idx.anns]
+        ann_cat = b"".join(ann_nm)
+        ann_offs = np.zeros(len(ann_nm) + 1, np.int64)
+        for i, b in enumerate(ann_nm):
+            ann_offs[i + 1] = ann_offs[i] + len(b)
+        ann_buf = C.create_string_buffer(ann_cat, max(len(ann_cat), 1))
+        rgb = rg_id.encode()
+
+        out_buf = C.c_void_p()
+        out_lens = np.zeros(n, np.int64)
+        status = np.zeros(n, np.int32)
+        rc = L.bt_align_se_batch(
+            C.byref(self.dau), C.byref(self.par), C.byref(self.bns),
+            C.byref(self._optc(opt)), C.byref(self._opt2c(opt)),
+            _ptr(reads), _ptr(offs), _ptr(lens),
+            _ptr(reads0), _ptr(offs0), _ptr(lens0),
+            quals, _ptr(qoffs), _ptr(qlens),
+            names, _ptr(noffs), _ptr(nlens),
+            _ptr(clip5), _ptr(clip3), _ptr(py_only),
+            ann_buf, _ptr(ann_offs),
+            rgb, len(rgb), C.c_int64(n_processed), n, n_threads,
+            C.byref(out_buf), _ptr(out_lens), _ptr(status))
+        if rc != 0:
+            raise RuntimeError(f"bt_align_se_batch rc={rc}")
+        try:
+            total = int(out_lens.sum())
+            blob = C.string_at(out_buf, total) if total else b""
+        finally:
+            L.bt_buf_free(out_buf)
+        sams: List[Optional[str]] = [None] * n
+        off = 0
+        for i in range(n):
+            ln = int(out_lens[i])
+            if status[i] == 0:
+                sams[i] = blob[off:off + ln].decode()
+            off += ln
+        return sams
 
     def worker1_batch(self, opt: MemOpt, seqs, n_threads: int) -> List[AlnRegs]:
         n = len(seqs)
@@ -252,9 +360,25 @@ def process_seqs_native(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
     for s in seqs:
         read_clipping(s, opt.adaptor1 if (not pe or s.id % 2 == 0)
                       else opt.adaptor2, opt)
-    out, out_n = nat.worker1_batch(opt, seqs, opt.n_threads)
 
     n_workers = max(1, opt.n_threads)
+    if not pe and not (opt.flag & MEM_F_REF_HDR):
+        # fused C++ worker1+worker2 (SAM text straight from the library)
+        sams = nat.align_se_batch(opt, seqs, n_processed, rg_id, n_workers)
+        for i, (s, sam) in enumerate(zip(seqs, sams)):
+            if sam is not None:
+                s.sam = sam
+            else:
+                regs = AlnRegs()
+                if not (opt.parent & 1) or (opt.parent >> 1):
+                    align1_core(opt, st, s, regs, 0)
+                if not (opt.parent & 1) or not (opt.parent >> 1):
+                    align1_core(opt, st, s, regs, 1)
+                merge_regions(opt, st.idx, s.seq, s.l_seq, regs)
+                worker2_se(opt, st, s, regs, n_processed, i, rg_id)
+        return
+
+    out, out_n = nat.worker1_batch(opt, seqs, opt.n_threads)
     use_pool = n_workers > 1 and len(seqs) >= 256
     if not use_pool:
         all_regs = nat.build_regs(opt, seqs, out, out_n, 0)

@@ -15,7 +15,10 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -831,6 +834,736 @@ static void align1_core(const Ctx &cx, const uint8_t *seq, int len, int parent,
     chain2region(cx.opt, cx.bns, len, seq, parent, chns, regs);
 }
 
+// =====================================================================
+// worker2 (SE): merge/dedup, primary marking, SAM emission.
+//
+// Transliteration of biscuit_tpu/align/region.py (sort_deduplicate,
+// merge_regions, mark_primary — porting mem_alnreg.c:37-380) and
+// align/sam.py (gen_cigar/setSAM/mapq/select_format/format_sam/reg2sam_se —
+// porting bwa.c:290-428 and mem_alnreg_format.c). The Python modules stay
+// the ground truth; E2E SAM output must remain byte-identical.
+// =====================================================================
+
+static const int64_t GMINF = -0x40000000;
+static const int I32_MAX = 2147483647;
+
+struct Opt2 {
+    int T;
+    double XA_drop_ratio, mask_level_redun, mapQ_coef_len, mapQ_coef_fac;
+    int max_XA_hits, max_XA_hits_alt, pen_unpaired;
+};
+
+struct Reg2 {
+    int64_t rb = 0, re = 0;
+    int qb = 0, qe = 0, rid = -1;
+    int score = 0, truesc = 0, sub = 0, alt_sc = 0, csub = 0, sub_n = 0;
+    int w = 0, seedcov = 0, secondary = -1, secondary_all = -1;
+    int seedlen0 = 0, n_comp = 0, is_alt = 0;
+    double frac_rep = 0.0;
+    uint64_t hash = 0;
+    int bss = 0, parent = 0;
+    // SAM meta
+    int64_t pos = 0;
+    int flag = 0, NM = 0, n_cigar = 0, is_rev = 0, mapq = 0, ZC = 0, ZR = 0,
+        bss_u = 0;
+    std::vector<std::pair<int, int>> cigar;
+    std::string md;
+};
+
+struct ReadSE {
+    const uint8_t *seq; int l_seq;      // clipped nt4 codes
+    const uint8_t *seq0; int l_seq0;    // original nt4 codes
+    const char *qual; int l_qual;       // 0 => "*"
+    const char *name; int name_len;     // name (with _comment merged)
+    int clip5, clip3;
+};
+
+static uint64_t hash_64(uint64_t key) {  // region.py:23 (Wang hash)
+    key = key + ~(key << 32);
+    key ^= key >> 22;
+    key = key + ~(key << 13);
+    key ^= key >> 8;
+    key = key + (key << 3);
+    key ^= key >> 15;
+    key = key + ~(key << 27);
+    key ^= key >> 31;
+    return key;
+}
+
+// ops/sw.py:143 sw_global (ksw_global2 semantics). Returns score; fills
+// *cig when want_cigar.
+static int sw_global(const uint8_t *query, int qlen, const uint8_t *target,
+                     int tlen, const int8_t *mat, int o_del, int e_del,
+                     int o_ins, int e_ins, int w, bool want_cigar,
+                     std::vector<std::pair<int, int>> *cig) {
+    if (cig) cig->clear();
+    if (qlen == 0 || tlen == 0) return 0;
+    int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    int n_col = std::min(qlen, 2 * w + 1);
+    std::vector<uint8_t> z;
+    if (want_cigar) z.assign((size_t)tlen * n_col, 0);
+    std::vector<int64_t> h(qlen + 1, GMINF), e(qlen + 1, GMINF);
+    h[0] = 0;
+    for (int j = 1; j <= qlen && j <= w; ++j) h[j] = -(o_ins + e_ins * j);
+    for (int i = 0; i < tlen; ++i) {
+        int beg = i > w ? i - w : 0;
+        int end = std::min(i + w + 1, qlen);
+        int64_t h1_first = beg == 0 ? -(int64_t)(o_del + e_del * (i + 1)) : GMINF;
+        const int8_t *qp = mat + (int)target[i] * 5;
+        int64_t diag = h[beg];
+        h[beg] = h1_first;
+        int64_t F = GMINF;
+        uint8_t *zrow = want_cigar ? z.data() + (size_t)i * n_col : nullptr;
+        for (int j = beg; j < end; ++j) {
+            int64_t M = diag + qp[query[j]];
+            int64_t E = e[j];
+            int64_t ME = M >= E ? M : E;
+            int64_t H = F > ME ? F : ME;
+            if (want_cigar) {
+                uint8_t d = M >= E ? 0 : 1;
+                if (H > ME) d = 2;                       // F strictly greater
+                d |= (uint8_t)((E - e_del) > (M - oe_del)) << 2;
+                d |= (uint8_t)((F - e_ins) > (M - oe_ins)) << 5;  // 2<<4
+                zrow[j - beg] = d;
+            }
+            diag = h[j + 1];
+            h[j + 1] = H;
+            e[j] = std::max(E - e_del, M - oe_del);
+            F = std::max(F - e_ins, M - oe_ins);
+        }
+        e[end] = GMINF;
+    }
+    int score = (int)h[qlen];
+    if (!want_cigar) return score;
+    // backtrack (ops/sw.py:203-218)
+    auto push = [&](int op, int ln) {
+        if (!cig->empty() && cig->back().first == op) cig->back().second += ln;
+        else cig->push_back({op, ln});
+    };
+    int i = tlen - 1;
+    int k = std::min(i + w + 1, qlen) - 1;
+    int which = 0;
+    while (i >= 0 && k >= 0) {
+        int beg = i > w ? i - w : 0;
+        which = (z[(size_t)i * n_col + (k - beg)] >> (which << 1)) & 3;
+        if (which == 0) { push(0, 1); --i; --k; }
+        else if (which == 1) { push(2, 1); --i; }
+        else { push(1, 1); --k; }
+    }
+    if (i >= 0) push(2, i + 1);
+    if (k >= 0) push(1, k + 1);
+    std::reverse(cig->begin(), cig->end());
+    return score;
+}
+
+struct CigRes {
+    int score = 0;
+    std::vector<std::pair<int, int>> cigar;
+    bool emitted = false;   // NM/MD/ZC/ZR computed
+    int NM = -1, ZC = 0, ZR = 0, bss_u = 0;
+    std::string md;
+};
+
+// sam.py:49 gen_cigar (bis_bwa_gen_cigar2)
+static void gen_cigar(const Opt &opt, const Bns &bns, const uint8_t *query0,
+                      int l_query, int64_t rb, int64_t re, int parent, int w_,
+                      bool want_cigar, CigRes &res) {
+    res = CigRes();
+    const int8_t *mat = opt.mats[parent];
+    if (l_query <= 0 || rb >= re || (rb < bns.l_pac && re > bns.l_pac)) return;
+    std::vector<uint8_t> rseq;
+    get_seq(bns, rb, re, rseq);
+    int64_t rlen = (int64_t)rseq.size();
+    if (re - rb != rlen) return;
+    std::vector<uint8_t> q(query0, query0 + l_query);
+    if (rb >= bns.l_pac) {  // reverse both to left-align indels
+        std::reverse(q.begin(), q.end());
+        std::reverse(rseq.begin(), rseq.end());
+    }
+    bool n_cigar_flag;
+    if ((int64_t)l_query == re - rb && w_ == 0) {
+        if (want_cigar) res.cigar.push_back({0, l_query});
+        int64_t sc = 0;
+        for (int j = 0; j < l_query; ++j) sc += mat[(int)rseq[j] * 5 + q[j]];
+        res.score = (int)sc;
+        n_cigar_flag = want_cigar;
+    } else {
+        int max_ins = (int)(((double)(((l_query + 1) >> 1) * mat[0]) - opt.o_ins) / opt.e_ins + 1.0);
+        int max_del = (int)(((double)(((l_query + 1) >> 1) * mat[0]) - opt.o_del) / opt.e_del + 1.0);
+        int max_gap = std::max(std::max(max_ins, max_del), 1);
+        int w = (int)((max_gap + std::llabs(rlen - l_query) + 1) >> 1);
+        w = std::min(w, w_);
+        int min_w = (int)std::llabs(rlen - l_query) + 3;
+        w = std::max(w, min_w);
+        res.score = sw_global(q.data(), l_query, rseq.data(), (int)rlen, mat,
+                              opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, w,
+                              want_cigar, want_cigar ? &res.cigar : nullptr);
+        n_cigar_flag = want_cigar;
+    }
+    if (n_cigar_flag) {
+        const char *int2base = rb < bns.l_pac ? "ACGTN" : "TGCAN";
+        std::string md;
+        int x = 0, y = 0, u = 0, n_mm = 0, n_gap = 0;
+        int n_conv_ct = 0, n_ret_c = 0, n_conv_ga = 0, n_ret_g = 0;
+        int n_cigar = (int)res.cigar.size();
+        for (int kk = 0; kk < n_cigar; ++kk) {
+            int op = res.cigar[kk].first, ln = res.cigar[kk].second;
+            if (op == 0) {
+                int prev = 0, op_conv = 0, op_mm = 0;
+                for (int j = 0; j < ln; ++j) {
+                    uint8_t qc = q[x + j], rc = rseq[y + j];
+                    bool eq = qc == rc;
+                    if (eq && qc == 1) ++n_ret_c;
+                    if (eq && qc == 2) ++n_ret_g;
+                    bool conv = parent ? (!eq && qc == 3 && rc == 1)
+                                       : (!eq && qc == 0 && rc == 2);
+                    if (conv) ++op_conv;
+                    if (!eq) {
+                        md += std::to_string(u + (j - prev));
+                        md += int2base[rc];
+                        prev = j + 1;
+                        u = 0;
+                        ++op_mm;
+                    }
+                }
+                if (parent) n_conv_ct += op_conv; else n_conv_ga += op_conv;
+                n_mm += op_mm - op_conv;
+                u += ln - prev;
+                x += ln; y += ln;
+            } else if (op == 2) {
+                if (kk > 0 && kk < n_cigar - 1) {
+                    md += std::to_string(u);
+                    md += '^';
+                    for (int t = 0; t < ln; ++t) md += int2base[rseq[y + t]];
+                    u = 0;
+                    n_gap += ln;
+                }
+                y += ln;
+            } else if (op == 1) {
+                x += ln;
+                n_gap += ln;
+            }
+        }
+        md += std::to_string(u);
+        res.md = std::move(md);
+        res.NM = n_mm + n_gap;
+        res.ZC = parent ? n_conv_ct : n_conv_ga;
+        res.ZR = parent ? n_ret_c : n_ret_g;
+        res.bss_u = (n_conv_ct == 0 && n_conv_ga == 0) ? 1 : 0;
+        res.emitted = true;
+    }
+}
+
+// sam.py:35 infer_bw (bwamem.h:192-198)
+static int infer_bw(int l1, int l2, int score, int a, int q, int r) {
+    if (l1 == l2 && l1 * a - score < ((q + r - a) << 1)) return 0;
+    int w = (int)((double)(std::min(l1, l2) * a - score - q) / r + 2.0);
+    return std::max(w, std::abs(l1 - l2));
+}
+
+// sam.py:134 alnreg_setSAM. Returns false when the pos2rid assertion fails
+// (caller falls back to the Python engine).
+static bool setSAM(const Opt &opt, const Bns &bns, const ReadSE &s, Reg2 &reg) {
+    if (reg.n_cigar > 0) return true;
+    int w1 = infer_bw(reg.qe - reg.qb, (int)(reg.re - reg.rb), reg.truesc,
+                      opt.a, opt.o_del, opt.e_del);
+    int w2 = infer_bw(reg.qe - reg.qb, (int)(reg.re - reg.rb), reg.truesc,
+                      opt.a, opt.o_ins, opt.e_ins);
+    int w = std::max(w1, w2);
+    if (w > opt.w) w = std::min(w, reg.w);
+    int last_sc = -(1 << 30);
+    CigRes res;
+    for (int it = 0; it < 3; ++it) {
+        w = std::min(w, opt.w << 2);
+        gen_cigar(opt, bns, s.seq + reg.qb, reg.qe - reg.qb, reg.rb, reg.re,
+                  reg.parent, w, true, res);
+        if (res.score == last_sc) break;
+        if (w == opt.w << 2) break;
+        if (res.score >= reg.truesc - opt.a) break;
+        last_sc = res.score;
+        w <<= 1;
+    }
+    reg.NM = res.NM; reg.ZC = res.ZC; reg.ZR = res.ZR;
+    reg.bss_u = res.bss_u; reg.md = res.md;
+    std::vector<std::pair<int, int>> cigar = res.cigar;
+    bool is_rev;
+    int64_t rpos = depos(bns, reg.rb < bns.l_pac ? reg.rb : reg.re - 1, is_rev);
+    reg.is_rev = is_rev ? 1 : 0;
+    reg.flag |= is_rev ? 0x10 : 0;
+    if (!cigar.empty()) {  // squeeze leading/trailing deletions
+        if (cigar.front().first == 2) {
+            rpos += cigar.front().second;
+            cigar.erase(cigar.begin());
+        } else if (cigar.back().first == 2) {
+            cigar.pop_back();
+        }
+    }
+    if (reg.qb != 0 || reg.qe != s.l_seq || s.clip5 || s.clip3) {
+        int clip5, clip3;
+        if (reg.is_rev) { clip5 = s.l_seq - reg.qe + s.clip3; clip3 = reg.qb + s.clip5; }
+        else { clip5 = reg.qb + s.clip5; clip3 = s.l_seq - reg.qe + s.clip3; }
+        if (clip5) cigar.insert(cigar.begin(), {3, clip5});
+        if (clip3) cigar.push_back({3, clip3});
+    }
+    reg.n_cigar = (int)cigar.size();
+    reg.cigar = std::move(cigar);
+    if (pos2rid(bns, rpos) != reg.rid) return false;
+    reg.pos = rpos - bns.ann_off[reg.rid];
+    return true;
+}
+
+// sam.py:191 mapq_se (mem_approx_mapq_se)
+static int mapq_se(const Opt &opt, const Opt2 &o2, const Reg2 &a) {
+    int sub = a.sub ? a.sub : opt.min_seed_len * opt.a;
+    sub = std::max(a.csub, sub);
+    if (sub >= a.score) return 0;
+    int l = std::max(a.qe - a.qb, (int)(a.re - a.rb));
+    double identity = 1.0 - (double)(l * opt.a - a.score) / (opt.a + opt.b) / l;
+    int mapq;
+    if (a.score == 0) {
+        mapq = 0;
+    } else if (o2.mapQ_coef_len > 0) {
+        double tmp = l < o2.mapQ_coef_len ? 1.0 : o2.mapQ_coef_fac / std::log((double)l);
+        tmp *= identity * identity;
+        mapq = (int)(6.02 * (a.score - sub) / opt.a * tmp * tmp + 0.499);
+    } else {
+        mapq = (int)(30.0 * (1.0 - (double)sub / a.score) * std::log((double)a.seedcov) + 0.499);
+        if (identity < 0.95) mapq = (int)(mapq * identity * identity + 0.499);
+    }
+    if (a.sub_n > 0) mapq -= (int)(4.343 * std::log((double)(a.sub_n + 1)) + 0.499);
+    mapq = std::min(mapq, 60);
+    mapq = std::max(mapq, 0);
+    mapq = (int)(mapq * (1.0 - a.frac_rep) + 0.499);
+    return mapq;
+}
+
+// region.py:312 _test_reg_concatenation (mem_alnreg.c:63-108)
+static bool test_reg_concat(const Opt &opt, const Bns &bns,
+                            const uint8_t *query, const Reg2 &a, const Reg2 &b,
+                            int &score_out, int &w_out) {
+    if (a.rb < bns.l_pac && b.rb >= bns.l_pac) return false;
+    if (a.qb >= b.qb || a.qe >= b.qe || a.re >= b.re) return false;
+    int w = (int)std::llabs((a.re - b.rb) - (int64_t)(a.qe - b.qb));
+    double r = std::fabs((double)(a.re - b.rb) / (b.re - a.rb)
+                         - (double)(a.qe - b.qb) / (b.qe - a.qb));
+    if (a.re < b.rb || a.qe < b.qb) {
+        if (w > opt.w << 1 || r >= 0.05) return false;
+    } else if (w > opt.w << 2 || r >= 0.05 * 2) {
+        return false;
+    }
+    w += a.w + b.w;
+    w = std::min(w, opt.w << 2);
+    CigRes res;
+    gen_cigar(opt, bns, query + a.qb, b.qe - a.qb, a.rb, b.re, a.parent, w,
+              false, res);
+    int score = res.score;
+    int q_s = (int)((double)(b.qe - a.qb) / ((b.qe - b.qb) + (a.qe - a.qb)) * (b.score + a.score) + 0.499);
+    int r_s = (int)((double)(b.re - a.rb) / ((b.re - b.rb) + (a.re - a.rb)) * (b.score + a.score) + 0.499);
+    if ((double)score / std::max(q_s, r_s) < 0.90) return false;
+    score_out = score;
+    w_out = w;
+    return score > 0;
+}
+
+// region.py:342 sort_deduplicate (mem_alnreg.c:112-195)
+static void sort_deduplicate(const Opt &opt, const Opt2 &o2, const Bns &bns,
+                             const uint8_t *query, std::vector<Reg2> &regs) {
+    if (regs.size() <= 1) return;
+    std::stable_sort(regs.begin(), regs.end(),
+                     [](const Reg2 &x, const Reg2 &y) { return x.re < y.re; });
+    for (auto &p : regs) p.n_comp = 1;
+    for (size_t i = 1; i < regs.size(); ++i) {
+        Reg2 &p = regs[i];
+        int j = (int)i - 1;
+        while (j >= 0 && p.rid == regs[j].rid
+               && p.rb < regs[j].re + opt.max_chain_gap) {
+            Reg2 &q = regs[j];
+            --j;
+            if (q.qe == q.qb) continue;
+            int64_t orr = q.re - p.rb;
+            int oq = q.qb < p.qb ? (q.qe - p.qb) : (p.qe - q.qb);
+            int64_t mr = std::min(q.re - q.rb, p.re - p.rb);
+            int mq = std::min(q.qe - q.qb, p.qe - p.qb);
+            if (orr > o2.mask_level_redun * mr && oq > o2.mask_level_redun * mq) {
+                if (p.score < q.score) { p.qe = p.qb; break; }
+                else q.qe = q.qb;
+            } else if (q.rb < p.rb) {
+                int score, w;
+                if (test_reg_concat(opt, bns, query, q, p, score, w)) {
+                    p.n_comp += q.n_comp + 1;
+                    p.seedcov = std::max(p.seedcov, q.seedcov);
+                    p.sub = std::max(p.sub, q.sub);
+                    p.csub = std::max(p.csub, q.csub);
+                    p.truesc = p.score = score;
+                    p.qb = q.qb;
+                    p.rb = q.rb;
+                    p.w = w;
+                    q.qb = q.qe;
+                }
+            }
+        }
+    }
+    {
+        std::vector<Reg2> keep;
+        keep.reserve(regs.size());
+        for (auto &p : regs) if (p.qe > p.qb) keep.push_back(std::move(p));
+        regs.swap(keep);
+    }
+    std::stable_sort(regs.begin(), regs.end(),
+                     [](const Reg2 &x, const Reg2 &y) {
+                         if (x.score != y.score) return x.score > y.score;
+                         if (x.rb != y.rb) return x.rb < y.rb;
+                         return x.qb < y.qb;
+                     });
+    for (size_t i = 1; i < regs.size(); ++i)
+        if (regs[i].score == regs[i - 1].score && regs[i].rb == regs[i - 1].rb
+            && regs[i].qb == regs[i - 1].qb)
+            regs[i].qe = regs[i].qb;
+    {
+        std::vector<Reg2> keep;
+        keep.reserve(regs.size());
+        for (size_t i = 0; i < regs.size(); ++i)
+            if (i == 0 || regs[i].qe > regs[i].qb) keep.push_back(std::move(regs[i]));
+        regs.swap(keep);
+    }
+}
+
+// region.py:389 merge_regions (mem_alnreg.c:208-227)
+static void merge_regions2(const Opt &opt, const Opt2 &o2, const Bns &bns,
+                           const uint8_t *query, int l_seq,
+                           std::vector<Reg2> &regs) {
+    sort_deduplicate(opt, o2, bns, query, regs);
+    if (opt.flag & 0x40)  // MEM_F_SELF_OVLP
+        if (!regs.empty() && regs[0].truesc == l_seq * opt.a)
+            regs.erase(regs.begin());
+    for (auto &p : regs)
+        if (p.rid >= 0 && bns.ann_alt[p.rid]) p.is_alt = 1;
+}
+
+// region.py:405 _mark_primary_core (mem_alnreg.c:252-288)
+static void mark_primary_core(const Opt &opt, int n_mark,
+                              std::vector<Reg2> &regs) {
+    int tmp = std::max(std::max(opt.a + opt.b, opt.o_del + opt.e_del),
+                       opt.o_ins + opt.e_ins);
+    std::vector<int> z{0};
+    for (int i = 1; i < n_mark; ++i) {
+        Reg2 &a = regs[i];
+        size_t k = 0;
+        for (; k < z.size(); ++k) {
+            Reg2 &b = regs[z[k]];
+            int b_max = std::max(a.qb, b.qb);
+            int e_min = std::min(a.qe, b.qe);
+            if (e_min > b_max) {
+                int min_l = std::min(a.qe - a.qb, b.qe - b.qb);
+                if (e_min - b_max >= min_l * opt.mask_level) {
+                    if (b.sub == 0) b.sub = a.score;
+                    if (b.score - a.score <= tmp && (b.is_alt || !a.is_alt))
+                        ++b.sub_n;
+                    break;
+                }
+            }
+        }
+        if (k == z.size()) z.push_back(i);
+        else a.secondary = z[k];
+    }
+}
+
+// region.py:431 mark_primary (mem_mark_primary_se)
+static void mark_primary(const Opt &opt, std::vector<Reg2> &regs,
+                         int64_t rid_id, int &n_pri) {
+    n_pri = 0;
+    if (regs.empty()) return;
+    for (size_t i = 0; i < regs.size(); ++i) {
+        Reg2 &p = regs[i];
+        p.sub = p.alt_sc = 0;
+        p.secondary = -1;
+        p.secondary_all = -1;
+        p.hash = hash_64((uint64_t)(rid_id + (int64_t)i));
+        if (!p.is_alt) ++n_pri;
+    }
+    std::stable_sort(regs.begin(), regs.end(),
+                     [](const Reg2 &x, const Reg2 &y) {
+                         if (x.score != y.score) return x.score > y.score;
+                         if (x.is_alt != y.is_alt) return x.is_alt < y.is_alt;
+                         return x.hash < y.hash;
+                     });
+    mark_primary_core(opt, (int)regs.size(), regs);
+    for (size_t i = 0; i < regs.size(); ++i) {
+        Reg2 &p = regs[i];
+        p.secondary_all = (int)i;
+        if (!p.is_alt && p.secondary >= 0 && regs[p.secondary].is_alt)
+            p.alt_sc = regs[p.secondary].score;
+    }
+    if (0 < n_pri && n_pri < (int)regs.size()) {
+        std::vector<int> z(regs.size());
+        std::stable_sort(regs.begin(), regs.end(),
+                         [](const Reg2 &x, const Reg2 &y) {
+                             if (x.is_alt != y.is_alt) return x.is_alt < y.is_alt;
+                             if (x.score != y.score) return x.score > y.score;
+                             return x.hash < y.hash;
+                         });
+        for (size_t i = 0; i < regs.size(); ++i) z[regs[i].secondary_all] = (int)i;
+        for (auto &p : regs) {
+            if (p.secondary >= 0) {
+                p.secondary_all = z[p.secondary];
+                if (p.is_alt) p.secondary = I32_MAX;
+            } else {
+                p.secondary_all = -1;
+            }
+        }
+        if (n_pri > 0) {
+            for (int i = 0; i < n_pri; ++i) {
+                regs[i].sub = 0;
+                regs[i].secondary = -1;
+            }
+            mark_primary_core(opt, n_pri, regs);
+        }
+    } else {
+        for (auto &p : regs) p.secondary_all = p.secondary;
+    }
+}
+
+// sam.py:419 select_format (mem_alnreg_select_format)
+static bool select_format(const Opt &opt, const Opt2 &o2, const Bns &bns,
+                          const ReadSE &s, std::vector<Reg2> &regs,
+                          std::vector<int> &to_output) {
+    to_output.clear();
+    int l = 0;
+    for (size_t k = 0; k < regs.size(); ++k) {
+        Reg2 &p = regs[k];
+        if (p.rb < 0 || p.re < 0) continue;
+        if (p.score < o2.T) continue;
+        if (p.secondary >= 0 && (p.is_alt || !(opt.flag & 0x8))) continue;  // MEM_F_ALL
+        if (p.secondary >= 0 && p.secondary < I32_MAX
+            && p.score < regs[p.secondary].score * opt.drop_ratio) continue;
+        if (l && p.secondary < 0)
+            p.flag |= (opt.flag & 0x10) ? 0x10000 : 0x800;  // MEM_F_NO_MULTI
+        if (p.secondary >= 0) p.flag |= 0x100;
+        p.mapq = p.secondary < 0 ? mapq_se(opt, o2, p) : 0;
+        if (!(opt.flag & 0x1000) && l && !p.is_alt)  // MEM_F_KEEP_SUPP_MAPQ
+            p.mapq = std::min(p.mapq, regs[0].mapq);
+        if (!setSAM(opt, bns, s, p)) return false;
+        to_output.push_back((int)k);
+        ++l;
+    }
+    return true;
+}
+
+static void cigar_str(const std::vector<std::pair<int, int>> &cigar,
+                      int is_primary, const Opt &opt, int is_alt,
+                      std::string &out) {
+    static const char OPS[] = "MIDSH";
+    for (auto &oc : cigar) {
+        int c = oc.first;
+        if (!(opt.flag & 0x200) && !is_alt && (c == 3 || c == 4))  // MEM_F_SOFTCLIP
+            c = is_primary ? 3 : 4;
+        out += std::to_string(oc.second);
+        out += OPS[c];
+    }
+}
+
+// sam.py:216 get_pri_idx
+static int get_pri_idx(double xa_drop_ratio, const std::vector<Reg2> &regs, int i) {
+    int k = regs[i].secondary_all;
+    if (k >= 0 && regs[i].score >= regs[k].score * xa_drop_ratio) return k;
+    return -1;
+}
+
+// sam.py:233 _tag_XAXB. p0_idx = index of p0 in regs0 (-1 = not a member).
+static bool tag_XAXB(const Opt &opt, const Opt2 &o2, const Bns &bns,
+                     const std::vector<std::string> &ann_names, const ReadSE &s,
+                     int p0_idx, std::vector<Reg2> *regs0, std::string &out) {
+    if (!regs0 || (opt.flag & 0x8)) return true;  // MEM_F_ALL
+    int cnt_pri = 0, cnt_alt = 0;
+    for (int i = 0; i < (int)regs0->size(); ++i) {
+        int r = get_pri_idx(o2.XA_drop_ratio, *regs0, i);
+        if (r >= 0 && r == p0_idx) {
+            if ((*regs0)[i].is_alt) ++cnt_alt; else ++cnt_pri;
+        }
+    }
+    if (cnt_pri <= o2.max_XA_hits && cnt_alt <= o2.max_XA_hits_alt) {
+        std::string parts;
+        static const char XOPS[] = "MIDSHN";
+        for (int i = 0; i < (int)regs0->size(); ++i) {
+            Reg2 &q = (*regs0)[i];
+            int r = get_pri_idx(o2.XA_drop_ratio, *regs0, i);
+            if (r < 0 || r != p0_idx) continue;
+            if (q.n_cigar == 0) {
+                if (!setSAM(opt, bns, s, q)) return false;
+                if (q.n_cigar == 0) continue;
+            }
+            if (!parts.empty()) parts += ';';
+            parts += ann_names[q.rid];
+            parts += ',';
+            parts += "+-"[q.is_rev];
+            parts += std::to_string(q.pos + 1);
+            parts += ',';
+            for (auto &oc : q.cigar) {
+                parts += std::to_string(oc.second);
+                parts += XOPS[oc.first];
+            }
+            parts += ',';
+            parts += std::to_string(q.NM);
+        }
+        if (!parts.empty()) { out += "\tXA:Z:"; out += parts; }
+    }
+    if (cnt_pri > 0 || cnt_alt > 0) {
+        out += "\tXB:Z:";
+        out += std::to_string(cnt_pri);
+        out += ',';
+        out += std::to_string(cnt_alt);
+    }
+    return true;
+}
+
+// sam.py:265 _tag_SA
+static void tag_SA(const Opt &opt, const std::vector<std::string> &ann_names,
+                   int p0_idx, int p0_flag, const std::vector<Reg2> *regs0,
+                   std::string &out) {
+    if (!regs0 || (p0_flag & 0x100)) return;
+    std::string parts;
+    static const char OPS[] = "MIDSH";
+    for (int i = 0; i < (int)regs0->size(); ++i) {
+        const Reg2 &q = (*regs0)[i];
+        if (i == p0_idx || q.n_cigar == 0 || (q.flag & 0x100)) continue;
+        parts += ann_names[q.rid];
+        parts += ',';
+        parts += std::to_string(q.pos + 1);
+        parts += ',';
+        parts += "+-"[q.is_rev];
+        parts += ',';
+        for (auto &oc : q.cigar) {
+            parts += std::to_string(oc.second);
+            parts += OPS[oc.first];
+        }
+        parts += ',';
+        parts += std::to_string(q.mapq);
+        parts += ',';
+        parts += std::to_string(q.NM);
+        parts += ';';
+    }
+    if (!parts.empty()) { out += "\tSA:Z:"; out += parts; }
+}
+
+// sam.py:286 format_sam, SE specialization (m0 = None, pes = None)
+static bool format_sam_se(const Opt &opt, const Opt2 &o2, const Bns &bns,
+                          const std::vector<std::string> &ann_names,
+                          const ReadSE &s, const Reg2 &p0, int p0_idx,
+                          std::vector<Reg2> *regs0, int is_primary,
+                          const std::string &rg, std::string &out) {
+    Reg2 p = p0;  // copy; mutations stay local (copy.copy in Python)
+    out.append(s.name, s.name_len);
+    out += '\t';
+    out += std::to_string((p.flag & 0xFFFF) | ((p.flag & 0x10000) ? 0x100 : 0));
+    out += '\t';
+    if (p.rid >= 0) {
+        out += ann_names[p.rid];
+        out += '\t';
+        out += std::to_string(p.pos + 1);
+        out += '\t';
+        out += std::to_string(p.mapq);
+        out += '\t';
+        if (p.n_cigar) cigar_str(p.cigar, is_primary, opt, p.is_alt, out);
+        else out += '*';
+    } else {
+        out += "*\t0\t0\t*";
+    }
+    out += "\t*\t0\t0\t";  // no mate
+    if (p.flag & 0x100) {
+        out += "*\t*";
+    } else {
+        static const char FWD[] = "ACGTN", COMP[] = "TGCAN";
+        int qb = 0, qe = s.l_seq0;
+        bool hard = p.n_cigar && !is_primary && !(opt.flag & 0x200) && !p.is_alt;
+        if (p.is_rev) {
+            if (hard) {
+                if (p.cigar.front().first == 3 || p.cigar.front().first == 4)
+                    qe -= p.cigar.front().second;
+                if (p.cigar.back().first == 3 || p.cigar.back().first == 4)
+                    qb += p.cigar.back().second;
+            }
+            for (int j = qe - 1; j >= qb; --j)
+                out += COMP[s.seq0[j] < 4 ? s.seq0[j] : 4];
+            out += '\t';
+            if (s.l_qual) for (int j = qe - 1; j >= qb; --j) out += s.qual[j];
+            else out += '*';
+        } else {
+            if (hard) {
+                if (p.cigar.front().first == 3 || p.cigar.front().first == 4)
+                    qb += p.cigar.front().second;
+                if (p.cigar.back().first == 3 || p.cigar.back().first == 4)
+                    qe -= p.cigar.back().second;
+            }
+            for (int j = qb; j < qe; ++j)
+                out += FWD[s.seq0[j] < 4 ? s.seq0[j] : 4];
+            out += '\t';
+            if (s.l_qual) out.append(s.qual + qb, qe - qb);
+            else out += '*';
+        }
+    }
+    if (p.n_cigar) {
+        out += "\tNM:i:";
+        out += std::to_string(p.NM);
+        out += "\tMD:Z:";
+        out += p.md;
+        out += "\tZC:i:";
+        out += std::to_string(p.ZC);
+        out += "\tZR:i:";
+        out += std::to_string(p.ZR);
+    }
+    if (p.score >= 0) { out += "\tAS:i:"; out += std::to_string(p.score); }
+    if (p.sub >= 0) { out += "\tXS:i:"; out += std::to_string(std::max(p.sub, p.csub)); }
+    if (!rg.empty()) { out += "\tRG:Z:"; out += rg; }
+    tag_SA(opt, ann_names, p0_idx, p0.flag, regs0, out);
+    if (is_primary && p.alt_sc > 0) {
+        char buf[32];
+        snprintf(buf, sizeof buf, "\tPA:f:%.3f", (double)p.score / p.alt_sc);
+        out += buf;
+    }
+    out += "\tXL:i:";
+    out += std::to_string(s.l_seq);
+    if (!tag_XAXB(opt, o2, bns, ann_names, s, p0_idx, regs0, out)) return false;
+    out += "\tMC:Z:*\tMQ:i:0\tYD:A:";
+    out += p.bss_u ? 'u' : "fr"[p.bss];
+    out += '\n';
+    return true;
+}
+
+// sam.py:568 reg2sam_se (mem_reg2sam_se)
+static bool reg2sam_se(const Opt &opt, const Opt2 &o2, const Bns &bns,
+                       const std::vector<std::string> &ann_names,
+                       const ReadSE &s, std::vector<Reg2> &regs,
+                       const std::string &rg, std::string &out) {
+    std::vector<int> to_output;
+    if (!select_format(opt, o2, bns, s, regs, to_output)) return false;
+    if (!to_output.empty()) {
+        for (size_t i = 0; i < to_output.size(); ++i) {
+            int k = to_output[i];
+            Reg2 snapshot = regs[k];  // regs0 entries may be setSAM'd later
+            if (!format_sam_se(opt, o2, bns, ann_names, s, snapshot, k, &regs,
+                               i == 0 ? 1 : 0, rg, out))
+                return false;
+        }
+        return true;
+    }
+    Reg2 u;
+    u.rid = -1;
+    u.flag = 0x4;
+    u.sub = 0;
+    return format_sam_se(opt, o2, bns, ann_names, s, u, -1, &regs, 1, rg, out);
+}
+
+// pipeline.py:93 worker2_se
+static bool worker2_se(const Opt &opt, const Opt2 &o2, const Bns &bns,
+                       const std::vector<std::string> &ann_names,
+                       const ReadSE &s, std::vector<Reg2> &regs,
+                       int64_t rid_id, const std::string &rg, std::string &out) {
+    int n_pri;
+    mark_primary(opt, regs, rid_id, n_pri);
+    for (auto &r : regs) r.flag = 0;
+    return reg2sam_se(opt, o2, bns, ann_names, s, regs, rg, out);
+}
+
 extern "C" {
 
 struct StrandFMC {
@@ -960,6 +1693,146 @@ int bt_worker1_batch(const StrandFMC *dau, const StrandFMC *par, const BnsC *bns
     }
     return 0;
 }
+
+struct Opt2C {
+    int32_t T;
+    double XA_drop_ratio, mask_level_redun, mapQ_coef_len, mapQ_coef_fac;
+    int32_t max_XA_hits, max_XA_hits_alt, pen_unpaired, pad;
+};
+
+// Fused worker1 + worker2 for SE reads: align, merge, mark-primary, and emit
+// final SAM lines per read. status[i] = 0 ok, -1 => rerun that read on the
+// Python engine (worker1 fallback gate, setSAM assert, or region overflow).
+// *out_buf receives one malloc'd buffer with the per-read SAM text
+// concatenated in order; out_lens[i] gives each read's byte length. The
+// caller must release it with bt_buf_free.
+int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
+                      const BnsC *bnsc, const OptC *optc, const Opt2C *o2c,
+                      const uint8_t *reads, const int64_t *offs, const int32_t *lens,
+                      const uint8_t *reads0, const int64_t *offs0, const int32_t *lens0,
+                      const char *quals, const int64_t *qoffs, const int32_t *qlens,
+                      const char *names, const int64_t *noffs, const int32_t *nlens,
+                      const int32_t *clip5, const int32_t *clip3,
+                      const uint8_t *py_only,
+                      const char *ann_names_cat, const int64_t *ann_name_offs,
+                      const char *rg, int32_t rg_len,
+                      int64_t n_processed, int32_t n_reads, int32_t n_threads,
+                      void **out_buf, int64_t *out_lens, int32_t *status) {
+    Ctx cx;
+    for (int i = 0; i < 2; ++i) {
+        const StrandFMC *s = i ? par : dau;
+        cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
+                            s->seq_len, s->n_words};
+    }
+    cx.bns = Bns{bnsc->ann_off, bnsc->ann_len, bnsc->ann_alt, bnsc->n_seqs,
+                 bnsc->pac, bnsc->l_pac};
+    Opt &o = cx.opt;
+    o.a = optc->a; o.b = optc->b;
+    o.o_del = optc->o_del; o.e_del = optc->e_del;
+    o.o_ins = optc->o_ins; o.e_ins = optc->e_ins;
+    o.pen_clip5 = optc->pen_clip5; o.pen_clip3 = optc->pen_clip3;
+    o.w = optc->w; o.zdrop = optc->zdrop;
+    o.max_mem_intv = optc->max_mem_intv;
+    o.min_seed_len = optc->min_seed_len;
+    o.split_width = optc->split_width;
+    o.max_occ = optc->max_occ;
+    o.max_chain_gap = optc->max_chain_gap;
+    o.split_factor = optc->split_factor;
+    o.mask_level = optc->mask_level;
+    o.drop_ratio = optc->drop_ratio;
+    o.min_chain_weight = optc->min_chain_weight;
+    o.max_chain_extend = optc->max_chain_extend;
+    o.flag = optc->flag;
+    o.parent_policy = optc->parent_policy;
+    o.bsstrand = optc->bsstrand;
+    std::memcpy(o.mats[0], optc->gamat, 25);
+    std::memcpy(o.mats[1], optc->ctmat, 25);
+    Opt2 o2;
+    o2.T = o2c->T;
+    o2.XA_drop_ratio = o2c->XA_drop_ratio;
+    o2.mask_level_redun = o2c->mask_level_redun;
+    o2.mapQ_coef_len = o2c->mapQ_coef_len;
+    o2.mapQ_coef_fac = o2c->mapQ_coef_fac;
+    o2.max_XA_hits = o2c->max_XA_hits;
+    o2.max_XA_hits_alt = o2c->max_XA_hits_alt;
+    o2.pen_unpaired = o2c->pen_unpaired;
+    std::vector<std::string> ann_names(cx.bns.n_seqs);
+    for (int i = 0; i < cx.bns.n_seqs; ++i)
+        ann_names[i].assign(ann_names_cat + ann_name_offs[i],
+                            ann_names_cat + ann_name_offs[i + 1]);
+    std::string rgs(rg, rg + rg_len);
+
+    std::vector<std::string> sams(n_reads);
+    auto run = [&](int lo, int hi) {
+        std::vector<Region> regs1;
+        for (int i = lo; i < hi; ++i) {
+            if (py_only[i]) { status[i] = -1; continue; }
+            regs1.clear();
+            bool fallback = false;
+            const uint8_t *seq = reads + offs[i];
+            int len = lens[i];
+            int pp = o.parent_policy;
+            if (!(pp & 1) || (pp >> 1))
+                align1_core(cx, seq, len, 0, regs1, fallback);
+            if (!(pp & 1) || !(pp >> 1))
+                align1_core(cx, seq, len, 1, regs1, fallback);
+            if (fallback) { status[i] = -1; continue; }
+            std::vector<Reg2> regs(regs1.size());
+            for (size_t j = 0; j < regs1.size(); ++j) {
+                const Region &r = regs1[j];
+                Reg2 &g = regs[j];
+                g.rb = r.rb; g.re = r.re; g.qb = r.qb; g.qe = r.qe;
+                g.rid = r.rid; g.score = r.score; g.truesc = r.truesc;
+                g.w = r.w; g.seedcov = r.seedcov; g.seedlen0 = r.seedlen0;
+                g.frac_rep = (double)r.frac_rep;
+                g.bss = r.bss; g.parent = r.parent;
+            }
+            ReadSE s;
+            s.seq = seq; s.l_seq = len;
+            s.seq0 = reads0 + offs0[i]; s.l_seq0 = lens0[i];
+            s.qual = quals + qoffs[i]; s.l_qual = qlens[i];
+            s.name = names + noffs[i]; s.name_len = nlens[i];
+            s.clip5 = clip5[i]; s.clip3 = clip3[i];
+            merge_regions2(o, o2, cx.bns, seq, len, regs);
+            if (!worker2_se(o, o2, cx.bns, ann_names, s, regs,
+                            n_processed + i, rgs, sams[i])) {
+                status[i] = -1;
+                continue;
+            }
+            status[i] = 0;
+        }
+    };
+    if (n_threads <= 1) {
+        run(0, n_reads);
+    } else {
+        std::vector<std::thread> ts;
+        int chunk = (n_reads + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; ++t) {
+            int lo = t * chunk, hi = std::min((int)n_reads, lo + chunk);
+            if (lo >= hi) break;
+            ts.emplace_back(run, lo, hi);
+        }
+        for (auto &t : ts) t.join();
+    }
+    int64_t total = 0;
+    for (int i = 0; i < n_reads; ++i) {
+        out_lens[i] = status[i] == 0 ? (int64_t)sams[i].size() : 0;
+        total += out_lens[i];
+    }
+    char *buf = (char *)std::malloc(total > 0 ? total : 1);
+    if (!buf) return -1;
+    int64_t off = 0;
+    for (int i = 0; i < n_reads; ++i) {
+        if (out_lens[i]) {
+            std::memcpy(buf + off, sams[i].data(), out_lens[i]);
+            off += out_lens[i];
+        }
+    }
+    *out_buf = buf;
+    return 0;
+}
+
+void bt_buf_free(void *p) { std::free(p); }
 
 }  // extern "C"
 
