@@ -62,6 +62,17 @@ class Opt2C(C.Structure):
                 ("pen_unpaired", C.c_int32), ("pad", C.c_int32)]
 
 
+class Opt3C(C.Structure):
+    _fields_ = [("max_ins", C.c_int64), ("max_matesw", C.c_int32),
+                ("verbose", C.c_int32)]
+
+
+class PeStatC(C.Structure):
+    _fields_ = [("low", C.c_int64), ("high", C.c_int64),
+                ("set_", C.c_int32), ("failed", C.c_int32),
+                ("avg", C.c_double), ("std_", C.c_double)]
+
+
 REG_CAP = 96
 
 
@@ -151,16 +162,10 @@ class NativeAligner:
         o.pen_unpaired = opt.pen_unpaired
         return o
 
-    def align_se_batch(self, opt: MemOpt, seqs, n_processed: int,
-                       rg_id: str, n_threads: int) -> List[Optional[str]]:
-        """Fused C++ worker1+worker2 for SE reads (bt_align_se_batch).
-        Returns per-read SAM text, or None for reads needing the Python
-        fallback. Reads must already be clipped (read_clipping)."""
+    def _marshal_reads(self, seqs):
+        """Pack per-read arrays for the fused C++ batch calls. Returns a dict
+        whose values must stay alive for the duration of the call."""
         n = len(seqs)
-        L = self.lib
-        L.bt_align_se_batch.restype = C.c_int
-        L.bt_buf_free.restype = None
-
         offs = np.zeros(n, np.int64)
         lens = np.zeros(n, np.int32)
         offs0 = np.zeros(n, np.int64)
@@ -193,29 +198,18 @@ class NativeAligner:
         for i, b in enumerate(ann_nm):
             ann_offs[i + 1] = ann_offs[i] + len(b)
         ann_buf = C.create_string_buffer(ann_cat, max(len(ann_cat), 1))
-        rgb = rg_id.encode()
+        return dict(reads=reads, offs=offs, lens=lens, reads0=reads0,
+                    offs0=offs0, lens0=lens0, quals=quals, qoffs=qoffs,
+                    qlens=qlens, names=names, noffs=noffs, nlens=nlens,
+                    clip5=clip5, clip3=clip3, py_only=py_only,
+                    ann_buf=ann_buf, ann_offs=ann_offs)
 
-        out_buf = C.c_void_p()
-        out_lens = np.zeros(n, np.int64)
-        status = np.zeros(n, np.int32)
-        rc = L.bt_align_se_batch(
-            C.byref(self.dau), C.byref(self.par), C.byref(self.bns),
-            C.byref(self._optc(opt)), C.byref(self._opt2c(opt)),
-            _ptr(reads), _ptr(offs), _ptr(lens),
-            _ptr(reads0), _ptr(offs0), _ptr(lens0),
-            quals, _ptr(qoffs), _ptr(qlens),
-            names, _ptr(noffs), _ptr(nlens),
-            _ptr(clip5), _ptr(clip3), _ptr(py_only),
-            ann_buf, _ptr(ann_offs),
-            rgb, len(rgb), C.c_int64(n_processed), n, n_threads,
-            C.byref(out_buf), _ptr(out_lens), _ptr(status))
-        if rc != 0:
-            raise RuntimeError(f"bt_align_se_batch rc={rc}")
+    def _collect_sams(self, out_buf, out_lens, status, n) -> List[Optional[str]]:
         try:
             total = int(out_lens.sum())
             blob = C.string_at(out_buf, total) if total else b""
         finally:
-            L.bt_buf_free(out_buf)
+            self.lib.bt_buf_free(out_buf)
         sams: List[Optional[str]] = [None] * n
         off = 0
         for i in range(n):
@@ -224,6 +218,77 @@ class NativeAligner:
                 sams[i] = blob[off:off + ln].decode()
             off += ln
         return sams
+
+    def align_se_batch(self, opt: MemOpt, seqs, n_processed: int,
+                       rg_id: str, n_threads: int) -> List[Optional[str]]:
+        """Fused C++ worker1+worker2 for SE reads (bt_align_se_batch).
+        Returns per-read SAM text, or None for reads needing the Python
+        fallback. Reads must already be clipped (read_clipping)."""
+        n = len(seqs)
+        L = self.lib
+        L.bt_align_se_batch.restype = C.c_int
+        L.bt_buf_free.restype = None
+        m = self._marshal_reads(seqs)
+        rgb = rg_id.encode()
+        out_buf = C.c_void_p()
+        out_lens = np.zeros(n, np.int64)
+        status = np.zeros(n, np.int32)
+        rc = L.bt_align_se_batch(
+            C.byref(self.dau), C.byref(self.par), C.byref(self.bns),
+            C.byref(self._optc(opt)), C.byref(self._opt2c(opt)),
+            _ptr(m["reads"]), _ptr(m["offs"]), _ptr(m["lens"]),
+            _ptr(m["reads0"]), _ptr(m["offs0"]), _ptr(m["lens0"]),
+            m["quals"], _ptr(m["qoffs"]), _ptr(m["qlens"]),
+            m["names"], _ptr(m["noffs"]), _ptr(m["nlens"]),
+            _ptr(m["clip5"]), _ptr(m["clip3"]), _ptr(m["py_only"]),
+            m["ann_buf"], _ptr(m["ann_offs"]),
+            rgb, len(rgb), C.c_int64(n_processed), n, n_threads,
+            C.byref(out_buf), _ptr(out_lens), _ptr(status))
+        if rc != 0:
+            raise RuntimeError(f"bt_align_se_batch rc={rc}")
+        return self._collect_sams(out_buf, out_lens, status, n)
+
+    def align_pe_batch(self, opt: MemOpt, seqs, n_processed: int,
+                       rg_id: str, n_threads: int, pes0=None):
+        """Fused C++ PE batch (bt_align_pe_batch). Returns (sams, pes):
+        per-read SAM text (None = Python fallback for that pair; all-None =
+        rerun the whole batch in Python) and the PeStat used."""
+        n = len(seqs)
+        L = self.lib
+        L.bt_align_pe_batch.restype = C.c_int
+        L.bt_buf_free.restype = None
+        m = self._marshal_reads(seqs)
+        rgb = rg_id.encode()
+        o3 = Opt3C()
+        o3.max_ins = opt.max_ins
+        o3.max_matesw = opt.max_matesw
+        o3.verbose = 1
+        pc = PeStatC()
+        if pes0 is not None:
+            pc.low, pc.high = pes0.low, pes0.high
+            pc.set_, pc.failed = pes0.set, pes0.failed
+            pc.avg, pc.std_ = pes0.avg, pes0.std
+        out_buf = C.c_void_p()
+        out_lens = np.zeros(n, np.int64)
+        status = np.zeros(n, np.int32)
+        rc = L.bt_align_pe_batch(
+            C.byref(self.dau), C.byref(self.par), C.byref(self.bns),
+            C.byref(self._optc(opt)), C.byref(self._opt2c(opt)), C.byref(o3),
+            _ptr(m["reads"]), _ptr(m["offs"]), _ptr(m["lens"]),
+            _ptr(m["reads0"]), _ptr(m["offs0"]), _ptr(m["lens0"]),
+            m["quals"], _ptr(m["qoffs"]), _ptr(m["qlens"]),
+            m["names"], _ptr(m["noffs"]), _ptr(m["nlens"]),
+            _ptr(m["clip5"]), _ptr(m["clip3"]), _ptr(m["py_only"]),
+            m["ann_buf"], _ptr(m["ann_offs"]),
+            rgb, len(rgb), C.c_int64(n_processed), n, n_threads,
+            C.byref(pc), 1 if pes0 is not None else 0,
+            C.byref(out_buf), _ptr(out_lens), _ptr(status))
+        if rc != 0:
+            raise RuntimeError(f"bt_align_pe_batch rc={rc}")
+        pes = PeStat(low=int(pc.low), high=int(pc.high), set=int(pc.set_),
+                     failed=int(pc.failed), avg=float(pc.avg),
+                     std=float(pc.std_)) if pes0 is None else pes0
+        return self._collect_sams(out_buf, out_lens, status, n), pes
 
     def worker1_batch(self, opt: MemOpt, seqs, n_threads: int) -> List[AlnRegs]:
         n = len(seqs)
@@ -362,6 +427,33 @@ def process_seqs_native(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
                       else opt.adaptor2, opt)
 
     n_workers = max(1, opt.n_threads)
+    if pe and not (opt.flag & MEM_F_REF_HDR):
+        sams, pes = nat.align_pe_batch(opt, seqs, n_processed, rg_id,
+                                       n_workers, pes0)
+        if any(s is not None for s in sams):
+            for pi in range(len(seqs) >> 1):
+                i0 = pi << 1
+                if sams[i0] is not None:
+                    seqs[i0].sam = sams[i0]
+                    seqs[i0 + 1].sam = sams[i0 + 1]
+                    continue
+                # per-pair Python fallback, reusing the batch pes
+                rp = []
+                for i in (i0, i0 + 1):
+                    s = seqs[i]
+                    regs = AlnRegs()
+                    first = 1 if i % 2 == 0 else 0
+                    align1_core(opt, st, s, regs, first)
+                    if not opt.parent:
+                        align1_core(opt, st, s, regs, 1 - first)
+                    merge_regions(opt, st.idx, s.seq, s.l_seq, regs)
+                    rp.append(regs)
+                worker2_pe(opt, st, (seqs[i0], seqs[i0 + 1]),
+                           (rp[0], rp[1]), pes, n_processed, pi, rg_id)
+            return
+        # whole-batch fallback (rare: a read hit the worker1 gate) — fall
+        # through to the region-marshaling path below
+
     if not pe and not (opt.flag & MEM_F_REF_HDR):
         # fused C++ worker1+worker2 (SAM text straight from the library)
         sams = nat.align_se_batch(opt, seqs, n_processed, rg_id, n_workers)

@@ -868,6 +868,10 @@ struct Reg2 {
         bss_u = 0;
     std::vector<std::pair<int, int>> cigar;
     std::string md;
+    // Python regions are objects with stable identity; vector entries are
+    // not. `serial` tracks identity across sort_deduplicate reorders/removals
+    // (needed by matesw, which holds references across mutations).
+    uint32_t serial = 0;
 };
 
 struct ReadSE {
@@ -1141,6 +1145,7 @@ static int mapq_se(const Opt &opt, const Opt2 &o2, const Reg2 &a) {
 static bool test_reg_concat(const Opt &opt, const Bns &bns,
                             const uint8_t *query, const Reg2 &a, const Reg2 &b,
                             int &score_out, int &w_out) {
+    if (!query) return false;  // region.py:316 (idx/query None => no patching)
     if (a.rb < bns.l_pac && b.rb >= bns.l_pac) return false;
     if (a.qb >= b.qb || a.qe >= b.qe || a.re >= b.re) return false;
     int w = (int)std::llabs((a.re - b.rb) - (int64_t)(a.qe - b.qb));
@@ -1165,9 +1170,12 @@ static bool test_reg_concat(const Opt &opt, const Bns &bns,
     return score > 0;
 }
 
-// region.py:342 sort_deduplicate (mem_alnreg.c:112-195)
+// region.py:342 sort_deduplicate (mem_alnreg.c:112-195). `graveyard`, when
+// given, receives the filtered-out entries (their final field values) so
+// matesw's held references stay observable, as in Python.
 static void sort_deduplicate(const Opt &opt, const Opt2 &o2, const Bns &bns,
-                             const uint8_t *query, std::vector<Reg2> &regs) {
+                             const uint8_t *query, std::vector<Reg2> &regs,
+                             std::vector<Reg2> *graveyard = nullptr) {
     if (regs.size() <= 1) return;
     std::stable_sort(regs.begin(), regs.end(),
                      [](const Reg2 &x, const Reg2 &y) { return x.re < y.re; });
@@ -1206,7 +1214,10 @@ static void sort_deduplicate(const Opt &opt, const Opt2 &o2, const Bns &bns,
     {
         std::vector<Reg2> keep;
         keep.reserve(regs.size());
-        for (auto &p : regs) if (p.qe > p.qb) keep.push_back(std::move(p));
+        for (auto &p : regs) {
+            if (p.qe > p.qb) keep.push_back(std::move(p));
+            else if (graveyard) graveyard->push_back(std::move(p));
+        }
         regs.swap(keep);
     }
     std::stable_sort(regs.begin(), regs.end(),
@@ -1222,8 +1233,12 @@ static void sort_deduplicate(const Opt &opt, const Opt2 &o2, const Bns &bns,
     {
         std::vector<Reg2> keep;
         keep.reserve(regs.size());
-        for (size_t i = 0; i < regs.size(); ++i)
-            if (i == 0 || regs[i].qe > regs[i].qb) keep.push_back(std::move(regs[i]));
+        for (size_t i = 0; i < regs.size(); ++i) {
+            if (i == 0 || regs[i].qe > regs[i].qb)
+                keep.push_back(std::move(regs[i]));
+            else if (graveyard)
+                graveyard->push_back(std::move(regs[i]));
+        }
         regs.swap(keep);
     }
 }
@@ -1564,6 +1579,721 @@ static bool worker2_se(const Opt &opt, const Opt2 &o2, const Bns &bns,
     return reg2sam_se(opt, o2, bns, ann_names, s, regs, rg, out);
 }
 
+// =====================================================================
+// PE: insert-size stats, mate rescue (striped-SW emulation), pairing,
+// and paired SAM emission. Ports align/pair.py (pestat/mem_pair),
+// region.py:475-559 (isize helpers + matesw), ops/sw.py:228-318
+// (sw_align/_local_core striped u8/i16 emulation), and
+// sam.py:286-565 (full format_sam, reg2sam_pe{,_nopairing}).
+// =====================================================================
+
+struct Opt3 {  // PE-only knobs (config.py)
+    int64_t max_ins;
+    int max_matesw;
+};
+
+struct PeStatS {
+    int64_t low = 0, high = 0;
+    int set_ = 0, failed = 0;
+    double avg = 0.0, std = 0.0;
+};
+
+// region.py:475 infer_isize
+static bool infer_isize(int64_t pos1, int64_t pos2, int isrev1, int isrev2,
+                        int len1, int len2, int64_t &out) {
+    if (isrev1 && !isrev2) { out = pos1 - pos2 + len1; return true; }
+    if (isrev2 && !isrev1) { out = pos2 - pos1 + len2; return true; }
+    return false;
+}
+
+// region.py:483 alnreg_isize
+static bool alnreg_isize(const Bns &bns, const Reg2 &r1, const Reg2 &r2,
+                         int64_t &out) {
+    if (r1.rid != r2.rid) return false;
+    bool isrev1 = r1.rb > bns.l_pac;
+    bool isrev2 = r2.rb > bns.l_pac;
+    int64_t pos1 = isrev1 ? (bns.l_pac << 1) - 1 - r1.rb : r1.rb;
+    int64_t pos2 = isrev2 ? (bns.l_pac << 1) - 1 - r2.rb : r2.rb;
+    return infer_isize(pos1, pos2, isrev1, isrev2, r1.qe - r1.qb,
+                       r2.qe - r2.qb, out);
+}
+
+// region.py:493 is_proper_pair
+static bool is_proper_pair(const Bns &bns, const Reg2 &r1, const Reg2 &r2,
+                           const PeStatS &pes) {
+    int64_t isize;
+    if (!alnreg_isize(bns, r1, r2, isize)) return false;
+    return pes.low <= isize && isize <= pes.high;
+}
+
+// pair.py:31 _cal_sub
+static int cal_sub(const Opt &opt, const std::vector<Reg2> &regs) {
+    const Reg2 &best = regs[0];
+    for (size_t j = 1; j < regs.size(); ++j) {
+        const Reg2 &p = regs[j];
+        int b_max = std::max(p.qb, best.qb);
+        int e_min = std::min(p.qe, best.qe);
+        if (e_min > b_max) {
+            int min_l = std::min(p.qe - p.qb, best.qe - best.qb);
+            if (e_min - b_max >= min_l * opt.mask_level) return p.score;
+        }
+    }
+    return opt.min_seed_len * opt.a;
+}
+
+// pair.py:44 pestat (mem_pestat). Prints the reference's [M::mem_pestat]
+// progress lines to stderr like the Python engine does.
+static void pestat(const Opt &opt, const Opt3 &o3, const Bns &bns,
+                   const std::vector<std::vector<Reg2>> &all_regs,
+                   PeStatS &pes, bool verbose) {
+    std::vector<int64_t> isize;
+    size_t n = all_regs.size();
+    for (size_t i = 0; i < n >> 1; ++i) {
+        const std::vector<Reg2> &r0 = all_regs[i << 1];
+        const std::vector<Reg2> &r1 = all_regs[(i << 1) | 1];
+        if (r0.empty() || r1.empty()) continue;
+        const Reg2 &best0 = r0[0], &best1 = r1[0];
+        if (cal_sub(opt, r0) > 0.8 * best0.score) continue;
+        if (cal_sub(opt, r1) > 0.8 * best1.score) continue;
+        if (best0.rid != best1.rid) continue;
+        if (best0.bss != best1.bss) continue;
+        int64_t is_;
+        if (alnreg_isize(bns, best0, best1, is_)
+            && -o3.max_ins <= is_ && is_ <= o3.max_ins)
+            isize.push_back(is_);
+    }
+    pes = PeStatS();
+    if (verbose)
+        fprintf(stderr, "[M::mem_pestat] # candidate unique pairs: %zu\n",
+                isize.size());
+    if ((int)isize.size() < 10) {
+        if (verbose)
+            fprintf(stderr, "[M:mem_pestat] There are not enough pairs for insert size inference\n");
+        pes.failed = 1;
+        return;
+    }
+    std::sort(isize.begin(), isize.end());
+    int64_t p25 = isize[(size_t)(0.25 * isize.size() + 0.499)];
+    int64_t p50 = isize[(size_t)(0.50 * isize.size() + 0.499)];
+    int64_t p75 = isize[(size_t)(0.75 * isize.size() + 0.499)];
+    pes.low = (int64_t)(p25 - 2.0 * (p75 - p25) + 0.499);
+    pes.high = (int64_t)(p75 + 2.0 * (p75 - p25) + 0.499);
+    if (verbose) {
+        fprintf(stderr, "[M::mem_pestat] (25, 50, 75) percentile: (%lld, %lld, %lld)\n",
+                (long long)p25, (long long)p50, (long long)p75);
+        fprintf(stderr, "[M::mem_pestat] low and high boundaries for computing mean and std.dev: (%lld, %lld)\n",
+                (long long)pes.low, (long long)pes.high);
+    }
+    int64_t cnt = 0;
+    double sum = 0.0;
+    for (int64_t v : isize)
+        if (pes.low <= v && v <= pes.high) { sum += (double)v; ++cnt; }
+    pes.avg = sum / cnt;
+    double var = 0.0;
+    for (int64_t v : isize)
+        if (pes.low <= v && v <= pes.high)
+            var += ((double)v - pes.avg) * ((double)v - pes.avg);
+    pes.std = std::sqrt(var / cnt);
+    if (verbose)
+        fprintf(stderr, "[M::mem_pestat] mean and std.dev: (%.2f, %.2f)\n",
+                pes.avg, pes.std);
+    pes.low = (int64_t)(p25 - 3.0 * (p75 - p25) + 0.499);
+    pes.high = (int64_t)(p75 + 3.0 * (p75 - p25) + 0.499);
+    if ((double)pes.low > pes.avg - 4.0 * pes.std)
+        pes.low = (int64_t)(pes.avg - 4.0 * pes.std + 0.499);
+    if ((double)pes.high < pes.avg + 4.0 * pes.std)
+        pes.high = (int64_t)(pes.avg + 4.0 * pes.std + 0.499);
+    if (verbose)
+        fprintf(stderr, "[M::mem_pestat] low and high boundaries for proper pairs: (%lld, %lld)\n",
+                (long long)pes.low, (long long)pes.high);
+}
+
+// ops/sw.py:228 _local_core — scalar equivalent of the striped ksw_i16/u8
+// kernels including the lane-padding echo and 255 saturation quirks.
+struct KswRes { int score = 0, te = -1, qe = -1, score2 = -1, te2 = -1,
+                    tb = -1, qb = -1; };
+
+static void local_core(const uint8_t *query, int qlen0, const uint8_t *target,
+                       int tlen, const int8_t *mat, int o_del, int e_del,
+                       int o_ins, int e_ins, int minsc, int endsc, bool u8,
+                       KswRes &r) {
+    r = KswRes();
+    if (qlen0 == 0 || tlen == 0) return;
+    int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    int lanes = u8 ? 16 : 8;
+    int8_t mat_min = 127, mat_max = -128;
+    for (int i = 0; i < 25; ++i) {
+        mat_min = std::min(mat_min, mat[i]);
+        mat_max = std::max(mat_max, mat[i]);
+    }
+    int shift = u8 ? ((256 - (int)mat_min) & 0xFF) : 0;
+    int qlen = (qlen0 + lanes - 1) / lanes * lanes;  // zero-scoring pad lanes
+    std::vector<int64_t> H(qlen, 0), E(qlen, 0), Hmax(qlen, 0);
+    int64_t gmax = 0;
+    int te = -1;
+    std::vector<std::pair<int64_t, int>> b;  // (imax, i) runs
+    for (int i = 0; i < tlen; ++i) {
+        const int8_t *S = mat + (int)target[i] * 5;
+        int64_t diag = 0;  // H[-1] treated as 0
+        int64_t F = 0;
+        int64_t imax = 0;
+        for (int j = 0; j < qlen; ++j) {
+            int sc = j < qlen0 ? S[query[j]] : 0;
+            int64_t M = diag + sc;
+            if (M < 0) M = 0;
+            int64_t H1 = std::max(M, E[j]);
+            int64_t h = std::max(H1, F);
+            diag = H[j];
+            H[j] = h;
+            if (h > imax) imax = h;
+            E[j] = std::max(E[j] - e_del, std::max(h - oe_del, (int64_t)0));
+            F = std::max(F - e_ins, std::max(h - oe_ins, (int64_t)0));
+        }
+        if (imax >= minsc) {
+            if (b.empty() || b.back().second + 1 != i) b.push_back({imax, i});
+            else if (b.back().first < imax) b.back() = {imax, i};
+        }
+        if (imax > gmax) {
+            gmax = imax;
+            te = i;
+            Hmax = H;
+            if ((u8 && gmax + shift >= 255) || gmax >= endsc) break;
+        }
+    }
+    r.score = (u8 && gmax + shift >= 255) ? 255 : (int)gmax;
+    r.te = te;
+    if (u8 && r.score == 255) return;  // reference skips qe/score2 (ksw.c:211)
+    int64_t mx = -1;
+    for (int j = 0; j < qlen; ++j) mx = std::max(mx, Hmax[j]);
+    if (mx >= 0)
+        for (int j = 0; j < qlen; ++j)
+            if (Hmax[j] == mx) { r.qe = j; break; }
+    if (!b.empty()) {
+        int iw = (r.score + mat_max - 1) / mat_max;
+        int low = te - iw, high = te + iw;
+        for (auto &se : b)
+            if ((se.second < low || se.second > high) && se.first > r.score2) {
+                r.score2 = (int)se.first;
+                r.te2 = se.second;
+            }
+    }
+}
+
+// CAUTION (ops/sw.py:247-269): the E/F recurrences here derive from h AFTER
+// the f-max, not from H1 — the Python kernel proves the closed forms agree
+// because oe >= e; the scalar loop above uses h directly, matching the
+// reference's lazy-F fixed point. Verified against ref_bindings in
+// tests/test_sw.py and E2E.
+
+// ops/sw.py:300 sw_align (ksw_align2)
+static void sw_align(const uint8_t *query, int qlen, const uint8_t *target,
+                     int tlen, const int8_t *mat, int o_del, int e_del,
+                     int o_ins, int e_ins, int xsubo, bool xbyte, KswRes &r) {
+    int minsc = xsubo, endsc = 0x10000;
+    local_core(query, qlen, target, tlen, mat, o_del, e_del, o_ins, e_ins,
+               minsc, endsc, xbyte, r);
+    if (r.score < minsc) return;
+    std::vector<uint8_t> rq(query, query + r.qe + 1);
+    std::vector<uint8_t> rt(target, target + r.te + 1);
+    std::reverse(rq.begin(), rq.end());
+    std::reverse(rt.begin(), rt.end());
+    KswRes rr;
+    local_core(rq.data(), (int)rq.size(), rt.data(), (int)rt.size(), mat,
+               o_del, e_del, o_ins, e_ins, 0x10000, r.score, xbyte, rr);
+    if (r.score == rr.score) {
+        r.tb = r.te - rr.te;
+        r.qb = r.qe - rr.qe;
+    }
+}
+
+// region.py:498 _matesw_core (mem_alnreg_matesw_core)
+static void matesw_core(const Opt &opt, const Opt2 &o2, const Bns &bns,
+                        const PeStatS &pes, const Reg2 &reg, int l_ms,
+                        const uint8_t *ms, std::vector<Reg2> &mregs,
+                        std::vector<Reg2> *graveyard, uint32_t &next_serial) {
+    int64_t l_pac = bns.l_pac;
+    for (const Reg2 &mr : mregs) {
+        int64_t isize;
+        if (alnreg_isize(bns, reg, mr, isize)
+            && pes.low <= isize && isize <= pes.high)
+            return;
+    }
+    std::vector<uint8_t> rev(l_ms);
+    for (int j = 0; j < l_ms; ++j) {
+        uint8_t c = ms[l_ms - 1 - j];
+        rev[j] = c < 4 ? 3 - c : 4;
+    }
+    int64_t rb = std::max((int64_t)0, reg.rb + pes.low - l_ms);
+    int64_t re = std::min(l_pac << 1, reg.rb + pes.high);
+    if (rb >= re) return;
+    std::vector<uint8_t> ref;
+    int rid = fetch_seq(bns, rb, (rb + re) >> 1, re, ref);
+    if (reg.rid != rid || re - rb < opt.min_seed_len) return;
+    int parent = reg.bss ^ (reg.rb < l_pac ? 1 : 0);
+    KswRes aln;
+    // xbyte: the reference uses the u8 striped kernel when l_ms*a < 250
+    sw_align(rev.data(), l_ms, ref.data(), (int)ref.size(),
+             parent ? opt.mats[0] : opt.mats[1],  // gamat if parent else ctmat
+             opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+             opt.min_seed_len * opt.a, l_ms * opt.a < 250, aln);
+    if (aln.score >= opt.min_seed_len && aln.qb >= 0) {
+        Reg2 b;
+        b.rid = reg.rid;
+        b.is_alt = reg.is_alt;
+        b.qb = l_ms - (aln.qe + 1);
+        b.qe = l_ms - aln.qb;
+        b.rb = (l_pac << 1) - (rb + aln.te + 1);
+        b.re = (l_pac << 1) - (rb + aln.tb);
+        b.score = aln.score;
+        b.csub = aln.score2;
+        b.secondary = -1;
+        b.seedcov = (int)(std::min(b.re - b.rb, (int64_t)(b.qe - b.qb)) >> 1);
+        b.bss = reg.bss;
+        b.parent = 1 - parent;
+        b.serial = next_serial++;
+        size_t i = 0;
+        while (i < mregs.size() && mregs[i].score >= b.score) ++i;
+        mregs.insert(mregs.begin() + i, b);
+        // sort_deduplicate with idx=None/query=None: concat test disabled
+        sort_deduplicate(opt, o2, bns, nullptr, mregs, graveyard);
+    }
+}
+
+// region.py:546 matesw (mem_alnreg_matesw). Python's `good` lists hold live
+// object references collected before any rescue mutates the region lists;
+// we track them by serial and consult graveyards for removed entries.
+static void matesw(const Opt &opt, const Opt2 &o2, const Opt3 &o3,
+                   const Bns &bns, const PeStatS &pes,
+                   const ReadSE &s0, const ReadSE &s1,
+                   std::vector<Reg2> &regs0, std::vector<Reg2> &regs1,
+                   uint32_t &next_serial) {
+    std::vector<uint32_t> good[2];
+    std::vector<Reg2> *rp[2] = {&regs0, &regs1};
+    const ReadSE *sp[2] = {&s0, &s1};
+    std::vector<Reg2> grave[2];
+    for (int i = 0; i < 2; ++i)
+        for (const Reg2 &r : *rp[i])
+            if (!rp[i]->empty() && r.score >= (*rp[i])[0].score - o2.pen_unpaired)
+                good[i].push_back(r.serial);
+    auto lookup = [&](int list, uint32_t serial) -> const Reg2 * {
+        for (const Reg2 &r : *rp[list]) if (r.serial == serial) return &r;
+        for (const Reg2 &r : grave[list]) if (r.serial == serial) return &r;
+        return nullptr;
+    };
+    for (int i = 0; i < 2; ++i)
+        for (size_t j = 0; j < good[i].size(); ++j) {
+            if ((int)j >= o3.max_matesw) break;
+            const Reg2 *r = lookup(i, good[i][j]);
+            if (!r) continue;  // unreachable: removed entries live in grave
+            Reg2 snapshot = *r;  // matesw_core may reorder/remove from rp[i]?
+            // (it only mutates rp[1-i]; snapshot also guards vector realloc)
+            matesw_core(opt, o2, bns, pes, snapshot, sp[1 - i]->l_seq,
+                        sp[1 - i]->seq, *rp[1 - i], &grave[1 - i],
+                        next_serial);
+        }
+}
+
+// pair.py:105 region_depos
+static int64_t region_depos(const Bns &bns, const Reg2 &reg) {
+    bool is_rev;
+    int64_t rpos = depos(bns, reg.rb < bns.l_pac ? reg.rb : reg.re - 1, is_rev);
+    return rpos - bns.ann_off[reg.rid];
+}
+
+// pair.py:110 mem_pair. Returns score (0 => no pairing); z = chosen indices.
+static int mem_pair(const Opt &opt, const Bns &bns, const PeStatS &pes,
+                    std::vector<Reg2> *regs_pair[2], const int n_pri[2],
+                    int64_t pair_id, int &sub_out, int &n_sub_out, int z[2]) {
+    struct V { uint64_t x, y; int z; };
+    std::vector<V> v;
+    for (int r = 0; r < 2; ++r) {
+        std::vector<Reg2> &regs = *regs_pair[r];
+        for (int i = 0; i < n_pri[r]; ++i) {
+            const Reg2 &p = regs[i];
+            uint64_t x = ((uint64_t)(p.bss & 1) << 63)
+                | ((uint64_t)(uint32_t)p.rid << 32)
+                | (uint64_t)(uint32_t)(region_depos(bns, p) & 0xFFFFFFFF);
+            uint64_t y = ((uint64_t)(uint32_t)p.score << 32)
+                | ((uint64_t)i << 2)
+                | ((p.rb >= bns.l_pac ? 1ULL : 0ULL) << 1) | (uint64_t)r;
+            v.push_back({x, y, p.qe - p.qb});
+        }
+    }
+    std::stable_sort(v.begin(), v.end(), [](const V &a, const V &b) {
+        if (a.x != b.x) return a.x < b.x;
+        return a.y < b.y;
+    });
+    struct PP { uint64_t x, y; };
+    std::vector<PP> pp;
+    int64_t maxlh = std::max(pes.low, pes.high);
+    for (int i = 0; i < (int)v.size(); ++i) {
+        for (int k = i - 1; k >= 0; --k) {
+            if (v[i].x >> 32 != v[k].x >> 32) break;
+            if (v[i].x >> 63 != v[k].x >> 63) break;
+            if ((int64_t)((v[i].x & 0xFFFFFFFF) - (v[k].x & 0xFFFFFFFF)) > maxlh) break;
+            if ((v[i].y & 1) == (v[k].y & 1)) break;
+            int64_t is_;
+            if (infer_isize((int64_t)(v[k].x & 0xFFFFFFFF),
+                            (int64_t)(v[i].x & 0xFFFFFFFF),
+                            (int)((v[k].y >> 1) & 1), (int)((v[i].y >> 1) & 1),
+                            v[k].z, v[i].z, is_)
+                && pes.low <= is_ && is_ <= pes.high) {
+                double zscore = ((double)is_ - pes.avg) / pes.std;
+                // 1/sqrt(2) computed like Python's `1 / math.sqrt(2)` so the
+                // double matches bit-for-bit (may differ 1 ulp from M_SQRT1_2)
+                double inv_sqrt2 = 1.0 / std::sqrt(2.0);
+                double raw = (double)(v[i].y >> 32) + (double)(v[k].y >> 32)
+                    + 0.721 * std::log(2.0 * std::erfc(std::fabs(zscore) * inv_sqrt2)) * opt.a
+                    + 0.499;
+                int64_t score_ = std::max((int64_t)0, (int64_t)raw);
+                uint64_t y = ((uint64_t)k << 32) | (uint64_t)i;
+                uint64_t x = ((uint64_t)score_ << 32)
+                    | (hash_64(y ^ ((uint64_t)pair_id << 8)) & 0xFFFFFFFF);
+                pp.push_back({x, y});
+            }
+        }
+    }
+    z[0] = z[1] = -1;
+    if (pp.empty()) { sub_out = 0; n_sub_out = 0; return 0; }
+    std::stable_sort(pp.begin(), pp.end(), [](const PP &a, const PP &b) {
+        if (a.x != b.x) return a.x < b.x;
+        return a.y < b.y;
+    });
+    uint64_t yi = pp.back().y >> 32;       // k
+    uint64_t yk = pp.back().y & 0xFFFFFFFF;  // i
+    int ii = (int)yk, kk = (int)yi;
+    z[v[ii].y & 1] = (int)((v[ii].y & 0xFFFFFFFF) >> 2);
+    z[v[kk].y & 1] = (int)((v[kk].y & 0xFFFFFFFF) >> 2);
+    int score = (int)(pp.back().x >> 32);
+    int sub = pp.size() > 1 ? (int)(pp[pp.size() - 2].x >> 32) : 0;
+    int tmp = std::max(std::max(opt.a + opt.b, opt.o_del + opt.e_del),
+                       opt.o_ins + opt.e_ins);
+    int n_sub = 0;
+    for (int j = (int)pp.size() - 2; j >= 0; --j)
+        if (sub - (int)(pp[j].x >> 32) <= tmp) ++n_sub;
+    sub_out = sub;
+    n_sub_out = n_sub;
+    return score;
+}
+
+// sam.py:43 get_rlen
+static int64_t get_rlen(const std::vector<std::pair<int, int>> &cigar) {
+    int64_t n = 0;
+    for (auto &oc : cigar)
+        if (oc.first == 0 || oc.first == 2) n += oc.second;
+    return n;
+}
+
+// sam.py:447 raw_mapq
+static int raw_mapq(int diff, int a) {
+    return (int)(6.02 * diff / a + 0.499);
+}
+
+// sam.py:286 format_sam — full version with mate handling. p0_orig is the
+// live region in regs0 (identity for SA/XA); m0 may be null (SE / unmapped
+// mate synthesized by the caller).
+static bool format_sam(const Opt &opt, const Opt2 &o2, const Bns &bns,
+                       const std::vector<std::string> &ann_names,
+                       const ReadSE &s, const Reg2 &p0, int p0_idx,
+                       const Reg2 *m0, std::vector<Reg2> *regs0,
+                       int is_primary, const PeStatS *pes,
+                       const std::string &rg, std::string &out) {
+    Reg2 p = p0;
+    Reg2 mcopy;
+    Reg2 *m = nullptr;
+    if (m0) { mcopy = *m0; m = &mcopy; }
+    p.flag |= m0 ? 0x1 : 0;
+    p.flag |= (m0 && m->rid < 0) ? 0x8 : 0;
+    if (m0 && m0->bss_u == 0) p.bss_u = 0;
+    if (p.rid >= 0 && m0 && m->rid >= 0 && pes
+        && is_proper_pair(bns, p, *m, *pes)) {
+        p.flag |= 2;
+        m->flag |= 2;
+    }
+    if (p.rid < 0 && m0 && m->rid >= 0) {
+        p.rid = m->rid;
+        p.pos = m->pos;
+        p.is_rev = m->is_rev;
+        p.n_cigar = 0;
+        p.cigar.clear();
+    }
+    if (m0 && m->rid < 0 && p.rid >= 0) {
+        m->rid = p.rid;
+        m->pos = p.pos;
+        m->is_rev = p.is_rev;
+        m->n_cigar = 0;
+        m->cigar.clear();
+    }
+    p.flag |= (m0 && m->is_rev) ? 0x20 : 0;
+
+    out.append(s.name, s.name_len);
+    out += '\t';
+    out += std::to_string((p.flag & 0xFFFF) | ((p.flag & 0x10000) ? 0x100 : 0));
+    out += '\t';
+    if (p.rid >= 0) {
+        out += ann_names[p.rid];
+        out += '\t';
+        out += std::to_string(p.pos + 1);
+        out += '\t';
+        out += std::to_string(p.mapq);
+        out += '\t';
+        if (p.n_cigar) cigar_str(p.cigar, is_primary, opt, p.is_alt, out);
+        else out += '*';
+    } else {
+        out += "*\t0\t0\t*";
+    }
+    out += '\t';
+    if (m0 && m->rid >= 0) {
+        if (p.rid == m->rid) out += '=';
+        else out += ann_names[m->rid];
+        out += '\t';
+        out += std::to_string(m->pos + 1);
+        out += '\t';
+        if (p.rid == m->rid) {
+            int64_t pp0 = -1, pp1 = -1;
+            if (p.is_rev)
+                pp1 = p.pos + (p.n_cigar ? get_rlen(p.cigar) : 0) - 1;
+            else pp0 = p.pos;
+            if (m->is_rev)
+                pp1 = m->pos + (m->n_cigar ? get_rlen(m->cigar) : 0) - 1;
+            else pp0 = m->pos;
+            if (p.n_cigar > 0 && m->n_cigar > 0 && pp0 >= 0 && pp1 >= 0)
+                out += std::to_string(pp1 - pp0 + 1);
+            else out += '0';
+        } else {
+            out += '0';
+        }
+    } else {
+        out += "*\t0\t0";
+    }
+    out += '\t';
+    if (p.flag & 0x100) {
+        out += "*\t*";
+    } else {
+        static const char FWD[] = "ACGTN", COMP[] = "TGCAN";
+        int qb = 0, qe = s.l_seq0;
+        bool hard = p.n_cigar && !is_primary && !(opt.flag & 0x200) && !p.is_alt;
+        if (p.is_rev) {
+            if (hard) {
+                if (p.cigar.front().first == 3 || p.cigar.front().first == 4)
+                    qe -= p.cigar.front().second;
+                if (p.cigar.back().first == 3 || p.cigar.back().first == 4)
+                    qb += p.cigar.back().second;
+            }
+            for (int j = qe - 1; j >= qb; --j)
+                out += COMP[s.seq0[j] < 4 ? s.seq0[j] : 4];
+            out += '\t';
+            if (s.l_qual) for (int j = qe - 1; j >= qb; --j) out += s.qual[j];
+            else out += '*';
+        } else {
+            if (hard) {
+                if (p.cigar.front().first == 3 || p.cigar.front().first == 4)
+                    qb += p.cigar.front().second;
+                if (p.cigar.back().first == 3 || p.cigar.back().first == 4)
+                    qe -= p.cigar.back().second;
+            }
+            for (int j = qb; j < qe; ++j)
+                out += FWD[s.seq0[j] < 4 ? s.seq0[j] : 4];
+            out += '\t';
+            if (s.l_qual) out.append(s.qual + qb, qe - qb);
+            else out += '*';
+        }
+    }
+    if (p.n_cigar) {
+        out += "\tNM:i:";
+        out += std::to_string(p.NM);
+        out += "\tMD:Z:";
+        out += p.md;
+        out += "\tZC:i:";
+        out += std::to_string(p.ZC);
+        out += "\tZR:i:";
+        out += std::to_string(p.ZR);
+    }
+    if (p.score >= 0) { out += "\tAS:i:"; out += std::to_string(p.score); }
+    if (p.sub >= 0) { out += "\tXS:i:"; out += std::to_string(std::max(p.sub, p.csub)); }
+    if (!rg.empty()) { out += "\tRG:Z:"; out += rg; }
+    tag_SA(opt, ann_names, p0_idx, p0.flag, regs0, out);
+    if (is_primary && p.alt_sc > 0) {
+        char buf[32];
+        snprintf(buf, sizeof buf, "\tPA:f:%.3f", (double)p.score / p.alt_sc);
+        out += buf;
+    }
+    out += "\tXL:i:";
+    out += std::to_string(s.l_seq);
+    if (!tag_XAXB(opt, o2, bns, ann_names, s, p0_idx, regs0, out)) return false;
+    out += "\tMC:Z:";
+    if (m && m->n_cigar) cigar_str(m->cigar, is_primary, opt, m->is_alt, out);
+    else out += '*';
+    out += "\tMQ:i:";
+    out += std::to_string(m ? m->mapq : 0);
+    out += "\tYD:A:";
+    out += p.bss_u ? 'u' : "fr"[p.bss];
+    out += '\n';
+    return true;
+}
+
+// sam.py:451 reg2sam_pe_nopairing
+static bool reg2sam_pe_nopairing(const Opt &opt, const Opt2 &o2, const Bns &bns,
+                                 const std::vector<std::string> &ann_names,
+                                 const ReadSE *seqs[2],
+                                 std::vector<Reg2> *regs_pair[2],
+                                 const PeStatS *pes, const std::string &rg,
+                                 std::string out[2]) {
+    Reg2 synth[2];
+    const Reg2 *best[2] = {nullptr, nullptr};
+    int best_idx[2] = {-1, -1};
+    std::vector<int> to_outputs[2];
+    for (int i = 0; i < 2; ++i) {
+        if (!select_format(opt, o2, bns, *seqs[i], *regs_pair[i], to_outputs[i]))
+            return false;
+        if (!to_outputs[i].empty()) {
+            best_idx[i] = to_outputs[i][0];
+            best[i] = &(*regs_pair[i])[best_idx[i]];
+        } else {
+            synth[i].rid = -1;
+            synth[i].flag = (0x40 << i) | 0x1 | 0x4;
+            synth[i].sub = 0;
+            best[i] = &synth[i];
+        }
+    }
+    for (int i = 0; i < 2; ++i) {
+        std::vector<Reg2> &regs = *regs_pair[i];
+        if (!to_outputs[i].empty()) {
+            for (size_t j = 0; j < to_outputs[i].size(); ++j) {
+                int k = to_outputs[i][j];
+                Reg2 snapshot = regs[k];
+                // best[1-i] may alias an entry that later setSAMs mutate;
+                // Python passes the live object — mirror via current value
+                if (!format_sam(opt, o2, bns, ann_names, *seqs[i], snapshot, k,
+                                best[1 - i], &regs, j == 0 ? 1 : 0, pes, rg,
+                                out[i]))
+                    return false;
+            }
+        } else {
+            if (!format_sam(opt, o2, bns, ann_names, *seqs[i], *best[i], -1,
+                            best[1 - i], nullptr, 1, pes, rg, out[i]))
+                return false;
+        }
+    }
+    return true;
+}
+
+// sam.py:484 reg2sam_pe (mem_reg2sam_pe)
+static bool reg2sam_pe(const Opt &opt, const Opt2 &o2, const Bns &bns,
+                       const std::vector<std::string> &ann_names,
+                       int64_t pair_id, const ReadSE *seqs[2],
+                       std::vector<Reg2> *regs_pair[2], const int n_pri[2],
+                       const PeStatS &pes, const std::string &rg,
+                       std::string out[2]) {
+    for (int i = 0; i < 2; ++i)
+        for (Reg2 &r : *regs_pair[i]) r.flag |= (0x40 << i) | 1;
+    if (opt.flag & 0x4)  // MEM_F_NOPAIRING
+        return reg2sam_pe_nopairing(opt, o2, bns, ann_names, seqs, regs_pair,
+                                    &pes, rg, out);
+    if (n_pri[0] == 0 || n_pri[1] == 0)
+        return reg2sam_pe_nopairing(opt, o2, bns, ann_names, seqs, regs_pair,
+                                    &pes, rg, out);
+    for (int i = 0; i < 2; ++i) {
+        int j = 1;
+        while (j < n_pri[i]) {
+            const Reg2 &q = (*regs_pair[i])[j];
+            if (q.secondary < 0 && q.score >= o2.T) break;
+            ++j;
+        }
+        if (j < n_pri[i])  // multi-hit => no pairing
+            return reg2sam_pe_nopairing(opt, o2, bns, ann_names, seqs,
+                                        regs_pair, &pes, rg, out);
+    }
+    int sub_pscore, n_subpairings, z[2];
+    int pscore = mem_pair(opt, bns, pes, regs_pair, n_pri, pair_id,
+                          sub_pscore, n_subpairings, z);
+    if (pscore <= 0)
+        return reg2sam_pe_nopairing(opt, o2, bns, ann_names, seqs, regs_pair,
+                                    &pes, rg, out);
+    int score_unpaired = (*regs_pair[0])[0].score + (*regs_pair[1])[0].score
+        - o2.pen_unpaired;
+    if (pscore > score_unpaired) {
+        sub_pscore = std::max(sub_pscore, score_unpaired);
+        int q_pe = raw_mapq(pscore - sub_pscore, opt.a);
+        if (n_subpairings > 0)
+            q_pe -= (int)(4.343 * std::log((double)(n_subpairings + 1)) + 0.499);
+        q_pe = std::max(0, std::min(60, q_pe));
+        q_pe = (int)(q_pe * (1.0 - 0.5 * ((*regs_pair[0])[0].frac_rep
+                                          + (*regs_pair[1])[0].frac_rep))
+                     + 0.499);
+        int q_se[2];
+        Reg2 *c[2] = {&(*regs_pair[0])[z[0]], &(*regs_pair[1])[z[1]]};
+        for (int i = 0; i < 2; ++i) {
+            if (c[i]->secondary >= 0) {
+                c[i]->sub = (*regs_pair[i])[c[i]->secondary].score;
+                c[i]->secondary = -2;
+            }
+            q_se[i] = mapq_se(opt, o2, *c[i]);
+        }
+        q_se[0] = std::max(q_se[0], std::min(q_pe, q_se[0] + 40));
+        q_se[1] = std::max(q_se[1], std::min(q_pe, q_se[1] + 40));
+        c[0]->mapq = std::min(q_se[0], raw_mapq(c[0]->score - c[0]->csub, opt.a));
+        c[1]->mapq = std::min(q_se[1], raw_mapq(c[1]->score - c[1]->csub, opt.a));
+    } else {
+        z[0] = z[1] = 0;
+        (*regs_pair[0])[0].mapq = mapq_se(opt, o2, (*regs_pair[0])[0]);
+        (*regs_pair[1])[0].mapq = mapq_se(opt, o2, (*regs_pair[1])[0]);
+    }
+    // secondary/primary switch
+    for (int i = 0; i < 2; ++i) {
+        std::vector<Reg2> &regs = *regs_pair[i];
+        int k = regs[z[i]].secondary_all;
+        if (0 <= k && k < n_pri[i]) {
+            for (int j = 0; j < (int)regs.size(); ++j)
+                if (regs[j].secondary_all == k || j == k)
+                    regs[j].secondary_all = z[i];
+            regs[z[i]].secondary_all = -1;
+        }
+    }
+    for (int i = 0; i < 2; ++i)
+        if (!setSAM(opt, bns, *seqs[i], (*regs_pair[i])[z[i]])) return false;
+    for (int i = 0; i < 2; ++i) {
+        std::vector<Reg2> &regs = *regs_pair[i];
+        Reg2 snapshot = regs[z[i]];
+        const Reg2 *mreg = &(*regs_pair[1 - i])[z[1 - i]];
+        if (!format_sam(opt, o2, bns, ann_names, *seqs[i], snapshot, z[i],
+                        mreg, &regs, 1, &pes, rg, out[i]))
+            return false;
+        if (n_pri[i] < (int)regs.size()) {
+            Reg2 &p = regs[n_pri[i]];
+            if (p.score >= o2.T && p.secondary < 0) {
+                p.flag |= 0x800;
+                if (!setSAM(opt, bns, *seqs[i], p)) return false;
+                Reg2 snap2 = p;
+                if (!format_sam(opt, o2, bns, ann_names, *seqs[i], snap2,
+                                n_pri[i], nullptr, &regs, 0, &pes, rg, out[i]))
+                    return false;
+            }
+        }
+    }
+    return true;
+}
+
+// pipeline.py:101 worker2_pe
+static bool worker2_pe(const Opt &opt, const Opt2 &o2, const Opt3 &o3,
+                       const Bns &bns,
+                       const std::vector<std::string> &ann_names,
+                       const ReadSE *seqs[2], std::vector<Reg2> *regs_pair[2],
+                       const PeStatS &pes, int64_t n_processed, int64_t i,
+                       uint32_t &next_serial, const std::string &rg,
+                       std::string out[2]) {
+    if (!(opt.flag & 0x20))  // MEM_F_NO_RESCUE
+        matesw(opt, o2, o3, bns, pes, *seqs[0], *seqs[1], *regs_pair[0],
+               *regs_pair[1], next_serial);
+    int n_pri[2];
+    mark_primary(opt, *regs_pair[0], (i << 1) | 0, n_pri[0]);
+    mark_primary(opt, *regs_pair[1], (i << 1) | 1, n_pri[1]);
+    for (int r = 0; r < 2; ++r)
+        for (Reg2 &p : *regs_pair[r]) p.flag = 0;
+    return reg2sam_pe(opt, o2, bns, ann_names, (n_processed >> 1) + i, seqs,
+                      regs_pair, n_pri, pes, rg, out);
+}
+
 extern "C" {
 
 struct StrandFMC {
@@ -1833,6 +2563,199 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
 }
 
 void bt_buf_free(void *p) { std::free(p); }
+
+struct PeStatC {
+    int64_t low, high;
+    int32_t set_, failed;
+    double avg, std_;
+};
+
+struct Opt3C {
+    int64_t max_ins;
+    int32_t max_matesw, verbose;
+};
+
+// Fused worker1 + worker2 for PE batches (reads interleaved R1,R2,...).
+// pes_io: in/out insert-size stats; *pes_given != 0 uses them as-is,
+// otherwise they are estimated over the whole batch (mem_pestat) and
+// written back. status[i]: 0 ok, -1 => Python fallback — when ANY read's
+// worker1 needs the Python engine the whole batch is flagged (-1
+// everywhere) because pestat must see every pair's regions.
+int bt_align_pe_batch(const StrandFMC *dau, const StrandFMC *par,
+                      const BnsC *bnsc, const OptC *optc, const Opt2C *o2c,
+                      const Opt3C *o3c,
+                      const uint8_t *reads, const int64_t *offs, const int32_t *lens,
+                      const uint8_t *reads0, const int64_t *offs0, const int32_t *lens0,
+                      const char *quals, const int64_t *qoffs, const int32_t *qlens,
+                      const char *names, const int64_t *noffs, const int32_t *nlens,
+                      const int32_t *clip5, const int32_t *clip3,
+                      const uint8_t *py_only,
+                      const char *ann_names_cat, const int64_t *ann_name_offs,
+                      const char *rg, int32_t rg_len,
+                      int64_t n_processed, int32_t n_reads, int32_t n_threads,
+                      PeStatC *pes_io, int32_t pes_given,
+                      void **out_buf, int64_t *out_lens, int32_t *status) {
+    Ctx cx;
+    for (int i = 0; i < 2; ++i) {
+        const StrandFMC *s = i ? par : dau;
+        cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
+                            s->seq_len, s->n_words};
+    }
+    cx.bns = Bns{bnsc->ann_off, bnsc->ann_len, bnsc->ann_alt, bnsc->n_seqs,
+                 bnsc->pac, bnsc->l_pac};
+    Opt &o = cx.opt;
+    o.a = optc->a; o.b = optc->b;
+    o.o_del = optc->o_del; o.e_del = optc->e_del;
+    o.o_ins = optc->o_ins; o.e_ins = optc->e_ins;
+    o.pen_clip5 = optc->pen_clip5; o.pen_clip3 = optc->pen_clip3;
+    o.w = optc->w; o.zdrop = optc->zdrop;
+    o.max_mem_intv = optc->max_mem_intv;
+    o.min_seed_len = optc->min_seed_len;
+    o.split_width = optc->split_width;
+    o.max_occ = optc->max_occ;
+    o.max_chain_gap = optc->max_chain_gap;
+    o.split_factor = optc->split_factor;
+    o.mask_level = optc->mask_level;
+    o.drop_ratio = optc->drop_ratio;
+    o.min_chain_weight = optc->min_chain_weight;
+    o.max_chain_extend = optc->max_chain_extend;
+    o.flag = optc->flag;
+    o.parent_policy = optc->parent_policy;
+    o.bsstrand = optc->bsstrand;
+    std::memcpy(o.mats[0], optc->gamat, 25);
+    std::memcpy(o.mats[1], optc->ctmat, 25);
+    Opt2 o2;
+    o2.T = o2c->T;
+    o2.XA_drop_ratio = o2c->XA_drop_ratio;
+    o2.mask_level_redun = o2c->mask_level_redun;
+    o2.mapQ_coef_len = o2c->mapQ_coef_len;
+    o2.mapQ_coef_fac = o2c->mapQ_coef_fac;
+    o2.max_XA_hits = o2c->max_XA_hits;
+    o2.max_XA_hits_alt = o2c->max_XA_hits_alt;
+    o2.pen_unpaired = o2c->pen_unpaired;
+    Opt3 o3;
+    o3.max_ins = o3c->max_ins;
+    o3.max_matesw = o3c->max_matesw;
+    std::vector<std::string> ann_names(cx.bns.n_seqs);
+    for (int i = 0; i < cx.bns.n_seqs; ++i)
+        ann_names[i].assign(ann_names_cat + ann_name_offs[i],
+                            ann_names_cat + ann_name_offs[i + 1]);
+    std::string rgs(rg, rg + rg_len);
+
+    // phase A: worker1 + merge for every read
+    std::vector<std::vector<Reg2>> all_regs(n_reads);
+    std::vector<uint8_t> fb(n_reads, 0);
+    auto runA = [&](int lo, int hi) {
+        std::vector<Region> regs1;
+        for (int i = lo; i < hi; ++i) {
+            if (py_only[i]) { fb[i] = 1; continue; }
+            regs1.clear();
+            bool fallback = false;
+            const uint8_t *seq = reads + offs[i];
+            int len = lens[i];
+            bool r1 = (i % 2) == 0;
+            int first = r1 ? 1 : 0;
+            align1_core(cx, seq, len, first, regs1, fallback);
+            if (!o.parent_policy)
+                align1_core(cx, seq, len, 1 - first, regs1, fallback);
+            if (fallback) { fb[i] = 1; continue; }
+            std::vector<Reg2> &regs = all_regs[i];
+            regs.resize(regs1.size());
+            for (size_t j = 0; j < regs1.size(); ++j) {
+                const Region &r = regs1[j];
+                Reg2 &g = regs[j];
+                g.rb = r.rb; g.re = r.re; g.qb = r.qb; g.qe = r.qe;
+                g.rid = r.rid; g.score = r.score; g.truesc = r.truesc;
+                g.w = r.w; g.seedcov = r.seedcov; g.seedlen0 = r.seedlen0;
+                g.frac_rep = (double)r.frac_rep;
+                g.bss = r.bss; g.parent = r.parent;
+            }
+            merge_regions2(o, o2, cx.bns, seq, len, regs);
+            for (size_t j = 0; j < regs.size(); ++j)
+                regs[j].serial = (uint32_t)j;
+        }
+    };
+    auto fanout = [&](auto fn, int n_items) {
+        if (n_threads <= 1) { fn(0, n_items); return; }
+        std::vector<std::thread> ts;
+        int chunk = (n_items + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; ++t) {
+            int lo = t * chunk, hi = std::min(n_items, lo + chunk);
+            if (lo >= hi) break;
+            ts.emplace_back(fn, lo, hi);
+        }
+        for (auto &t : ts) t.join();
+    };
+    fanout(runA, n_reads);
+    for (int i = 0; i < n_reads; ++i) {
+        if (fb[i]) {  // whole-batch fallback: pestat needs every pair
+            for (int j = 0; j < n_reads; ++j) { status[j] = -1; out_lens[j] = 0; }
+            *out_buf = std::malloc(1);
+            return 0;
+        }
+    }
+
+    // phase B: insert-size stats over the whole batch
+    PeStatS pes;
+    if (pes_given) {
+        pes.low = pes_io->low; pes.high = pes_io->high;
+        pes.set_ = pes_io->set_; pes.failed = pes_io->failed;
+        pes.avg = pes_io->avg; pes.std = pes_io->std_;
+    } else {
+        pestat(o, o3, cx.bns, all_regs, pes, o3c->verbose != 0);
+        pes_io->low = pes.low; pes_io->high = pes.high;
+        pes_io->set_ = pes.set_; pes_io->failed = pes.failed;
+        pes_io->avg = pes.avg; pes_io->std_ = pes.std;
+    }
+
+    // phase C: pairing + SAM per pair
+    int n_pairs = n_reads >> 1;
+    std::vector<std::string> sams(n_reads);
+    auto runC = [&](int lo, int hi) {
+        for (int pi = lo; pi < hi; ++pi) {
+            int i0 = pi << 1, i1 = i0 | 1;
+            ReadSE s[2];
+            for (int r = 0; r < 2; ++r) {
+                int i = r ? i1 : i0;
+                s[r].seq = reads + offs[i]; s[r].l_seq = lens[i];
+                s[r].seq0 = reads0 + offs0[i]; s[r].l_seq0 = lens0[i];
+                s[r].qual = quals + qoffs[i]; s[r].l_qual = qlens[i];
+                s[r].name = names + noffs[i]; s[r].name_len = nlens[i];
+                s[r].clip5 = clip5[i]; s[r].clip3 = clip3[i];
+            }
+            const ReadSE *sp[2] = {&s[0], &s[1]};
+            std::vector<Reg2> *rp[2] = {&all_regs[i0], &all_regs[i1]};
+            uint32_t next_serial = 1u << 20;
+            std::string out2[2];
+            if (worker2_pe(o, o2, o3, cx.bns, ann_names, sp, rp, pes,
+                           n_processed, pi, next_serial, rgs, out2)) {
+                sams[i0] = std::move(out2[0]);
+                sams[i1] = std::move(out2[1]);
+                status[i0] = status[i1] = 0;
+            } else {
+                status[i0] = status[i1] = -1;
+            }
+        }
+    };
+    fanout(runC, n_pairs);
+
+    int64_t total = 0;
+    for (int i = 0; i < n_reads; ++i) {
+        out_lens[i] = status[i] == 0 ? (int64_t)sams[i].size() : 0;
+        total += out_lens[i];
+    }
+    char *buf = (char *)std::malloc(total > 0 ? total : 1);
+    if (!buf) return -1;
+    int64_t off2 = 0;
+    for (int i = 0; i < n_reads; ++i) {
+        if (out_lens[i]) {
+            std::memcpy(buf + off2, sams[i].data(), out_lens[i]);
+            off2 += out_lens[i];
+        }
+    }
+    *out_buf = buf;
+    return 0;
+}
 
 }  // extern "C"
 
