@@ -20,7 +20,8 @@ from .region import AlnReg, AlnRegs, merge_regions
 class StrandFMC(C.Structure):
     _fields_ = [("words", C.c_void_p), ("occ", C.c_void_p), ("L2", C.c_void_p),
                 ("sa", C.c_void_p), ("primary", C.c_int64),
-                ("seq_len", C.c_int64), ("n_words", C.c_int64)]
+                ("seq_len", C.c_int64), ("n_words", C.c_int64),
+                ("ilv", C.c_void_p)]
 
 
 class BnsC(C.Structure):
@@ -103,14 +104,25 @@ class NativeAligner:
         # keep buffers alive
         self._bufs = []
 
+        self.lib.bt_build_ilv.restype = C.c_void_p
+        self.lib.bt_buf_free.restype = None
+        self.lib.bt_buf_free.argtypes = [C.c_void_p]
+        self._ilv_ptrs = []
+
         def strand(s):
             occ = np.ascontiguousarray(s.occ_cp.astype(np.int64))
             words = np.ascontiguousarray(s.words)
             L2 = np.ascontiguousarray(s.L2.astype(np.int64))
             sa = np.ascontiguousarray(s.sa_samples.astype(np.uint32))
             self._bufs += [occ, words, L2, sa]
-            return StrandFMC(_ptr(words), _ptr(occ), _ptr(L2), _ptr(sa),
-                             s.primary, s.seq_len, len(words))
+            fm = StrandFMC(_ptr(words), _ptr(occ), _ptr(L2), _ptr(sa),
+                           s.primary, s.seq_len, len(words), None)
+            # interleaved occ+BWT blocks: one cache line per occ4 query
+            ilv = self.lib.bt_build_ilv(C.byref(fm))
+            if ilv:
+                self._ilv_ptrs.append(ilv)
+                fm.ilv = ilv
+            return fm
 
         self.dau = strand(idx.dau)
         self.par = strand(idx.par)
@@ -124,6 +136,13 @@ class NativeAligner:
         self._bufs += [ann_off, ann_len, ann_alt, pac]
         self.bns = BnsC(_ptr(ann_off), _ptr(ann_len), _ptr(ann_alt),
                         len(idx.anns), _ptr(pac), idx.l_pac)
+
+    def __del__(self):
+        try:
+            for p in getattr(self, "_ilv_ptrs", []):
+                self.lib.bt_buf_free(p)
+        except Exception:
+            pass
 
     def _optc(self, opt: MemOpt) -> OptC:
         o = OptC()

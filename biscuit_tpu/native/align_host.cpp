@@ -13,6 +13,7 @@
 // Build: part of libbiscuit_native.so (see native/__init__.py).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -34,6 +35,10 @@ struct StrandFM {
     int64_t primary;
     int64_t seq_len;
     int64_t n_words;
+    // Optional interleaved occ+BWT blocks (bt_build_ilv): one 64-byte block
+    // per 128 bases — [0..3] = checkpoint counts, [4..7] = the 8 BWT words
+    // as 4 uint64 superwords — so occ4 touches a single cache line.
+    const uint64_t *ilv = nullptr;
 };
 
 static inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
@@ -48,6 +53,33 @@ static Occ4 occ4(const StrandFM &f, int64_t k) {
         return o;
     }
     if (k >= f.primary) k -= 1;
+    if (f.ilv) {
+        const uint64_t *blk = f.ilv + ((k >> 7) << 3);
+        int64_t cnt0 = (int64_t)blk[0], cnt1 = (int64_t)blk[1];
+        int64_t cnt2 = (int64_t)blk[2], cnt3 = (int64_t)blk[3];
+        int sw = (int)((k >> 5) & 3);
+        const uint64_t M = 0x5555555555555555ULL;
+        for (int j = 0; j < sw; ++j) {
+            uint64_t y = blk[4 + j], inv = ~y;
+            cnt0 += __builtin_popcountll(((inv >> 1) & inv) & M);
+            cnt1 += __builtin_popcountll(((inv >> 1) & y) & M);
+            cnt2 += __builtin_popcountll(((y >> 1) & inv) & M);
+            cnt3 += __builtin_popcountll(((y >> 1) & y) & M);
+        }
+        uint64_t y = blk[4 + sw];
+        int zero = 31 - (int)(k & 31);  // bases past k, masked off below
+        if (zero) {
+            int sh = zero << 1;
+            y = (y >> sh) << sh;
+        }
+        uint64_t inv = ~y;
+        cnt0 += __builtin_popcountll(((inv >> 1) & inv) & M) - zero;
+        cnt1 += __builtin_popcountll(((inv >> 1) & y) & M);
+        cnt2 += __builtin_popcountll(((y >> 1) & inv) & M);
+        cnt3 += __builtin_popcountll(((y >> 1) & y) & M);
+        o.c[0] = cnt0; o.c[1] = cnt1; o.c[2] = cnt2; o.c[3] = cnt3;
+        return o;
+    }
     int64_t w = k >> 4;
     uint32_t t_low = (~k) & 15;
     uint32_t word = f.words[w];
@@ -2302,7 +2334,28 @@ struct StrandFMC {
     const int64_t *L2;
     const uint32_t *sa;
     int64_t primary, seq_len, n_words;
+    const uint64_t *ilv;  // optional interleaved blocks (bt_build_ilv)
 };
+
+// Build the interleaved occ+BWT block array (see StrandFM::ilv): one
+// 64-byte block per 128 BWT bases. Caller frees with bt_buf_free.
+void *bt_build_ilv(const StrandFMC *s) {
+    int64_t nb = (s->seq_len + 127) >> 7;
+    uint64_t *ilv = (uint64_t *)std::malloc((size_t)nb * 64);
+    if (!ilv) return nullptr;
+    int64_t n_words = s->n_words;
+    for (int64_t b = 0; b < nb; ++b) {
+        uint64_t *blk = ilv + (b << 3);
+        for (int c = 0; c < 4; ++c) blk[c] = (uint64_t)s->occ[b * 4 + c];
+        for (int t = 0; t < 4; ++t) {
+            int64_t w0 = (b << 3) + 2 * t, w1 = w0 + 1;
+            uint64_t hi = w0 < n_words ? s->words[w0] : 0;
+            uint64_t lo = w1 < n_words ? s->words[w1] : 0;
+            blk[4 + t] = (hi << 32) | lo;
+        }
+    }
+    return ilv;
+}
 
 struct BnsC {
     const int64_t *ann_off;
@@ -2344,7 +2397,7 @@ int bt_worker1_batch(const StrandFMC *dau, const StrandFMC *par, const BnsC *bns
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words};
+                            s->seq_len, s->n_words, s->ilv};
     }
     cx.bns = Bns{bns->ann_off, bns->ann_len, bns->ann_alt, bns->n_seqs,
                  bns->pac, bns->l_pac};
@@ -2412,13 +2465,18 @@ int bt_worker1_batch(const StrandFMC *dau, const StrandFMC *par, const BnsC *bns
     if (n_threads <= 1) {
         run(0, n_reads);
     } else {
+        // dynamic work-stealing: seed-rich reads take far longer than
+        // clean ones, so static chunks leave threads idle
+        std::atomic<int> next(0);
+        auto steal = [&]() {
+            for (;;) {
+                int lo = next.fetch_add(16);
+                if (lo >= n_reads) break;
+                run(lo, std::min(n_reads, lo + 16));
+            }
+        };
         std::vector<std::thread> ts;
-        int chunk = (n_reads + n_threads - 1) / n_threads;
-        for (int t = 0; t < n_threads; ++t) {
-            int lo = t * chunk, hi = std::min(n_reads, lo + chunk);
-            if (lo >= hi) break;
-            ts.emplace_back(run, lo, hi);
-        }
+        for (int t = 0; t < n_threads; ++t) ts.emplace_back(steal);
         for (auto &t : ts) t.join();
     }
     return 0;
@@ -2452,7 +2510,7 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words};
+                            s->seq_len, s->n_words, s->ilv};
     }
     cx.bns = Bns{bnsc->ann_off, bnsc->ann_len, bnsc->ann_alt, bnsc->n_seqs,
                  bnsc->pac, bnsc->l_pac};
@@ -2535,13 +2593,16 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
     if (n_threads <= 1) {
         run(0, n_reads);
     } else {
+        std::atomic<int> next(0);
+        auto steal = [&]() {
+            for (;;) {
+                int lo = next.fetch_add(16);
+                if (lo >= n_reads) break;
+                run(lo, std::min((int)n_reads, lo + 16));
+            }
+        };
         std::vector<std::thread> ts;
-        int chunk = (n_reads + n_threads - 1) / n_threads;
-        for (int t = 0; t < n_threads; ++t) {
-            int lo = t * chunk, hi = std::min((int)n_reads, lo + chunk);
-            if (lo >= hi) break;
-            ts.emplace_back(run, lo, hi);
-        }
+        for (int t = 0; t < n_threads; ++t) ts.emplace_back(steal);
         for (auto &t : ts) t.join();
     }
     int64_t total = 0;
@@ -2599,7 +2660,7 @@ int bt_align_pe_batch(const StrandFMC *dau, const StrandFMC *par,
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words};
+                            s->seq_len, s->n_words, s->ilv};
     }
     cx.bns = Bns{bnsc->ann_off, bnsc->ann_len, bnsc->ann_alt, bnsc->n_seqs,
                  bnsc->pac, bnsc->l_pac};
@@ -2677,13 +2738,16 @@ int bt_align_pe_batch(const StrandFMC *dau, const StrandFMC *par,
     };
     auto fanout = [&](auto fn, int n_items) {
         if (n_threads <= 1) { fn(0, n_items); return; }
+        std::atomic<int> next(0);
+        auto steal = [&]() {
+            for (;;) {
+                int lo = next.fetch_add(16);
+                if (lo >= n_items) break;
+                fn(lo, std::min(n_items, lo + 16));
+            }
+        };
         std::vector<std::thread> ts;
-        int chunk = (n_items + n_threads - 1) / n_threads;
-        for (int t = 0; t < n_threads; ++t) {
-            int lo = t * chunk, hi = std::min(n_items, lo + chunk);
-            if (lo >= hi) break;
-            ts.emplace_back(fn, lo, hi);
-        }
+        for (int t = 0; t < n_threads; ++t) ts.emplace_back(steal);
         for (auto &t : ts) t.join();
     };
     fanout(runA, n_reads);
