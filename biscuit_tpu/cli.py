@@ -230,8 +230,30 @@ def main_align(argv):
             opt.flag |= MEM_F_PE
     n_processed = 0
     chunk = opt.chunk_size * opt.n_threads
+    # kt_pipeline equivalent (reference align.c:577 + kthread.c:176-256):
+    # a reader thread prefetches the next FASTQ batch while the current one
+    # aligns (the native call releases the GIL), keeping 2 batches in flight
+    # with ordered output.
+    import queue
+    import threading
+    bq: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def _reader():
+        try:
+            while True:
+                batch = read_batch(it1, it2, chunk, bool(opt.has_bc))
+                bq.put(batch)
+                if not batch:
+                    break
+        except BaseException as e:  # surface IO errors in the main thread
+            bq.put(e)
+
+    rt = threading.Thread(target=_reader, daemon=True)
+    rt.start()
     while True:
-        seqs = read_batch(it1, it2, chunk, bool(opt.has_bc))
+        seqs = bq.get()
+        if isinstance(seqs, BaseException):
+            raise seqs
         if not seqs:
             break
         if not copy_comment:
@@ -244,6 +266,7 @@ def main_align(argv):
         for s in seqs:
             if s.sam:
                 out.write(s.sam)
+    rt.join()
     return 0
 
 
