@@ -16,6 +16,7 @@ Batch flow per call:
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import MemOpt, MEM_F_PE, MEM_F_NO_RESCUE
@@ -24,6 +25,7 @@ from ..ops import sw
 from ..ops.seed_batch import FMPair, sa_batch
 from ..ops.seed_parallel import collect_intv_parallel
 from ..ops.sw_batch import sw_extend_batch
+from ..ops.pallas_sw import sw_extend_batch_pallas
 from .chain import mem_chain, mem_chain_flt, mem_flt_chained_seeds
 from .pair import PeStat, pestat
 from .region import AlnRegs, chain2region_gen, drive_gen, mark_primary, matesw, merge_regions
@@ -57,6 +59,13 @@ class DeviceAligner:
     def __init__(self, st: AlignerState):
         self.st = st
         self.fmpair = FMPair.from_index(st.idx)
+        # Mosaic SW kernel on TPU backends; XLA elsewhere (tests run on CPU).
+        # BISCUIT_TPU_PALLAS=0/1 overrides.
+        env = os.environ.get("BISCUIT_TPU_PALLAS")
+        if env is not None:
+            self.use_pallas = env not in ("0", "")
+        else:
+            self.use_pallas = jax.default_backend() == "tpu"
 
     # ------------------------------------------------------------------
     def _collect_seeds(self, opt: MemOpt, lanes: List[Tuple]):
@@ -171,12 +180,15 @@ class DeviceAligner:
                 ebs[i] = pen
                 h0s[i] = h0
                 msel[i] = parent
-            out = sw_extend_batch(jnp.asarray(q), jnp.asarray(qlens),
-                                  jnp.asarray(t), jnp.asarray(tlens),
-                                  self._mats(opt), jnp.asarray(msel),
-                                  opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                                  jnp.asarray(ws), jnp.asarray(ebs),
-                                  opt.zdrop, jnp.asarray(h0s))
+            # the Pallas Mosaic kernel is ~20x the XLA fori_loop version on
+            # TPU (VMEM-resident DP state); XLA remains the CPU-test path
+            sw_fn = sw_extend_batch_pallas if self.use_pallas else sw_extend_batch
+            out = sw_fn(jnp.asarray(q), jnp.asarray(qlens),
+                        jnp.asarray(t), jnp.asarray(tlens),
+                        self._mats(opt), jnp.asarray(msel),
+                        opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                        jnp.asarray(ws), jnp.asarray(ebs),
+                        opt.zdrop, jnp.asarray(h0s))
             res = np.asarray(out)  # [6, B]: score,qle,tle,gtle,gscore,max_off
             nxt = []
             for i, entry in enumerate(active):

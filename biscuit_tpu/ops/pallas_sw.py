@@ -1,0 +1,216 @@
+"""Pallas TPU kernel for the batched banded affine-gap SW extension.
+
+Same semantics as ops/sw_batch.py:sw_extend_batch (exact ksw_extend2,
+/root/reference/lib/aln/ksw.c:380-479) with the layout flipped for the TPU
+vector unit: the batch rides the 128-wide lane axis and query positions ride
+the sublane axis, so every row step is an [Lq, B_TILE] VPU op with the DP
+state resident in VMEM. Scatter/gather-free: the per-lane band bookkeeping
+(beg/end, h[beg]=h1_first, H[end-1]) is done with iota masks, and the F
+prefix max uses a log-step shift-max scan instead of lax.cummax.
+
+Ground truth chain: ops/sw.py (scalar, oracle-tested) -> ops/sw_batch.py
+(XLA) -> this kernel (tests/test_pallas_sw.py compares against sw_batch).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+NEG = -(1 << 28)   # plain ints: traced constants can't be captured by kernels
+BIGJ = 1 << 28
+
+B_TILE = 128  # lanes per grid program
+
+
+def _prefix_max_excl(b, Lq):
+    """Exclusive running max along axis 0 (query axis): out[j] = max(b[:j]),
+    out[0] = NEG. Log-step shift-max scan (no cummax in Mosaic)."""
+    # inclusive scan first
+    s = 1
+    x = b
+    while s < Lq:
+        shifted = jnp.concatenate(
+            [jnp.full((s, x.shape[1]), NEG, jnp.int32), x[:-s]], axis=0)
+        x = jnp.maximum(x, shifted)
+        s <<= 1
+    # shift down by one for exclusive
+    return jnp.concatenate(
+        [jnp.full((1, x.shape[1]), NEG, jnp.int32), x[:-1]], axis=0)
+
+
+def _sw_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
+               w_ref, h0_ref, rows_ref, out_ref, *, Lq, Lt,
+               o_del, e_del, o_ins, e_ins, zdrop):
+    """One program = B_TILE lanes. query [Lq, B], target [Lt, B],
+    matb [25, B] per-lane scoring matrix, scalars [1, B]. out [8, B]."""
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    B = B_TILE
+    jcell = jax.lax.broadcasted_iota(jnp.int32, (Lq, B), 0)       # cell j
+    jfull = jax.lax.broadcasted_iota(jnp.int32, (Lq + 1, B), 0)   # shifted j
+
+    qlens = qlens_ref[0, :]
+    tlens = tlens_ref[0, :]
+    w = w_ref[0, :]
+    h0 = h0_ref[0, :]
+    n_rows = rows_ref[0, 0]
+    qv = query_ref[...]          # [Lq, B]
+
+    # first H row (ksw.c:395-397): closed-form decay chain
+    h1v = jnp.maximum(h0 - oe_ins, 0)
+    decay = jnp.maximum(h1v[None, :] - (jfull - 1) * e_ins, 0)
+    h_row0 = jnp.where(jfull == 0, h0[None, :],
+                       jnp.where(jfull <= qlens[None, :], decay, 0)
+                       ).astype(jnp.int32)
+
+    def row(i, st):
+        (h, e, beg, end, mx, max_i, max_j, max_ie, gscore, max_off, done) = st
+        i = jnp.int32(i)
+        done_b = done != 0  # carry keeps int32 (Mosaic can't carry i1 vectors)
+        act = (~done_b) & (i < tlens)
+        beg_i = jnp.maximum(beg, i - w)
+        end_i = jnp.minimum(jnp.minimum(end, i + w + 1), qlens)
+        collapsed = act & (beg_i >= end_i)
+        run = act & (beg_i < end_i)
+
+        tb = target_ref[jnp.minimum(i, Lt - 1), :]                 # [B]
+        # per-lane 5x5 matrix lookup without gathers: 25-term select sum
+        S = jnp.zeros((Lq, B), jnp.int32)
+        for t in range(5):
+            trow = (tb == t)[None, :]
+            for q in range(5):
+                S = jnp.where(trow & (qv == q), matb_ref[t * 5 + q, :][None, :], S)
+        h1_first = jnp.where(beg_i == 0,
+                             jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0), 0)
+
+        jm = (jcell >= beg_i[None, :]) & (jcell < end_i[None, :])
+
+        Hdiag = h[:-1]
+        E = jnp.where(jm, e[:-1], 0)
+        M = jnp.where(jm & (Hdiag != 0), Hdiag + S, 0)
+        tF = jnp.maximum(M - oe_ins, 0)
+        b_arr = jnp.where(jm, tF + jcell * e_ins, NEG)
+        cm_shift = _prefix_max_excl(b_arr, Lq)
+        F = jnp.maximum(cm_shift - (jcell - 1) * e_ins, 0)
+        F = jnp.where(jm, F, 0)
+        H = jnp.where(jm, jnp.maximum(jnp.maximum(M, E), F), 0)
+
+        m_val = jnp.max(jnp.where(jm, H, NEG), axis=0)
+        m_val = jnp.where(m_val == NEG, 0, m_val)
+        mj = jnp.max(jnp.where(jm & (H == m_val[None, :]), jcell, -1), axis=0)
+        h1_last = jnp.max(
+            jnp.where(jcell == (end_i - 1)[None, :], H, NEG), axis=0)
+        h1_last = jnp.where(run & (h1_last != NEG), h1_last, 0)
+
+        # shifted-row stores via masks (no scatter): h[j+1]=H(j); h[beg]=h1
+        Hsh = jnp.concatenate([jnp.zeros((1, B), jnp.int32), H], axis=0)
+        newh = jnp.where(jfull == beg_i[None, :], h1_first[None, :], Hsh)
+        newe = jnp.where(jm, jnp.maximum(E - e_del, jnp.maximum(M - oe_del, 0)), 0)
+        newe = jnp.concatenate([newe, jnp.zeros((1, B), jnp.int32)], axis=0)
+        h_out = jnp.where(run[None, :], newh, h)
+        e_out = jnp.where(run[None, :], newe, e)
+
+        reach = run & (end_i == qlens)
+        gup = reach & (gscore <= h1_last)
+        gscore = jnp.where(gup, h1_last, gscore)
+        max_ie = jnp.where(gup, i, max_ie)
+        cq = collapsed & (end_i == qlens) & (gscore <= h1_first)
+        gscore = jnp.where(cq, jnp.maximum(gscore, h1_first), gscore)
+        max_ie = jnp.where(cq, i, max_ie)
+
+        brk0 = run & (m_val == 0)
+        improved = run & (m_val > mx)
+        mx_n = jnp.where(improved, m_val, mx)
+        max_i_n = jnp.where(improved, i, max_i)
+        max_j_n = jnp.where(improved, mj, max_j)
+        max_off_n = jnp.where(improved,
+                              jnp.maximum(max_off, jnp.abs(mj - i)), max_off)
+        di = i - max_i
+        dj = mj - max_j
+        # logical form (Mosaic can't select between bool vectors)
+        dgt = di > dj
+        zd = (dgt & (mx - m_val - (di - dj) * e_del > zdrop)) \
+            | ((~dgt) & (mx - m_val - (dj - di) * e_ins > zdrop))
+        zbrk = run & (~improved) & (zdrop > 0) & zd & (~brk0)
+
+        nz = (h_out != 0) | (e_out != 0)
+        f_rng = (jfull >= beg_i[None, :]) & (jfull < end_i[None, :])
+        first_nz = jnp.min(jnp.where(f_rng & nz, jfull, BIGJ), axis=0)
+        new_beg = jnp.where(first_nz == BIGJ, end_i, first_nz)
+        b_rng = (jfull >= new_beg[None, :]) & (jfull <= end_i[None, :])
+        last_nz = jnp.max(jnp.where(b_rng & nz, jfull, -1), axis=0)
+        new_end = jnp.where(last_nz >= new_beg,
+                            jnp.minimum(last_nz + 2, qlens),
+                            jnp.minimum(new_beg + 1, qlens))
+        beg_out = jnp.where(run, new_beg, beg_i)
+        end_out = jnp.where(run, new_end, end_i)
+
+        done_n = (done_b | collapsed | brk0 | zbrk).astype(jnp.int32)
+        return (h_out, e_out, beg_out, end_out, mx_n, max_i_n, max_j_n,
+                max_ie, gscore, max_off_n, done_n)
+
+    st0 = (h_row0, jnp.zeros((Lq + 1, B), jnp.int32),
+           jnp.zeros((B,), jnp.int32), qlens.astype(jnp.int32),
+           h0.astype(jnp.int32), jnp.full((B,), -1, jnp.int32),
+           jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32),
+           jnp.full((B,), -1, jnp.int32), jnp.zeros((B,), jnp.int32),
+           jnp.zeros((B,), jnp.int32))
+    fin = jax.lax.fori_loop(0, n_rows, row, st0)
+    (_, _, _, _, mx, max_i, max_j, max_ie, gscore, max_off, _) = fin
+    out = jnp.stack([mx, max_j + 1, max_i + 1, max_ie + 1, gscore, max_off,
+                     jnp.zeros_like(mx), jnp.zeros_like(mx)])
+    out_ref[...] = out
+
+
+@partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins", "e_ins",
+                                   "zdrop", "max_rows", "interpret"))
+def sw_extend_batch_pallas(query, qlens, target, tlens, mats, matsel,
+                           o_del: int, e_del: int, o_ins: int, e_ins: int,
+                           w_in, end_bonus, zdrop: int, h0,
+                           max_rows: int = 0, interpret: bool = False):
+    """Drop-in replacement for ops/sw_batch.py:sw_extend_batch (same inputs,
+    same packed [6, B] output) running the row loop as a Pallas TPU kernel."""
+    B, Lq = query.shape
+    Lt = target.shape[1]
+    rows = max_rows if max_rows else Lt
+
+    mat_b = mats[matsel].reshape(B, 25)            # [B, 25] per-lane matrix
+    # band clamp (ksw.c:399-407) stays outside the kernel (cheap, per-lane)
+    mmax = jnp.max(mats).astype(jnp.int32)
+    max_ins = ((qlens * mmax + end_bonus - o_ins) / e_ins + 1.0).astype(jnp.int32)
+    w = jnp.minimum(w_in, jnp.maximum(max_ins, 1))
+    max_del = ((qlens * mmax + end_bonus - o_del) / e_del + 1.0).astype(jnp.int32)
+    w = jnp.minimum(w, jnp.maximum(max_del, 1))
+
+    # pad batch to a lane-tile multiple and transpose to [len, B]
+    Bp = (B + B_TILE - 1) // B_TILE * B_TILE
+    pad = Bp - B
+
+    def padb(x, fill=0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    qT = padb(query.astype(jnp.int32)).T           # [Lq, Bp]
+    tT = padb(target.astype(jnp.int32)).T          # [Lt, Bp]
+    mT = padb(mat_b.astype(jnp.int32)).T           # [25, Bp]
+    ql = padb(qlens.astype(jnp.int32))[None, :]    # [1, Bp]
+    tl = padb(tlens.astype(jnp.int32))[None, :]
+    wv = padb(w.astype(jnp.int32))[None, :]
+    h0v = padb(h0.astype(jnp.int32))[None, :]
+    rowsv = jnp.full((1, Bp), rows, jnp.int32)
+
+    grid = (Bp // B_TILE,)
+    lane_spec = lambda d: pl.BlockSpec((d, B_TILE), lambda b: (0, b))
+    out = pl.pallas_call(
+        partial(_sw_kernel, Lq=Lq, Lt=Lt, o_del=o_del, e_del=e_del,
+                o_ins=o_ins, e_ins=e_ins, zdrop=zdrop),
+        grid=grid,
+        in_specs=[lane_spec(Lq), lane_spec(Lt), lane_spec(25), lane_spec(1),
+                  lane_spec(1), lane_spec(1), lane_spec(1), lane_spec(1)],
+        out_specs=lane_spec(8),
+        out_shape=jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+        interpret=interpret,
+    )(qT, tT, mT, ql, tl, wv, h0v, rowsv)
+    return out[:6, :B]
