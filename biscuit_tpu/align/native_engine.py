@@ -21,7 +21,8 @@ class StrandFMC(C.Structure):
     _fields_ = [("words", C.c_void_p), ("occ", C.c_void_p), ("L2", C.c_void_p),
                 ("sa", C.c_void_p), ("primary", C.c_int64),
                 ("seq_len", C.c_int64), ("n_words", C.c_int64),
-                ("ilv", C.c_void_p)]
+                ("ilv", C.c_void_p), ("sa_wide", C.c_int32),
+                ("pad", C.c_int32)]
 
 
 class BnsC(C.Structure):
@@ -113,10 +114,14 @@ class NativeAligner:
             occ = np.ascontiguousarray(s.occ_cp.astype(np.int64))
             words = np.ascontiguousarray(s.words)
             L2 = np.ascontiguousarray(s.L2.astype(np.int64))
-            sa = np.ascontiguousarray(s.sa_samples.astype(np.uint32))
+            # wide (>=2^31) strands carry int64 SA samples with a literal -1
+            # '$' sentinel; narrow ones the uint32 wrap layout
+            sa_wide = 1 if s.sa_samples.dtype.itemsize == 8 else 0
+            sa = np.ascontiguousarray(
+                s.sa_samples.astype(np.int64 if sa_wide else np.uint32))
             self._bufs += [occ, words, L2, sa]
             fm = StrandFMC(_ptr(words), _ptr(occ), _ptr(L2), _ptr(sa),
-                           s.primary, s.seq_len, len(words), None)
+                           s.primary, s.seq_len, len(words), None, sa_wide, 0)
             # interleaved occ+BWT blocks: one cache line per occ4 query
             ilv = self.lib.bt_build_ilv(C.byref(fm))
             if ilv:

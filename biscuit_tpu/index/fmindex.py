@@ -11,8 +11,11 @@ plus L2 (cumulative base counts), primary (rank of the removed '$' row) and a
 sampled suffix array every 32 ranks — identical values to the reference's
 bwt_t, verified against its on-disk .bwt/.sa files in tests.
 
-NOTE: uint32 occ/sa limits one strand index to < 2^32 chars (doubled genome);
-large-genome (human-scale doubled > 4G) support will split hi/lo words.
+Strands below 2^31 chars use the compact uint32 SA-sample layout (with the
+'$' row stored as the uint32 wrap of -1); larger strands (human-scale doubled
+genomes) switch to int64 samples automatically (index_is_wide) and run on the
+native/host engines. BISCUIT_TPU_WIDE_INDEX=1 forces the wide layout so the
+big-genome path is testable on small data.
 """
 from dataclasses import dataclass
 from typing import Dict, List
@@ -122,6 +125,16 @@ def occ_checkpoints(bwt_codes: np.ndarray) -> np.ndarray:
     return cp.astype(np.uint32)
 
 
+def index_is_wide(seq_len: int) -> bool:
+    """Whether a strand of this length needs 64-bit SA samples (the uint32 +
+    int32-wrap layout is valid below 2^31). BISCUIT_TPU_WIDE_INDEX=1 forces
+    the wide layout so small-genome tests can exercise the big-genome path."""
+    import os
+    if os.environ.get("BISCUIT_TPU_WIDE_INDEX") == "1":
+        return True
+    return seq_len >= (1 << 31) - 1024
+
+
 def build_strand_index(doubled_codes: np.ndarray, sa: np.ndarray, bwt_codes: np.ndarray,
                        primary: int) -> StrandIndex:
     """Assemble a StrandIndex from a suffix array + $-removed BWT codes."""
@@ -132,11 +145,18 @@ def build_strand_index(doubled_codes: np.ndarray, sa: np.ndarray, bwt_codes: np.
     # sampled SA in the reference rank convention: full-matrix rank k in
     # [0, n]; rank 0 is the '$' row (text pos n, stored as sentinel -1);
     # rank k>=1 -> SA[k-1]. Samples at ranks k % 32 == 0.
+    # Genomes whose doubled strand exceeds 2^31 chars (e.g. human) use int64
+    # samples with a literal -1 sentinel instead of the uint32 wrap.
     n_sa = (n + SA_INTERVAL) // SA_INTERVAL
-    sa_samples = np.empty(n_sa, dtype=np.uint32)
-    sa_samples[0] = np.uint32(0xFFFFFFFF)
     ranks = np.arange(1, n_sa) * SA_INTERVAL
-    sa_samples[1:] = sa[ranks - 1].astype(np.uint32)
+    if index_is_wide(n):
+        sa_samples = np.empty(n_sa, dtype=np.int64)
+        sa_samples[0] = -1
+        sa_samples[1:] = sa[ranks - 1].astype(np.int64)
+    else:
+        sa_samples = np.empty(n_sa, dtype=np.uint32)
+        sa_samples[0] = np.uint32(0xFFFFFFFF)
+        sa_samples[1:] = sa[ranks - 1].astype(np.uint32)
     return StrandIndex(
         words=pack_words(bwt_codes),
         occ_cp=occ_checkpoints(bwt_codes),

@@ -31,10 +31,12 @@ struct StrandFM {
     const uint32_t *words;   // packed 2-bit BWT, base i at shift (15-(i&15))*2
     const int64_t *occ;      // [n_blocks+1][4] cumulative counts per 128 bases
     const int64_t *L2;       // [5]
-    const uint32_t *sa;      // sampled SA every 32 ranks; sa[0] wraps as -1
+    const void *sa;          // sampled SA every 32 ranks; uint32 (sa[0] wraps
+                             // as -1) or int64 when sa_wide (big genomes)
     int64_t primary;
     int64_t seq_len;
     int64_t n_words;
+    int32_t sa_wide = 0;
     // Optional interleaved occ+BWT blocks (bt_build_ilv): one 64-byte block
     // per 128 bases — [0..3] = checkpoint counts, [4..7] = the 8 BWT words
     // as 4 uint64 superwords — so occ4 touches a single cache line.
@@ -150,9 +152,11 @@ static int64_t fm_sa(const StrandFM &f, int64_t k) {
         if (k == f.primary) k = 0;
         else k = f.L2[c] + occ4(f, k).c[c];
     }
-    // sa[0] is the uint32 wrap of -1: interpret as signed so the result is
-    // add - 1 when the walk reaches the '$' row (ops/fm.py)
-    int64_t v = (int32_t)f.sa[k >> 5];
+    // sa[0] is -1 ('$' row): stored as the uint32 wrap in the narrow
+    // layout (interpret as signed), literal int64 -1 in the wide layout
+    int64_t v = f.sa_wide
+        ? ((const int64_t *)f.sa)[k >> 5]
+        : (int64_t)(int32_t)((const uint32_t *)f.sa)[k >> 5];
     return add + v;
 }
 
@@ -2332,9 +2336,10 @@ struct StrandFMC {
     const uint32_t *words;
     const int64_t *occ;
     const int64_t *L2;
-    const uint32_t *sa;
+    const void *sa;
     int64_t primary, seq_len, n_words;
-    const uint64_t *ilv;  // optional interleaved blocks (bt_build_ilv)
+    const uint64_t *ilv;   // optional interleaved blocks (bt_build_ilv)
+    int32_t sa_wide, pad;  // 1 => sa is int64[] (genome strand >= 2^31)
 };
 
 // Build the interleaved occ+BWT block array (see StrandFM::ilv): one
@@ -2397,7 +2402,7 @@ int bt_worker1_batch(const StrandFMC *dau, const StrandFMC *par, const BnsC *bns
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words, s->ilv};
+                            s->seq_len, s->n_words, s->sa_wide, s->ilv};
     }
     cx.bns = Bns{bns->ann_off, bns->ann_len, bns->ann_alt, bns->n_seqs,
                  bns->pac, bns->l_pac};
@@ -2510,7 +2515,7 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words, s->ilv};
+                            s->seq_len, s->n_words, s->sa_wide, s->ilv};
     }
     cx.bns = Bns{bnsc->ann_off, bnsc->ann_len, bnsc->ann_alt, bnsc->n_seqs,
                  bnsc->pac, bnsc->l_pac};
@@ -2660,7 +2665,7 @@ int bt_align_pe_batch(const StrandFMC *dau, const StrandFMC *par,
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words, s->ilv};
+                            s->seq_len, s->n_words, s->sa_wide, s->ilv};
     }
     cx.bns = Bns{bnsc->ann_off, bnsc->ann_len, bnsc->ann_alt, bnsc->n_seqs,
                  bnsc->pac, bnsc->l_pac};

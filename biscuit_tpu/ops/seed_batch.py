@@ -40,6 +40,10 @@ class FMPair:
 
     @classmethod
     def from_index(cls, idx: BisIndex) -> "FMPair":
+        if idx.dau.sa_samples.dtype.itemsize == 8:
+            raise NotImplementedError(
+                "device seeding uses int32 ranks; wide (>=2^31) indexes run "
+                "on the native engine (BISCUIT_TPU_ENGINE=native)")
         dau = FMArrays.from_strand(idx.dau)
         par = FMArrays.from_strand(idx.par)
         return cls(

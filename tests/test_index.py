@@ -82,3 +82,35 @@ def test_converted_doubling():
     dau = converted_doubled(codes, parent=False)
     np.testing.assert_array_equal(dau[:6], [0, 1, 0, 3, 1, 0])
     np.testing.assert_array_equal(dau[6:], [1, 0, 0, 1, 0, 3])
+
+
+def test_wide_index_layout(tmp_path, monkeypatch):
+    """BISCUIT_TPU_WIDE_INDEX=1 forces the int64 SA-sample layout (the
+    big-genome path); alignment output must not change."""
+    import subprocess
+    import sys
+    from conftest import REPO
+    d = tmp_path
+    subprocess.run([sys.executable, f"{REPO}/tools/make_testdata.py", str(d),
+                    "--genome-size", "30000", "--n-reads", "60", "--seed", "9"],
+                   check=True, capture_output=True)
+    fa = str(d / "genome.fa")
+    fq = str(d / "reads.fq")
+
+    def run(env_extra):
+        import os
+        env = dict(os.environ, **env_extra)
+        subprocess.run([sys.executable, "-m", "biscuit_tpu.cli", "index", fa],
+                       check=True, capture_output=True, env=env)
+        r = subprocess.run([sys.executable, "-m", "biscuit_tpu.cli", "align",
+                            fa, fq], check=True, capture_output=True,
+                           text=True, env=env)
+        return [l for l in r.stdout.splitlines() if not l.startswith("@PG")]
+
+    narrow = run({})
+    import numpy as np
+    wide_npz = np.load(fa + ".btidx.npz")
+    assert wide_npz["dau_sa"].dtype.itemsize == 4
+    wide = run({"BISCUIT_TPU_WIDE_INDEX": "1"})
+    assert np.load(fa + ".btidx.npz")["dau_sa"].dtype.itemsize == 8
+    assert narrow == wide
