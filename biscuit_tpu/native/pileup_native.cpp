@@ -1,0 +1,552 @@
+// Native pileup window engine: per-window cytosine+SNP calling to VCF text.
+//
+// C++ transliteration of biscuit_tpu/pileup/{engine,common,stats}.py (which
+// port /root/reference/src/pileup.c and src/bisc_utils.c) — the Python
+// modules remain the ground truth and tests byte-compare both paths.
+// Verbose (DIAGNOSE) mode stays in Python.
+//
+// One call = one [beg, end) window for one or more samples; the Python CLI
+// keeps its fork pool over windows.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace btp {
+
+// ---- status codes (pileup/common.py) ----
+enum { METH_RET = 0, METH_CONV = 1, METH_NA = 2 };
+enum { BASE_A, BASE_C, BASE_G, BASE_T, BASE_N, BASE_Y, BASE_R };
+static const int NMETH = 3, NBASE = 7;
+static const char *BASECODE = "ACGTNYR";
+enum { CTXT_HCG, CTXT_HCHG, CTXT_HCHH, CTXT_GCG, CTXT_GCHG, CTXT_GCHH,
+       CTXT_NA };
+static const int NCONTXTS = 6;
+static const char *CYT_CTX[7] = {"CG", "CHG", "CHH", "CG", "CHG", "CHH", "CN"};
+static const char *CYT_CTX_NOME[7] = {"HCG", "HCHG", "HCHH", "GCG", "GCH",
+                                      "GCH", "CN"};
+
+static int char2int8(char c) {
+    switch (c) {
+        case 'A': return BASE_A;
+        case 'C': return BASE_C;
+        case 'G': return BASE_G;
+        case 'T': return BASE_T;
+        case 'Y': return BASE_Y;
+        case 'R': return BASE_R;
+        default: return BASE_N;
+    }
+}
+
+static char comp(char c) {
+    switch (c) {
+        case 'A': return 'T'; case 'C': return 'G'; case 'G': return 'C';
+        case 'T': return 'A'; case 'Y': return 'R'; case 'R': return 'Y';
+        case 'a': return 't'; case 'c': return 'g'; case 'g': return 'c';
+        case 't': return 'a'; case 'y': return 'r'; case 'r': return 'y';
+        default: return c == 'N' || c == 'n' ? c : c;
+    }
+}
+
+// ---- stats.py (re-derived genotype math; defined behavior) ----
+enum { HOMOREF = 0, HET = 1, HOMOVAR = 2 };
+
+static double genotype_lnlik(int genotype, int cref, int altsupp, double error,
+                             double contam) {
+    double p_alt;
+    if (genotype == HOMOREF) p_alt = error + contam;
+    else if (genotype == HET) p_alt = 0.5;
+    else p_alt = 1.0 - error - contam;
+    p_alt = std::min(std::max(p_alt, 1e-12), 1 - 1e-12);
+    return cref * std::log(1.0 - p_alt) + altsupp * std::log(p_alt);
+}
+
+static double ln_sum3(double a, double b, double c) {
+    double m = std::max(std::max(a, b), c);
+    return m + std::log(std::exp(a - m) + std::exp(b - m) + std::exp(c - m));
+}
+
+static double pval2qual(double p) {
+    if (p <= 0.0) return 255.0;
+    double q = -10.0 * std::log10(p);
+    return std::max(q, 0.0);
+}
+
+static double somatic_posterior(int cref_t, int altcnt_t, int cref_n,
+                                int altcnt_n, double error, double mu,
+                                double mu_somatic, double contam) {
+    double ln_som = genotype_lnlik(HET, cref_t, altcnt_t, error, contam)
+        + genotype_lnlik(HOMOREF, cref_n, altcnt_n, error, contam)
+        + std::log(std::max(mu_somatic, 1e-300));
+    double ln_germ = genotype_lnlik(HET, cref_t, altcnt_t, error, contam)
+        + genotype_lnlik(HET, cref_n, altcnt_n, error, contam)
+        + std::log(std::max(mu, 1e-300));
+    double ln_wild = genotype_lnlik(HOMOREF, cref_t, altcnt_t, error, contam)
+        + genotype_lnlik(HOMOREF, cref_n, altcnt_n, error, contam)
+        + std::log(std::max(1.0 - mu - mu_somatic, 1e-300));
+    double total = ln_sum3(ln_som, ln_germ, ln_wild);
+    double p_not = 1.0 - std::exp(ln_som - total);
+    return std::max(p_not, 0.0);
+}
+
+// ---- config mirror (PileupConf + MethFilter) ----
+struct Conf {
+    int32_t is_nome;
+    int32_t ambi_redist, somatic;
+    double error, mu, mu_somatic, contam, prior1, prior2;
+    int32_t min_base_qual, min_read_len, min_dist_end_5p, min_dist_end_3p;
+    int32_t min_mapq, min_score, max_nm, max_retention;
+    int32_t filter_ppair, filter_secondary, filter_duplicate, filter_qcfail,
+        filter_doublecnt;
+};
+
+// per-read input row (tags pre-extracted by Python)
+struct ReadC {
+    int64_t pos;        // 0-based leftmost
+    int64_t mpos;       // 0-based mate pos
+    int32_t flag, mapq, l_qseq;
+    int32_t nm;         // INT32_MIN => absent
+    int32_t as_;        // INT32_MIN => absent
+    int32_t bs_known;   // -1 infer, 0/1 known (YD>ZS>XG priority, Python-side)
+    int32_t mate_len;   // reference length of mate (MC tag or own rlen)
+    int32_t sid;
+    int64_t seq_off; int32_t seq_len;
+    int64_t qual_off; int32_t qual_len;  // 0 => '*'
+    int64_t cig_off; int32_t n_cigar;
+};
+
+static const int FLAG_PAIRED = 0x1, FLAG_PROPER = 0x2, FLAG_REVERSE = 0x10,
+    FLAG_READ2 = 0x80, FLAG_SECONDARY = 0x100, FLAG_QCFAIL = 0x200,
+    FLAG_DUP = 0x400;
+
+// bisc_utils.c:33-72 fivenuc_context (pileup/common.py:111)
+static int fivenuc_context(const char *chrom, int64_t seqlen, int64_t rpos,
+                           char rb, char five_out[6]) {
+    char five[5] = {'N', 'N', 'N', 'N', 'N'};
+    auto sub = [&](int64_t pos, int n, char *dst) {
+        for (int i = 0; i < n; ++i) dst[i] = chrom[pos - 1 + i];
+    };
+    if (rpos == 1) sub(1, 3, five + 2);
+    else if (rpos == 2) sub(1, 4, five + 1);
+    else if (rpos == seqlen) sub(rpos - 2, 3, five);
+    else if (rpos == seqlen - 1) sub(rpos - 2, 4, five);
+    else sub(rpos - 2, 5, five);
+    if (rb == 'G') {  // revcomp in place
+        char tmp[5];
+        for (int i = 0; i < 5; ++i) tmp[i] = comp(five[4 - i]);
+        std::memcpy(five, tmp, 5);
+    }
+    std::memcpy(five_out, five, 5);
+    five_out[5] = 0;
+    bool hasN = false;
+    for (int i = 0; i < 5; ++i) if (five[i] == 'N') hasN = true;
+    if (hasN) return CTXT_NA;
+    if (rb != 'C' && rb != 'G') return CTXT_NA;
+    if (five[3] == 'G') return five[1] == 'G' ? CTXT_GCG : CTXT_HCG;
+    if (five[4] == 'G') return five[1] == 'G' ? CTXT_GCHG : CTXT_HCHG;
+    return five[1] == 'G' ? CTXT_GCHH : CTXT_HCHH;
+}
+
+// pileup.c:312-333 _top_mutant (pileup/engine.py:96)
+static int top_mutant(const int64_t *cb, int rb_code) {
+    long long supp[NBASE];
+    for (int i = 0; i < NBASE; ++i)
+        supp[i] = i != BASE_N ? ((cb[i] << 4) | i) : 0;
+    std::stable_sort(supp, supp + NBASE,
+                     [](long long a, long long b) { return (a >> 4) > (b >> 4); });
+    for (int k = 0; k < NBASE; ++k) {
+        int base = (int)(supp[k] & 0xF);
+        if (base == BASE_R && (rb_code == BASE_A || rb_code == BASE_G)) continue;
+        if (base == BASE_Y && (rb_code == BASE_C || rb_code == BASE_T)) continue;
+        if (base != BASE_N && base != rb_code && (supp[k] >> 4) > 0) return base;
+    }
+    return -1;
+}
+
+// pileup.c:339-370 _redistribute_cnts (engine.py:113)
+static void redistribute(int64_t *cb /* [nbam][NBASE] */, int nbam,
+                         int rb_code) {
+    int64_t all_[NBASE] = {0};
+    for (int s = 0; s < nbam; ++s)
+        for (int i = 0; i < NBASE; ++i) all_[i] += cb[s * NBASE + i];
+    for (int s = 0; s < nbam; ++s) {
+        int64_t *row = cb + s * NBASE;
+        if ((rb_code == BASE_T || all_[BASE_T]) && all_[BASE_C] == 0
+            && rb_code != BASE_C) { row[BASE_T] += row[BASE_Y]; row[BASE_Y] = 0; }
+        if ((rb_code == BASE_C || all_[BASE_C]) && all_[BASE_T] == 0
+            && rb_code != BASE_T) { row[BASE_C] += row[BASE_Y]; row[BASE_Y] = 0; }
+        if ((rb_code == BASE_A || all_[BASE_A]) && all_[BASE_G] == 0
+            && rb_code != BASE_G) { row[BASE_A] += row[BASE_R]; row[BASE_R] = 0; }
+        if ((rb_code == BASE_G || all_[BASE_G]) && all_[BASE_A] == 0
+            && rb_code != BASE_A) { row[BASE_G] += row[BASE_R]; row[BASE_R] = 0; }
+    }
+}
+
+// pileup.c:389-413 pileup_genotype (engine.py:70)
+static void pileup_genotype(int cref, int altsupp, const Conf &cf,
+                            char gt_out[4], double &gl0, double &gl1,
+                            double &gl2, double &gq) {
+    std::strcpy(gt_out, "./.");
+    gl0 = gl1 = gl2 = -1.0;
+    gq = -1.0;
+    double prior0 = 1.0 - cf.prior1 - cf.prior2;
+    if (cref >= 0 || altsupp >= 0) {
+        gl0 = std::log(prior0) + genotype_lnlik(HOMOREF, cref, altsupp, cf.error, cf.contam);
+        gl1 = std::log(cf.prior1) + genotype_lnlik(HET, cref, altsupp, cf.error, cf.contam);
+        gl2 = std::log(cf.prior2) + genotype_lnlik(HOMOVAR, cref, altsupp, cf.error, cf.contam);
+        double lsum = ln_sum3(gl0, gl1, gl2);
+        if (gl0 > gl1) {
+            if (gl0 > gl2) { gq = pval2qual(1 - std::exp(gl0 - lsum)); std::strcpy(gt_out, "0/0"); }
+            else { gq = pval2qual(1 - std::exp(gl2 - lsum)); std::strcpy(gt_out, "1/1"); }
+        } else if (gl1 > gl2) {
+            gq = pval2qual(1 - std::exp(gl1 - lsum)); std::strcpy(gt_out, "0/1");
+        } else {
+            gq = pval2qual(1 - std::exp(gl2 - lsum)); std::strcpy(gt_out, "1/1");
+        }
+    }
+}
+
+struct ApIter {  // aligned-pairs walk over M/=/X ops (common.py:139)
+    const uint8_t *ops; const int32_t *lens; int n;
+};
+
+// engine.py plp_format (pileup.c:415-640) with precomputed counts
+static void plp_format(const char *chrom_name, const char *chrom,
+                       int64_t seqlen, int64_t rpos, const Conf &cf, int nbam,
+                       const int64_t *cm,   // [nbam][NMETH] filtered
+                       const int64_t *cb,   // [nbam][NBASE] filtered
+                       const int64_t *dp,   // [nbam]
+                       double *betasum, int64_t *cntctx,  // [nbam][NCONTXTS]
+                       std::string &out) {
+    char rb = (rpos >= 1 && rpos <= seqlen) ? chrom[rpos - 1] : 'N';
+    if (rb == 'N') return;
+    int rb_code = char2int8(rb);
+
+    std::vector<int64_t> cbr(cb, cb + nbam * NBASE);
+    if (cf.ambi_redist) redistribute(cbr.data(), nbam, rb_code);
+
+    int64_t cb_all[NBASE] = {0};
+    int64_t cm_all[NMETH] = {0};
+    for (int s = 0; s < nbam; ++s) {
+        for (int i = 0; i < NMETH; ++i) cm_all[i] += cm[s * NMETH + i];
+        for (int i = 0; i < NBASE; ++i) cb_all[i] += cbr[s * NBASE + i];
+    }
+    int cm1 = top_mutant(cb_all, rb_code);
+    if (cm1 < 0 && cm_all[METH_RET] == 0 && cm_all[METH_CONV] == 0)
+        return;  // non-verbose emission test
+
+    std::vector<std::string> gt(nbam, "./.");
+    std::vector<double> gl0(nbam, -1.0), gl1(nbam, -1.0), gl2(nbam, -1.0),
+        gq(nbam, 0.0);
+    std::vector<int> methcallable(nbam, 0);
+    int any_methcallable = 0;
+    double lowest_gq = 0.0;
+    for (int s = 0; s < nbam; ++s) {
+        const int64_t *cb1 = cbr.data() + s * NBASE;
+        const int64_t *cm_1 = cm + s * NMETH;
+        if (cm_1[METH_RET] + cm_1[METH_CONV] > 0) {
+            if (rb == 'C') {
+                if (cb1[BASE_T] == 0) methcallable[s] = 1;
+                else if (cb1[BASE_C] > 0
+                         && (double)cb1[BASE_T] / cb1[BASE_C] < 0.05)
+                    methcallable[s] = 1;
+            }
+            if (rb == 'G') {
+                if (cb1[BASE_A] == 0) methcallable[s] = 1;
+                else if (cb1[BASE_G] > 0
+                         && (double)cb1[BASE_A] / cb1[BASE_G] < 0.05)
+                    methcallable[s] = 1;
+            }
+        }
+        int64_t nref = cb1[rb_code];
+        int64_t nalt = cm1 >= 0 ? cb1[cm1] : 0;
+        if (nref + nalt > 0) {
+            char g[4];
+            pileup_genotype((int)nref, (int)nalt, cf, g, gl0[s], gl1[s],
+                            gl2[s], gq[s]);
+            gt[s] = g;
+        }
+        if (gq[s] < lowest_gq || s == 0) lowest_gq = gq[s];
+        if (methcallable[s]) any_methcallable = 1;
+    }
+
+    double squal = 0.0;
+    int ss = 5;
+    if (cf.somatic && cm1 >= 0) {
+        int cm1_t = top_mutant(cbr.data(), rb_code);  // tumor sample row
+        if (cm1_t >= 0) {
+            int64_t altcnt_t = cbr[0 * NBASE + cm1_t];
+            int64_t altcnt_n = cbr[1 * NBASE + cm1_t];
+            int64_t cref_t = cbr[0 * NBASE + rb_code];
+            int64_t cref_n = cbr[1 * NBASE + rb_code];
+            squal = pval2qual(somatic_posterior(
+                (int)cref_t, (int)altcnt_t, (int)cref_n, (int)altcnt_n,
+                cf.error, cf.mu, cf.mu_somatic, cf.contam));
+            if (squal > 1) ss = 2;
+            else if (gt[1].size() > 2 && gt[1][2] == '1') ss = 1;
+            else ss = 0;
+        }
+    }
+
+    char buf[64];
+    out += chrom_name;
+    out += '\t';
+    out += std::to_string(rpos);
+    out += "\t.\t";
+    out += rb;
+    out += '\t';
+    if (cm1 >= 0)
+        out += (cm1 == BASE_Y || cm1 == BASE_R) ? 'N' : BASECODE[cm1];
+    else out += '.';
+    out += '\t';
+    out += std::to_string((long long)lowest_gq);
+    out += lowest_gq > 5 ? "\tPASS\t" : "\tLowQual\t";
+
+    int ctt = CTXT_NA;
+    out += "NS=";
+    out += std::to_string(nbam);
+    char fivenuc[6] = {0};
+    if (rb == 'C' || rb == 'G') {
+        ctt = fivenuc_context(chrom, seqlen, rpos, rb, fivenuc);
+        out += ";CX=";
+        out += cf.is_nome ? CYT_CTX_NOME[ctt] : CYT_CTX[ctt];
+        out += ";N5=";
+        out += fivenuc;
+    }
+    if (cf.somatic && cm1 >= 0) {
+        out += ";SS=";
+        out += std::to_string(ss);
+        out += ";SC=";
+        out += std::to_string((long long)squal);
+    }
+    if (cm1 >= 0 && (cm1 == BASE_Y || cm1 == BASE_R)) {
+        out += ";AB=";
+        out += BASECODE[cm1];
+    }
+
+    out += "\tGT:GL1:GQ:DP:SP";
+    if (cm1 >= 0) out += ":AC:AF1";
+    if (any_methcallable) out += ":CV:BT";
+
+    for (int s = 0; s < nbam; ++s) {
+        const int64_t *cb1 = cb + s * NBASE;        // unredistributed
+        const int64_t *cb1r = cbr.data() + s * NBASE;
+        const int64_t *cm_1 = cm + s * NMETH;
+        int64_t dps = dp[s];
+        if (gq[s] > 0 && dps) {
+            snprintf(buf, sizeof buf, "\t%s:%1.0f,%1.0f,%1.0f:%1.0f",
+                     gt[s].c_str(), std::max(-1000.0, gl0[s]),
+                     std::max(-1000.0, gl1[s]), std::max(-1000.0, gl2[s]),
+                     gq[s]);
+            out += buf;
+        } else {
+            out += "\t./.:.,.,.:0";
+        }
+        out += ':';
+        out += std::to_string(dps ? dps : 0);
+        out += ':';
+        bool added = false;
+        if (cb1[rb_code]) {
+            out += rb;
+            out += std::to_string(cb1[rb_code]);
+            added = true;
+        }
+        for (int i = 0; i < NBASE; ++i) {
+            if (i == BASE_N || i == rb_code || cb1[i] <= 0) continue;
+            out += BASECODE[i];
+            out += std::to_string(cb1[i]);
+            added = true;
+        }
+        if (!added) out += '.';
+        if (cm1 >= 0) {
+            int64_t nref = cb1r[rb_code], nalt = cb1r[cm1];
+            out += ':';
+            out += std::to_string(nref + nalt);
+            out += ':';
+            if (nref + nalt) {
+                snprintf(buf, sizeof buf, "%1.2f",
+                         (double)nalt / (nref + nalt));
+                out += buf;
+            } else {
+                out += '.';
+            }
+        }
+        if (any_methcallable) {
+            if (methcallable[s]) {
+                double beta = (double)cm_1[METH_RET]
+                    / (cm_1[METH_RET] + cm_1[METH_CONV]);
+                if (ctt != CTXT_NA) {
+                    betasum[s * NCONTXTS + ctt] += beta;
+                    cntctx[s * NCONTXTS + ctt] += 1;
+                }
+                snprintf(buf, sizeof buf, ":%lld:%1.3f",
+                         (long long)(cm_1[METH_RET] + cm_1[METH_CONV]), beta);
+                out += buf;
+            } else {
+                out += ":0:.";
+            }
+        }
+    }
+    out += '\n';
+}
+
+}  // namespace btp
+
+extern "C" {
+
+// Process one [beg, end) 1-based window. Returns 0; *out_buf is malloc'd VCF
+// text of out_len bytes (caller frees with bt_buf_free from align_host.cpp).
+// betasum/cntctx are [nbam][6] accumulators (added into).
+int bt_pileup_window(const btp::Conf *cf, const char *chrom_name,
+                     const char *chrom /* uppercased */, int64_t seqlen,
+                     int64_t beg, int64_t end, int32_t nbam,
+                     const btp::ReadC *reads, int32_t n_reads,
+                     const char *seq_blob, const char *qual_blob,
+                     const uint8_t *cig_ops, const int32_t *cig_lens,
+                     void **out_buf, int64_t *out_len,
+                     double *betasum, int64_t *cntctx) {
+    using namespace btp;
+    int64_t P = end - beg;
+    std::vector<int64_t> cm((size_t)P * nbam * NMETH, 0);
+    std::vector<int64_t> cb((size_t)P * nbam * NBASE, 0);
+    std::vector<int64_t> dp((size_t)P * nbam, 0);
+    std::vector<uint8_t> covered((size_t)P, 0);
+
+    for (int r = 0; r < n_reads; ++r) {
+        const ReadC &b = reads[r];
+        if (b.mapq < cf->min_mapq) continue;
+        if (b.l_qseq < cf->min_read_len) continue;
+        if (b.flag > 0) {
+            if (cf->filter_secondary && (b.flag & FLAG_SECONDARY)) continue;
+            if (cf->filter_duplicate && (b.flag & FLAG_DUP)) continue;
+            if (cf->filter_ppair && (b.flag & FLAG_PAIRED)
+                && !(b.flag & FLAG_PROPER)) continue;
+            if (cf->filter_qcfail && (b.flag & FLAG_QCFAIL)) continue;
+        }
+        if (b.nm != INT32_MIN && b.nm > cf->max_nm) continue;
+        if (b.as_ != INT32_MIN && b.as_ < cf->min_score) continue;
+
+        const char *seq = seq_blob + b.seq_off;
+        const char *qual = b.qual_len ? qual_blob + b.qual_off : nullptr;
+        const uint8_t *ops = cig_ops + b.cig_off;
+        const int32_t *lens = cig_lens + b.cig_off;
+
+        // bsstrand: tag chain resolved Python-side; infer here if needed
+        // (bisc_utils.c:163-206), then cnt_retention (:76-122)
+        int bss = b.bs_known;
+        int64_t read_len_ref = 0;  // reference span of this read's cigar
+        {
+            int nC2T = 0, nG2A = 0, cnt_c = 0, cnt_g = 0;
+            int64_t rpos = b.pos + 1;
+            int qpos = 0;
+            for (int k = 0; k < b.n_cigar; ++k) {
+                int op = ops[k], ln = lens[k];
+                if (op == 0 || op == 7 || op == 8) {
+                    for (int j = 0; j < ln; ++j) {
+                        int64_t rp = rpos + j;
+                        int qp = qpos + j;
+                        char rbc = (rp >= 1 && rp <= seqlen) ? chrom[rp - 1] : 'N';
+                        char qb = qp < b.seq_len ? seq[qp] : 'N';
+                        // '*' qual => all pass; out-of-range qpos fails
+                        bool qok = !qual
+                            || (qp < b.qual_len
+                                && qual[qp] - 33 >= cf->min_base_qual);
+                        if (qp < b.seq_len && qok) {
+                            if (rbc == 'C' && qb == 'T') ++nC2T;
+                            if (rbc == 'G' && qb == 'A') ++nG2A;
+                        }
+                        if (rbc == 'C' && qb == 'C') ++cnt_c;
+                        if (rbc == 'G' && qb == 'G') ++cnt_g;
+                    }
+                    rpos += ln;
+                    qpos += ln;
+                    read_len_ref += ln;
+                } else if (op == 1 || op == 4 || op == 5) {
+                    qpos += ln;
+                } else if (op == 2) {
+                    rpos += ln;
+                    read_len_ref += ln;
+                }
+            }
+            if (bss < 0) bss = nC2T >= nG2A ? 0 : 1;
+            int cnt_ret = bss ? cnt_c : cnt_g;
+            if (cnt_ret > cf->max_retention) continue;
+        }
+
+        int64_t rpos0 = b.pos + 1;
+        int64_t rmpos = b.mpos + 1;
+        int64_t rend = rpos0 + read_len_ref - 1;
+        int64_t rmend = rmpos + b.mate_len - 1;
+        bool dc = cf->filter_doublecnt && (b.flag & FLAG_READ2);
+        int64_t ov_lo = std::max(rpos0, rmpos), ov_hi = std::min(rend, rmend);
+
+        int64_t rpos = b.pos + 1;
+        int qpos = 0;
+        for (int k = 0; k < b.n_cigar; ++k) {
+            int op = ops[k], ln = lens[k];
+            if (op == 0 || op == 7 || op == 8) {
+                for (int j = 0; j < ln; ++j) {
+                    int64_t rp = rpos + j;
+                    if (rp < beg || rp >= end) continue;
+                    if (dc && rp >= ov_lo && rp <= ov_hi) continue;
+                    int qp = qpos + j;
+                    char rbc = (rp >= 1 && rp <= seqlen) ? chrom[rp - 1] : 'N';
+                    char qb = qp < b.seq_len ? seq[qp] : 'N';
+                    int meth, base;
+                    if (bss) {  // BSC
+                        meth = rbc == 'G'
+                            ? (qb == 'A' ? METH_CONV
+                                         : (qb == 'G' ? METH_RET : METH_NA))
+                            : METH_NA;
+                        base = qb == 'A' ? BASE_R : char2int8(qb);
+                    } else {  // BSW
+                        meth = rbc == 'C'
+                            ? (qb == 'T' ? METH_CONV
+                                         : (qb == 'C' ? METH_RET : METH_NA))
+                            : METH_NA;
+                        base = qb == 'T' ? BASE_Y : char2int8(qb);
+                    }
+                    int64_t p = rp - beg;
+                    covered[p] = 1;
+                    dp[p * nbam + b.sid] += 1;
+                    int q = qual ? (qp < b.qual_len ? qual[qp] - 33 : -33) : 0;
+                    // datum-level filters (plp_getcnts)
+                    if (q < cf->min_base_qual) continue;
+                    if (qp + 1 <= cf->min_dist_end_5p
+                        || b.l_qseq < qp + 1 + cf->min_dist_end_3p) continue;
+                    cm[(p * nbam + b.sid) * NMETH + meth] += 1;
+                    cb[(p * nbam + b.sid) * NBASE + base] += 1;
+                }
+                rpos += ln;
+                qpos += ln;
+            } else if (op == 1 || op == 4 || op == 5) {
+                qpos += ln;
+            } else if (op == 2) {
+                rpos += ln;
+            }
+        }
+    }
+
+    std::string out;
+    out.reserve(1 << 16);
+    for (int64_t p = 0; p < P; ++p) {
+        if (!covered[p]) continue;
+        plp_format(chrom_name, chrom, seqlen, beg + p, *cf, nbam,
+                   cm.data() + (size_t)p * nbam * NMETH,
+                   cb.data() + (size_t)p * nbam * NBASE,
+                   dp.data() + (size_t)p * nbam, betasum, cntctx, out);
+    }
+    char *buf = (char *)std::malloc(out.size() > 0 ? out.size() : 1);
+    if (!buf) return -1;
+    std::memcpy(buf, out.data(), out.size());
+    *out_buf = buf;
+    *out_len = (int64_t)out.size();
+    return 0;
+}
+
+}  // extern "C"

@@ -335,10 +335,15 @@ def pileup_window(bams: List[AlignmentFile], rs: RefCache, conf: PileupConf,
                   tid: int, chrm: str, beg: int, end: int,
                   betasum_context, cnt_context) -> str:
     """process one [beg, end) window (1-based beg, exclusive end) — the body
-    of process_func (pileup.c:675-853). Dispatches to the vectorized
-    collection path; verbose mode keeps the per-datum path (it needs
-    per-base diagnostic records)."""
+    of process_func (pileup.c:675-853). Dispatches to the C++ window engine
+    (default), the vectorized numpy path (BISCUIT_TPU_PILEUP=numpy), or the
+    per-datum path (verbose mode needs per-base diagnostic records)."""
     if not conf.comm.verbose:
+        mode = os.environ.get("BISCUIT_TPU_PILEUP", "native")
+        if mode == "native":
+            from .native import pileup_window_native
+            return pileup_window_native(bams, rs, conf, tid, chrm, beg, end,
+                                        betasum_context, cnt_context)
         return _pileup_window_fast(bams, rs, conf, tid, chrm, beg, end,
                                    betasum_context, cnt_context)
     return _pileup_window_slow(bams, rs, conf, tid, chrm, beg, end,

@@ -58,13 +58,18 @@ def test_pileup_vcf(pipeline):
 
 
 def test_pileup_fast_matches_slow(pipeline):
-    """The vectorized window path must be byte-identical to the per-datum
-    reference-semantics path, including the side beta statistics."""
+    """The C++ and vectorized-numpy window paths must be byte-identical to
+    the per-datum reference-semantics path; beta sums may differ by float
+    association (per-window partial sums), the printed stats do not."""
+    import os
+
+    import numpy as np
+
     d, fa = pipeline
     from biscuit_tpu.io.sambam import AlignmentFile
     from biscuit_tpu.pileup.common import NCONTXTS, RefCache
-    from biscuit_tpu.pileup.engine import (PileupConf, _pileup_window_slow,
-                                           pileup_window)
+    from biscuit_tpu.pileup.engine import (PileupConf, _pileup_window_fast,
+                                           _pileup_window_slow, pileup_window)
 
     rs = RefCache(fa)
     af = AlignmentFile(str(d / "aln.bam"))
@@ -83,10 +88,13 @@ def test_pileup_fast_matches_slow(pipeline):
             wbeg += 7000
         return "".join(out), bs, cs
 
-    fast = run_path(pileup_window)
+    native = run_path(pileup_window)       # default: C++ engine
+    fast = run_path(_pileup_window_fast)
     slow = run_path(_pileup_window_slow)
-    assert fast[0] == slow[0]
+    assert native[0] == fast[0] == slow[0]
     assert fast[1] == slow[1] and fast[2] == slow[2]
+    assert native[2] == slow[2]
+    np.testing.assert_allclose(native[1], slow[1], rtol=1e-12)
 
 
 def test_pileup_pooled_matches_serial(pipeline):
