@@ -465,6 +465,19 @@ def main_sort(argv):
     return 0
 
 
+def main_bamindex(argv):
+    """Utility (reference workflows use `samtools index`): build a
+    samtools-compatible .bai index for a coordinate-sorted BAM, enabling
+    streamed region queries (io/bai.py)."""
+    opts, args = getopt.getopt(argv, "h")
+    if not args:
+        print("Usage: biscuit_tpu bamindex <in.bam>", file=sys.stderr)
+        return 1
+    from .io.bai import build_bai
+    build_bai(args[0]).write(args[0] + ".bai")
+    return 0
+
+
 def _sub(name):
     def run(argv):
         import importlib
@@ -478,6 +491,7 @@ SUBCOMMANDS = {
     "align": main_align,
     "pileup": main_pileup,
     "sort": main_sort,
+    "bamindex": main_bamindex,
     "vcf2bed": _sub("vcf2bed"),
     "mergecg": _sub("mergecg"),
     "epiread": _sub("epiread"),

@@ -285,6 +285,43 @@ def _reg2bin(beg: int, end: int) -> int:
 # file-level API
 # ---------------------------------------------------------------------------
 
+def _bam_header_end(data: bytes):
+    """Byte offset just past a complete BAM header in `data`, or None if
+    more bytes are needed."""
+    if len(data) < 8:
+        return None
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    need = 8 + l_text + 4
+    if len(data) < need:
+        return None
+    (n_ref,) = struct.unpack_from("<i", data, 8 + l_text)
+    off = need
+    for _ in range(n_ref):
+        if len(data) < off + 4:
+            return None
+        (l_name,) = struct.unpack_from("<i", data, off)
+        if len(data) < off + 4 + l_name + 4:
+            return None
+        off += 4 + l_name + 4
+    return off
+
+
+def _parse_bam_header_streaming(path: str) -> SamHeader:
+    """Read just enough BGZF blocks to parse the BAM header (used by the
+    .bai streaming mode so the records are never loaded wholesale)."""
+    data = b""
+    with open(path, "rb") as f:
+        while True:
+            off = _bam_header_end(data)
+            if off is not None:
+                hdr, _ = _parse_bam_header(data[:off])
+                return hdr
+            b = bgzf._read_block(f)
+            if b is None:
+                raise IOError(f"{path}: truncated BAM header")
+            data += b
+
+
 def _is_bam(path: str) -> bool:
     with open(path, "rb") as f:
         magic = f.read(2)
@@ -293,13 +330,22 @@ def _is_bam(path: str) -> bool:
 
 class AlignmentFile:
     """Read a SAM (text) or BAM (BGZF) file; supports full iteration and
-    in-memory region queries over coordinate-sorted data."""
+    region queries over coordinate-sorted data. With a .bai index alongside
+    (htslib/samtools-compatible; see io/bai.py) the BAM is streamed and
+    region queries seek via the index instead of loading into memory."""
 
     def __init__(self, path: str):
+        import os
+
         self.path = path
         self.header = SamHeader()
         self._records: List[AlnRecord] = []
-        if _is_bam(path):
+        self._bai = None
+        if _is_bam(path) and os.path.exists(path + ".bai"):
+            from .bai import BaiIndex
+            self._bai = BaiIndex.read(path + ".bai")
+            self.header = _parse_bam_header_streaming(path)
+        elif _is_bam(path):
             data = bgzf.decompress(path)
             self.header, off = _parse_bam_header(data)
             while off < len(data):
@@ -318,7 +364,45 @@ class AlignmentFile:
         self._by_tid: Optional[Dict[int, List[AlnRecord]]] = None
 
     def __iter__(self) -> Iterator[AlnRecord]:
+        if self._bai is not None:
+            return self._stream_from(None)
         return iter(self._records)
+
+    def _stream_from(self, voffset) -> Iterator[AlnRecord]:
+        """Decode records from the BGZF stream, starting at a virtual offset
+        (None = after the header)."""
+        with open(self.path, "rb") as f:
+            buf = b""
+            if voffset is None:
+                # skip the header: accumulate blocks until it parses whole
+                pending = b""
+                while True:
+                    end_off = _bam_header_end(pending)
+                    if end_off is not None:
+                        buf = pending[end_off:]
+                        break
+                    b = bgzf._read_block(f)
+                    if b is None:
+                        return
+                    pending += b
+            else:
+                f.seek(voffset >> 16)
+                first = bgzf._read_block(f)
+                if first is None:
+                    return
+                buf = first[voffset & 0xFFFF:]
+            while True:
+                while len(buf) >= 4:
+                    (sz,) = struct.unpack_from("<i", buf, 0)
+                    if len(buf) < 4 + sz:
+                        break
+                    rec, _ = _decode_bam_record(buf[:4 + sz], 0)
+                    buf = buf[4 + sz:]
+                    yield rec
+                nxt = bgzf._read_block(f)
+                if nxt is None:
+                    return
+                buf += nxt
 
     def _index(self):
         if self._by_tid is None:
@@ -332,7 +416,20 @@ class AlignmentFile:
     def fetch(self, tid: int, beg: int, end: int) -> Iterator[AlnRecord]:
         """Records overlapping [beg, end) (0-based), by position, like
         sam_itr_queryi."""
-        import bisect
+        if self._bai is not None:
+            voff = self._bai.min_offset(tid, beg, end)
+            if voff is None:
+                return
+            for r in self._stream_from(voff):
+                if r.tid != tid:
+                    if r.tid > tid or r.tid < 0:
+                        break
+                    continue
+                if r.pos >= end:
+                    break
+                if r.pos + max(r.rlen(), 1) > beg:
+                    yield r
+            return
         recs = self._index().get(tid, [])
         # linear scan from a conservative start (reads are short)
         for r in recs:
