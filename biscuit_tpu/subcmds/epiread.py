@@ -556,6 +556,34 @@ def _format_epibed(out, b, bsstrand, chrm, conf, print_w_beg, print_w_end,
         out.append("\n")
 
 
+_EP_POOL = None
+
+
+def _ep_window1(job):
+    tid, name, wbeg, wend, is_last = job
+    bam, rs, conf, snp_table = _EP_POOL
+    if is_last:
+        conf.epiread_reg_end = wend
+    out: List[str] = []
+    process_window(bam, rs, conf, snp_table, tid, name, wbeg, wend, out)
+    return "".join(out)
+
+
+def run_epiread_windows_pooled(bam, rs, conf, snp_table, windows):
+    """Yield each window's output text in order, computed by a fork pool of
+    conf.bt.n_threads workers (copy-on-write shares bam/ref/snp table)."""
+    global _EP_POOL
+    _EP_POOL = (bam, rs, conf, snp_table)
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    n_procs = min(conf.bt.n_threads, len(windows))
+    try:
+        with ctx.Pool(n_procs) as pool:
+            yield from pool.imap(_ep_window1, windows, chunksize=1)
+    finally:
+        _EP_POOL = None
+
+
 def main(argv):
     conf = EpireadConf()
     reg = None
@@ -618,22 +646,35 @@ def main(argv):
         end = min(end, hdr.lengths[tid])
         conf.epiread_reg_start = beg
         wbeg = beg
+        windows = []
         while wbeg < end:
             wend = min(wbeg + step, end)
-            if wend == end:
-                conf.epiread_reg_end = wend
-            process_window(bam, rs, conf, snp_table, tid, hdr.names[tid],
-                           wbeg, wend, out)
+            windows.append((tid, hdr.names[tid], wbeg, wend,
+                            wend == end))
             wbeg += step
     else:
         targets = sorted(range(len(hdr.names)), key=lambda t: hdr.names[t])
+        windows = []
         for t in targets:
             tlen = hdr.lengths[t]
             wbeg = 1
             while wbeg < tlen:
-                process_window(bam, rs, conf, snp_table, t, hdr.names[t],
-                               wbeg, min(wbeg + step, tlen), out)
+                windows.append((t, hdr.names[t], wbeg, min(wbeg + step, tlen),
+                                False))
                 wbeg += step
+
+    if conf.bt.n_threads > 1 and len(windows) > 1:
+        # window fork pool, ordered output (the reference runs epiread on the
+        # same wqueue/record-shelf runtime as pileup; epiread.c:540,1153)
+        for text in run_epiread_windows_pooled(bam, rs, conf, snp_table,
+                                               windows):
+            out.append(text)
+    else:
+        for tid_, name_, wbeg_, wend_, is_last in windows:
+            if is_last:
+                conf.epiread_reg_end = wend_
+            process_window(bam, rs, conf, snp_table, tid_, name_, wbeg_,
+                           wend_, out)
     out_f.write("".join(out))
     if out_f is not sys.stdout:
         out_f.close()

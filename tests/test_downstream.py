@@ -105,6 +105,15 @@ def test_pileup_pooled_matches_serial(pipeline):
     assert strip(out1) == strip(out3)
 
 
+def test_epiread_pooled_matches_serial(pipeline):
+    d, fa = pipeline
+    out1 = run(["epiread", "-@", "1", "-s", "7000", fa, str(d / "aln.bam")],
+               cwd=REPO)
+    out3 = run(["epiread", "-@", "3", "-s", "7000", fa, str(d / "aln.bam")],
+               cwd=REPO)
+    assert out1 == out3 and out1.count("\n") > 100
+
+
 def test_vcf2bed_and_mergecg(pipeline):
     d, fa = pipeline
     bed = run(["vcf2bed", "-t", "cg", str(d / "plp.vcf")], cwd=REPO)
