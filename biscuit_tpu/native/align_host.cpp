@@ -112,14 +112,72 @@ static Occ4 occ4(const StrandFM &f, int64_t k) {
     return o;
 }
 
+// paired occ4 for ranks k <= l: when both fall in the same 128-base
+// interleaved block, share the cache line and the full-superword prefix
+// (fm_extend's two queries are usually a small interval apart)
+static void occ4_pair(const StrandFM &f, int64_t k, int64_t l,
+                      Occ4 &ok, Occ4 &ol) {
+    if (!f.ilv || k < 0 || l < 0 || k >= f.seq_len || l >= f.seq_len
+        || k > l) {
+        ok = occ4(f, k);
+        ol = occ4(f, l);
+        return;
+    }
+    int64_t k2 = k >= f.primary ? k - 1 : k;
+    int64_t l2 = l >= f.primary ? l - 1 : l;
+    if ((k2 >> 7) != (l2 >> 7)) {
+        ok = occ4(f, k);
+        ol = occ4(f, l);
+        return;
+    }
+    const uint64_t *blk = f.ilv + ((k2 >> 7) << 3);
+    const uint64_t M = 0x5555555555555555ULL;
+    int64_t c0 = (int64_t)blk[0], c1 = (int64_t)blk[1];
+    int64_t c2 = (int64_t)blk[2], c3 = (int64_t)blk[3];
+    int swk = (int)((k2 >> 5) & 3), swl = (int)((l2 >> 5) & 3);
+    auto addfull = [&](uint64_t y, int64_t *c) {
+        uint64_t inv = ~y;
+        c[0] += __builtin_popcountll(((inv >> 1) & inv) & M);
+        c[1] += __builtin_popcountll(((inv >> 1) & y) & M);
+        c[2] += __builtin_popcountll(((y >> 1) & inv) & M);
+        c[3] += __builtin_popcountll(((y >> 1) & y) & M);
+    };
+    auto addpart = [&](uint64_t y, int64_t kk, int64_t *c) {
+        int zero = 31 - (int)(kk & 31);
+        if (zero) {
+            int sh = zero << 1;
+            y = (y >> sh) << sh;
+        }
+        uint64_t inv = ~y;
+        c[0] += __builtin_popcountll(((inv >> 1) & inv) & M) - zero;
+        c[1] += __builtin_popcountll(((inv >> 1) & y) & M);
+        c[2] += __builtin_popcountll(((y >> 1) & inv) & M);
+        c[3] += __builtin_popcountll(((y >> 1) & y) & M);
+    };
+    for (int j = 0; j < swk; ++j) {
+        uint64_t y = blk[4 + j], inv = ~y;
+        c0 += __builtin_popcountll(((inv >> 1) & inv) & M);
+        c1 += __builtin_popcountll(((inv >> 1) & y) & M);
+        c2 += __builtin_popcountll(((y >> 1) & inv) & M);
+        c3 += __builtin_popcountll(((y >> 1) & y) & M);
+    }
+    int64_t ck[4] = {c0, c1, c2, c3};
+    addpart(blk[4 + swk], k2, ck);
+    ok.c[0] = ck[0]; ok.c[1] = ck[1]; ok.c[2] = ck[2]; ok.c[3] = ck[3];
+    int64_t cl[4] = {c0, c1, c2, c3};
+    for (int j = swk; j < swl; ++j) addfull(blk[4 + j], cl);
+    addpart(blk[4 + swl], l2, cl);
+    ol.c[0] = cl[0]; ol.c[1] = cl[1]; ol.c[2] = cl[2]; ol.c[3] = cl[3];
+}
+
 struct Intv { int64_t x0, x1, s; int32_t end; };
 
 // bwt_extend semantics on (x0, x1, s); is_back selects the queried axis.
 static void fm_extend(const StrandFM &f, const Intv &ik, Intv out[4], bool is_back) {
     int64_t xq = is_back ? ik.x0 : ik.x1;
     int64_t xo = is_back ? ik.x1 : ik.x0;
-    Occ4 tk = occ4(f, xq - 1);
-    Occ4 tl = occ4(f, xq - 1 + ik.s);
+    Occ4 tk, tl;
+    occ4_pair(f, xq - 1, xq - 1 + ik.s, tk, tl);
     int64_t sizes[4], nxq[4];
     for (int c = 0; c < 4; ++c) {
         sizes[c] = tl.c[c] - tk.c[c];
