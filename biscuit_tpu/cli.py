@@ -16,12 +16,20 @@ from . import __version__, REFERENCE_VERSION
 def main_index(argv):
     from .index.build import build_index
     prefix = None
-    opts, args = getopt.getopt(argv, "6a:p:h")
+    mmap_fmt = False
+    opts, args = getopt.getopt(argv, "6a:p:Mh")
     for o, a in opts:
         if o == "-p":
             prefix = a
+        elif o == "-M":
+            # memory-mapped layout (bwashm equivalent): instant load, pages
+            # shared across concurrent processes
+            mmap_fmt = True
         elif o == "-h":
-            print("Usage: biscuit_tpu index [options] <in.fasta>", file=sys.stderr)
+            print("Usage: biscuit_tpu index [options] <in.fasta>\n"
+                  "  -p STR  index prefix (default: the FASTA path)\n"
+                  "  -M      write the memory-mappable layout (<prefix>.btidx/)",
+                  file=sys.stderr)
             return 1
     if not args:
         print("Missing FASTA reference", file=sys.stderr)
@@ -29,7 +37,11 @@ def main_index(argv):
     fasta = args[0]
     if prefix is None:
         prefix = fasta
-    build_index(fasta, prefix=prefix)
+    if mmap_fmt:
+        idx = build_index(fasta, prefix=None)
+        idx.save_mmap(prefix)
+    else:
+        build_index(fasta, prefix=prefix)
     return 0
 
 

@@ -74,8 +74,67 @@ class BisIndex:
         with open(prefix + ".btidx.json", "w") as f:
             json.dump(meta, f)
 
+    def save_mmap(self, prefix: str) -> None:
+        """Write the memory-mappable index layout: one raw .npy per array in
+        `<prefix>.btidx/` (pac stored unpacked). The bwashm equivalent
+        (lib/aln/bwashm.c): load() maps these pages read-only, so start-up
+        is instant and concurrent processes share one physical copy."""
+        import os
+
+        d = prefix + ".btidx"
+        os.makedirs(d, exist_ok=True)
+        meta = {
+            "l_pac": self.l_pac,
+            "anns": [vars(a) for a in self.anns],
+            "ambs": [vars(a) for a in self.ambs],
+            "version": 1,
+            "par_primary": int(self.par.primary),
+            "par_seq_len": int(self.par.seq_len),
+            "dau_primary": int(self.dau.primary),
+            "dau_seq_len": int(self.dau.seq_len),
+        }
+        np.save(os.path.join(d, "pac.npy"), np.ascontiguousarray(self.pac))
+        for tag, s in (("par", self.par), ("dau", self.dau)):
+            np.save(os.path.join(d, f"{tag}_words.npy"), s.words)
+            np.save(os.path.join(d, f"{tag}_occ.npy"), s.occ_cp)
+            np.save(os.path.join(d, f"{tag}_L2.npy"), s.L2)
+            np.save(os.path.join(d, f"{tag}_sa.npy"), s.sa_samples)
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def _load_mmap(cls, prefix: str) -> "BisIndex":
+        import os
+
+        d = prefix + ".btidx"
+        with open(os.path.join(d, "meta.json")) as f:
+            meta = json.load(f)
+        m = lambda n: np.load(os.path.join(d, n), mmap_mode="r")
+        strands = {}
+        for tag in ("par", "dau"):
+            strands[tag] = StrandIndex(
+                words=m(f"{tag}_words.npy"),
+                occ_cp=m(f"{tag}_occ.npy"),
+                L2=np.asarray(m(f"{tag}_L2.npy")),
+                primary=meta[f"{tag}_primary"],
+                seq_len=meta[f"{tag}_seq_len"],
+                sa_samples=m(f"{tag}_sa.npy"),
+            )
+        return cls(
+            par=strands["par"],
+            dau=strands["dau"],
+            pac=m("pac.npy"),
+            anns=[Ann(**a) for a in meta["anns"]],
+            ambs=[Amb(**a) for a in meta["ambs"]],
+            l_pac=meta["l_pac"],
+        )
+
     @classmethod
     def load(cls, prefix: str) -> "BisIndex":
+        import os
+
+        if os.path.isdir(prefix + ".btidx"):
+            return cls._load_mmap(prefix)
         z = np.load(prefix + ".btidx.npz")
         with open(prefix + ".btidx.json") as f:
             meta = json.load(f)
