@@ -1,0 +1,110 @@
+"""Coverage for the smaller subcommands: bc, rectangle, cinread, bsconv,
+vcf2bed -t snp — structural/invariant checks on the shared pipeline data
+(SURVEY.md §4 lists these as part of the reference's regression surface)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+from conftest import REPO
+
+
+def run(args, cwd=REPO, check=True):
+    r = subprocess.run([sys.executable, "-m", "biscuit_tpu.cli"] + args,
+                       capture_output=True, text=True, cwd=cwd)
+    if check:
+        assert r.returncode == 0, f"{args}: {r.stderr[-1500:]}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def pipe(tmp_path_factory):
+    d = tmp_path_factory.mktemp("misc")
+    subprocess.run(
+        [sys.executable, f"{REPO}/tools/make_testdata.py", str(d),
+         "--genome-size", "40000", "--n-reads", "400", "--seed", "21",
+         "--n-chroms", "1"],
+        check=True, capture_output=True)
+    fa = str(d / "genome.fa")
+    run(["index", fa])
+    sam = run(["align", fa, str(d / "reads.fq")]).stdout
+    (d / "aln.sam").write_text(sam)
+    run(["sort", "-o", str(d / "aln.bam"), str(d / "aln.sam")])
+    run(["pileup", "-o", str(d / "plp.vcf"), fa, str(d / "aln.bam")])
+    return d, fa
+
+
+def test_cinread(pipe):
+    d, fa = pipe
+    r = run(["cinread", "-t", "cg", fa, str(d / "aln.bam")])
+    lines = [l for l in r.stdout.splitlines() if l]
+    assert len(lines) > 100
+    # default layout: QNAME QPAIR BSSTRAND CRBASE CQBASE
+    for l in lines[:20]:
+        cols = l.split("\t")
+        assert len(cols) == 5
+        assert cols[3] in ("C", "G") and cols[4] in "ACGTN"
+    # explicit retention column
+    r2 = run(["cinread", "-t", "cg", "-p", "QNAME,CRETENTION", fa,
+              str(d / "aln.bam")])
+    for l in r2.stdout.splitlines()[:20]:
+        assert l.split("\t")[-1] in ("R", "C", "N")
+
+
+def test_bsconv(pipe):
+    d, fa = pipe
+    # -p: per-read tab table of retention/conversion counts by context
+    r = run(["bsconv", "-p", fa, str(d / "aln.bam")])
+    lines = [l for l in r.stdout.splitlines() if l]
+    assert len(lines) > 100
+    for l in lines[:10]:
+        cols = l.split("\t")
+        assert len(cols) >= 9, cols
+    # filtering mode annotates/filters without error
+    r2 = run(["bsconv", "-f", "0.5", fa, str(d / "aln.bam"),
+              str(d / "conv.bam")])
+    assert os.path.exists(d / "conv.bam")
+
+
+def test_vcf2bed_snp(pipe):
+    d, fa = pipe
+    r = run(["vcf2bed", "-t", "snp", str(d / "plp.vcf")], check=False)
+    assert r.returncode == 0, r.stderr[-500:]
+    for l in r.stdout.splitlines()[:10]:
+        cols = l.split("\t")
+        assert len(cols) >= 6
+        assert cols[1].isdigit() and cols[2].isdigit()
+
+
+def test_bc_and_rectangle(pipe, tmp_path):
+    d, fa = pipe
+    # bc: extract inline barcodes (first 8 bp) and rewrite names
+    out1 = str(tmp_path / "bc_1.fq.gz")
+    r = run(["bc", "-s", "1", "-l", "8", "-o", str(tmp_path / "bc"),
+             str(d / "reads.fq")], check=False)
+    assert r.returncode == 0, r.stderr[-800:]
+    import gzip
+    import glob
+    outs = glob.glob(str(tmp_path / "bc*"))
+    assert outs, "bc produced no output files"
+    with gzip.open(outs[0], "rt") as f:
+        name = f.readline().strip()
+    assert name.startswith("@") and "_" in name  # name_bc[_umi] rewrite
+
+    # rectangle: pad old-format epireads to a matrix
+    old = run(["epiread", "-O", fa, str(d / "aln.bam")]).stdout
+    ep = tmp_path / "old.epiread"
+    ep.write_text(old)
+    r2 = run(["rectangle", fa, str(ep)], check=False)
+    assert r2.returncode == 0, r2.stderr[-800:]
+    lines = [l for l in r2.stdout.splitlines() if l]
+    assert len(lines) > 10
+    # rectangular: per chrom, all rows have equal retention-string length
+    from collections import defaultdict
+    bychrom = defaultdict(set)
+    for l in lines:
+        cols = l.split("\t")
+        bychrom[cols[0]].add(len(cols[-1]))
+    for chrom, lens in bychrom.items():
+        assert len(lens) == 1, (chrom, lens)
