@@ -97,6 +97,12 @@ def parse_tag(field_: str) -> Tuple[str, Tuple[str, object]]:
         val = int(val)
     elif typ == "f":
         val = float(val)
+    elif typ == "B":
+        # same in-memory shape as the BAM codec: (subtype, [values])
+        parts = val.split(",")
+        sub = parts[0]
+        conv = float if sub in ("f", "d") else int
+        val = (sub, [conv(x) for x in parts[1:]])
     return name, (typ, val)
 
 
@@ -127,6 +133,9 @@ def format_sam_record(r: AlnRecord, hdr: SamHeader) -> str:
     for name, (typ, val) in r.tags.items():
         if typ == "f":
             sval = f"{val:g}"
+        elif typ == "B":
+            sub, vals = val
+            sval = sub + "," + ",".join(str(v) for v in vals)
         else:
             sval = str(val)
         parts.append(f"{name}:{typ}:{sval}")

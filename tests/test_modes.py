@@ -86,3 +86,42 @@ def test_verbose_pileup(data):
     txt = (d / "verb.vcf").read_text()
     assert "DIAGNOSE" in txt
     assert ";Bs0=" in txt or ";Bs1=" in txt
+
+
+def test_epiread_modbam(tmp_path):
+    """epiread -M: MM/ML (modBAM, ONT-style) methylation calls instead of
+    bisulfite conversion (epiread.c:586-617,757-774 equivalents)."""
+    import subprocess
+    import sys
+    from conftest import REPO
+
+    # genome with CpGs at fixed spots
+    unit = "AACGTTTAGG"             # CpG at offset 2 (0-based)
+    genome = unit * 30
+    fa = tmp_path / "g.fa"
+    fa.write_text(">chr1\n" + genome + "\n")
+    # unconverted read matching the first 40 bp; C's at 2,12,22,32 (CpGs)
+    read = genome[:40]
+    # MM: skip the first C (it falls in the 5'-end filter region), mark the
+    # 2nd (pos 12, high prob -> M) and 3rd (pos 22, low prob -> U)
+    sam = tmp_path / "m.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        "@SQ\tSN:chr1\tLN:%d\n" % len(genome)
+        + "\t".join([
+            "r1", "0", "chr1", "1", "60", "40M", "*", "0", "0", read,
+            "I" * 40, "NM:i:0", "MM:Z:C+m,1,0;", "ML:B:C,250,5",
+        ]) + "\n")
+    run = lambda a: subprocess.run(
+        [sys.executable, "-m", "biscuit_tpu.cli"] + a, capture_output=True,
+        text=True, cwd=REPO)
+    r = run(["sort", "-o", str(tmp_path / "m.bam"), str(sam)])
+    assert r.returncode == 0, r.stderr[-500:]
+    r = run(["epiread", "-M", str(fa), str(tmp_path / "m.bam")])
+    assert r.returncode == 0, r.stderr[-800:]
+    lines = [l for l in r.stdout.splitlines() if l]
+    assert len(lines) == 1, r.stdout
+    cols = lines[0].split("\t")
+    rle = cols[6]
+    # first modified C (prob 250/256 -> M), second listed C (prob 5/256 -> U)
+    assert "M" in rle and "U" in rle, rle
