@@ -6,10 +6,21 @@ import getopt
 import sys
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..io.sambam import (AlignmentFile, AlnRecord, FLAG_QCFAIL, FLAG_UNMAP,
                          format_sam_record, write_bam, write_sam)
-from ..pileup.common import (RefCache, char_to_int8, fivenuc_context,
-                             get_bsstrand, iter_aligned_bases)
+from ..pileup.common import (RefCache, aligned_bases_np, char_to_int8,
+                             fivenuc_context, get_bsstrand,
+                             iter_aligned_bases)
+
+# byte-level complement and base-code tables for the vectorized count path
+_COMP_TBL_NP = np.full(256, ord("N"), np.uint8)
+for _a, _b in (("A", "T"), ("C", "G"), ("G", "C"), ("T", "A")):
+    _COMP_TBL_NP[ord(_a)] = ord(_b)
+_CHAR2INT8_NP = np.full(256, 4, np.int64)  # N bucket
+for _i, _c in enumerate("ACGT"):
+    _CHAR2INT8_NP[ord(_c)] = _i
 
 
 @dataclass
@@ -52,28 +63,40 @@ def bsconv_func(b: AlnRecord, rs: RefCache, conf: BsconvConf, d: BsconvData,
         if bsstrand == 2:
             tofilter = 1
         else:
-            seq = b.seq
-            for rpos, qpos in iter_aligned_bases(b):
-                rb = rs.getbase_upcase(rpos)
-                if rb not in ("C", "G"):
-                    continue
-                if bsstrand and rb == "C":
-                    continue
-                if not bsstrand and rb == "G":
-                    continue
-                _ctxt, fivenuc = fivenuc_context(rs, rpos, rb)
-                qb = (seq[qpos] if qpos < len(seq) else "N").upper()
-                nxt = char_to_int8(fivenuc[3])
-                if bsstrand and rb == "G":
-                    if qb == "G":
-                        retn[nxt] += 1
-                    elif qb == "A":
-                        conv[nxt] += 1
-                elif not bsstrand and rb == "C":
-                    if qb == "C":
-                        retn[nxt] += 1
-                    elif qb == "T":
-                        conv[nxt] += 1
+            # vectorized context-stratified retention/conversion counting.
+            # fivenuc[3] reduces to: BSW (rb=C) -> the next ref base;
+            # BSC (rb=G) -> complement of the previous ref base (the 5-mer
+            # is revcomped); chromosome ends yield 'N' (common.py:111).
+            rp, qp = aligned_bases_np(b)
+            if len(rp):
+                qarr = np.frombuffer(b.seq.encode(), dtype=np.uint8)
+                qb = np.where(qp < len(qarr),
+                              qarr[np.minimum(qp, len(qarr) - 1)], ord("N"))
+                arr = rs.arr
+                n = rs.seqlen
+                rbv = np.where((rp >= 1) & (rp <= n),
+                               arr[np.minimum(rp, n) - 1], ord("N"))
+                if bsstrand:
+                    site = rbv == ord("G")
+                    nxt = np.where(rp - 1 >= 1,
+                                   _COMP_TBL_NP[arr[np.maximum(rp - 2, 0)]],
+                                   ord("N"))
+                    is_ret = qb == ord("G")
+                    is_conv = qb == ord("A")
+                else:
+                    site = rbv == ord("C")
+                    nxt = np.where(rp + 1 <= n, arr[np.minimum(rp, n - 1)],
+                                   ord("N"))
+                    is_ret = qb == ord("C")
+                    is_conv = qb == ord("T")
+                code = _CHAR2INT8_NP[nxt]
+                retn_a = np.zeros(5, np.int64)
+                conv_a = np.zeros(5, np.int64)
+                np.add.at(retn_a, code[site & is_ret], 1)
+                np.add.at(conv_a, code[site & is_conv], 1)
+                for i in range(5):
+                    retn[i] += int(retn_a[i])
+                    conv[i] += int(conv_a[i])
             if conf.max_cpa >= 0 and retn[A] > conf.max_cpa:
                 tofilter = 1
             if conf.max_cpc >= 0 and retn[C] > conf.max_cpc:

@@ -6,9 +6,11 @@ import getopt
 import sys
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..io.sambam import (AlignmentFile, AlnRecord, FLAG_READ1, FLAG_REVERSE,
                          FLAG_UNMAP, write_bam, write_sam)
-from ..pileup.common import RefCache, iter_aligned_bases
+from ..pileup.common import RefCache, aligned_bases_np, iter_aligned_bases
 
 TAG_BSW, TAG_BSC, TAG_CONFLICT, TAG_UNKNOWN = 0, 1, 2, 3
 CONVERSION_TAGS = "frcu"
@@ -57,15 +59,15 @@ def bsstrand_func(b: AlnRecord, rs: RefCache, d: BsstrandData, names,
         d.n_unmapped += 1
         return
     rs.fetch(names[b.tid], max(b.pos, 1), b.pos + b.rlen() + 1)
-    nC2T = nG2A = 0
-    seq = b.seq
-    for rpos, qpos in iter_aligned_bases(b):
-        rb = rs.getbase_upcase(rpos)
-        qb = seq[qpos] if qpos < len(seq) else "N"
-        if rb == "C" and qb == "T":
-            nC2T += 1
-        if rb == "G" and qb == "A":
-            nG2A += 1
+    # vectorized C2T/G2A count (was a per-base Python walk)
+    rp, qp = aligned_bases_np(b)
+    qarr = np.frombuffer(b.seq.encode(), dtype=np.uint8)
+    qb = np.where(qp < len(qarr), qarr[np.minimum(qp, len(qarr) - 1)],
+                  ord("N"))
+    valid = (rp >= 1) & (rp <= rs.seqlen)
+    rb = np.where(valid, rs.arr[np.minimum(rp, rs.seqlen) - 1], ord("N"))
+    nC2T = int(np.count_nonzero((rb == ord("C")) & (qb == ord("T"))))
+    nG2A = int(np.count_nonzero((rb == ord("G")) & (qb == ord("A"))))
     if nC2T == 0 and nG2A == 0:
         bsstrand = TAG_UNKNOWN
     else:

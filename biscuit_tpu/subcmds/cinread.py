@@ -4,9 +4,16 @@ import getopt
 import sys
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..io.sambam import (AlignmentFile, AlnRecord, FLAG_READ2, FLAG_REVERSE,
                          FLAG_SECONDARY, FLAG_UNMAP)
-from ..pileup.common import RefCache, fivenuc_context, get_bsstrand
+from ..pileup.common import (RefCache, aligned_bases_np, fivenuc_context,
+                             get_bsstrand)
+
+_COMP_TBL_NP = np.full(256, ord("N"), np.uint8)
+for _a, _b in (("A", "T"), ("C", "G"), ("G", "C"), ("T", "A")):
+    _COMP_TBL_NP[ord(_a)] = ord(_b)
 
 TP_NAMES = ["QNAME", "QPAIR", "STRAND", "BSSTRAND", "MAPQ", "QBEG", "QEND",
             "CHRM", "CRPOS", "CGRPOS", "CQPOS", "CRBASE", "CCTXT", "CQBASE",
@@ -27,7 +34,56 @@ class CinreadConf:
 
 @dataclass
 class CinreadData:
-    counts: dict = field(default_factory=dict)  # (read, qpos, state) -> n
+    # [read-in-pair, qpos (<= CIN_READ_LEN), state C/R/N] counters
+    counts: "np.ndarray" = field(
+        default_factory=lambda: np.zeros((2, CIN_READ_LEN + 2, 3), np.int64))
+
+
+def _cinread_counts_vec(b, rs, conf, d, bsstrand) -> None:
+    """Vectorized count accumulation (the qc path, skip_printing=1): the
+    fivenuc[1]/[3] context characters reduce to prev/next ref-base lookups
+    (see fivenuc_context, pileup/common.py:111)."""
+    rp, qp = aligned_bases_np(b)
+    if not len(rp):
+        return
+    arr = rs.arr
+    n = rs.seqlen
+    qarr = np.frombuffer(b.seq.encode(), dtype=np.uint8)
+    qb = np.where(qp < len(qarr), qarr[np.minimum(qp, len(qarr) - 1)],
+                  ord("N"))
+    rbv = np.where((rp >= 1) & (rp <= n), arr[np.minimum(rp, n) - 1],
+                   ord("N"))
+    prev = np.where(rp - 1 >= 1, arr[np.maximum(rp - 2, 0)], ord("N"))
+    nxt = np.where(rp + 1 <= n, arr[np.minimum(rp, n - 1)], ord("N"))
+    if bsstrand:
+        site = rbv == ord("G")
+        f3 = _COMP_TBL_NP[prev]     # fivenuc[3] after revcomp
+        f1 = _COMP_TBL_NP[nxt]      # fivenuc[1] after revcomp
+        ret = np.where(qb == ord("G"), 1, np.where(qb == ord("A"), 0, 2))
+    else:
+        site = rbv == ord("C")
+        f3 = nxt
+        f1 = prev
+        ret = np.where(qb == ord("C"), 1, np.where(qb == ord("T"), 0, 2))
+    G = ord("G")
+    if conf.tgt == SL_C:
+        tgt = np.ones(len(rp), bool)
+    elif conf.tgt == SL_CG:
+        tgt = f3 == G
+    elif conf.tgt == SL_CH:
+        tgt = f3 != G
+    elif conf.tgt == SL_HCG:
+        tgt = (f3 == G) & (f1 != G)
+    elif conf.tgt == SL_GCH:
+        tgt = (f3 != G) & (f1 == G)
+    else:  # SL_HCH
+        tgt = (f3 != G) & (f1 != G)
+    # leading hard clips extend the effective l_qseq like the scalar walk
+    l_eff = b.l_qseq + (b.cigar[0][1] if b.cigar and b.cigar[0][0] == 5 else 0)
+    idx_qpos = np.where(b.flag & FLAG_REVERSE, l_eff - qp, qp)
+    mask = site & tgt & (idx_qpos <= CIN_READ_LEN)
+    idx_read = 1 if (b.flag & FLAG_READ2) else 0
+    np.add.at(d.counts, (idx_read, idx_qpos[mask], ret[mask]), 1)
 
 
 def cinread_func(b: AlnRecord, rs: RefCache, conf: CinreadConf,
@@ -38,6 +94,9 @@ def cinread_func(b: AlnRecord, rs: RefCache, conf: CinreadConf,
         return
     rs.fetch(names[b.tid], max(1, b.pos - 10), b.pos + b.rlen() + 10)
     bsstrand = get_bsstrand(rs, b, 0, 0)
+    if conf.skip_printing:  # counts only (the qc path): vectorized
+        _cinread_counts_vec(b, rs, conf, d, bsstrand)
+        return
     seq = b.seq
     l_qseq = b.l_qseq
     rpos = b.pos + 1
@@ -80,8 +139,7 @@ def cinread_func(b: AlnRecord, rs: RefCache, conf: CinreadConf,
                 idx_retn = {"C": 0, "R": 1}.get(retention, 2)
                 if idx_qpos > CIN_READ_LEN:
                     continue
-                key = (idx_read, idx_qpos, idx_retn)
-                d.counts[key] = d.counts.get(key, 0) + 1
+                d.counts[idx_read, idx_qpos, idx_retn] += 1
                 if not conf.skip_printing:
                     cols = []
                     for name in conf.tp_names:

@@ -114,7 +114,7 @@ def main(argv):
             for i in range(2):
                 for j in range(CIN_READ_LEN):
                     for k in range(2):  # skip the N state
-                        n = data.counts.get((i, j, k), 0)
+                        n = int(data.counts[i, j, k])
                         if n > 0:
                             f.write(f"{i + 1}\t{j}\t{'R' if k else 'C'}\t{n}\n")
     if not single_end:

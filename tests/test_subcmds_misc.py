@@ -108,3 +108,31 @@ def test_bc_and_rectangle(pipe, tmp_path):
         bychrom[cols[0]].add(len(cols[-1]))
     for chrom, lens in bychrom.items():
         assert len(lens) == 1, (chrom, lens)
+
+
+def test_cinread_vectorized_counts_match_scalar(pipe):
+    """The vectorized count path (skip_printing, used by qc) must agree with
+    the scalar per-site walk for every target context."""
+    import io
+
+    import numpy as np
+
+    d, fa = pipe
+    from biscuit_tpu.io.sambam import AlignmentFile
+    from biscuit_tpu.pileup.common import RefCache
+    from biscuit_tpu.subcmds.cinread import (CinreadConf, CinreadData,
+                                             cinread_func)
+
+    af = AlignmentFile(str(d / "aln.bam"))
+    rs = RefCache(fa)
+    names = af.header.names
+    for tgt in range(6):
+        c1 = CinreadConf(tgt=tgt, skip_printing=0)
+        c2 = CinreadConf(tgt=tgt, skip_printing=1)
+        d1, d2 = CinreadData(), CinreadData()
+        sink = io.StringIO()
+        for b in af:
+            cinread_func(b, rs, c1, d1, names, sink)
+            cinread_func(b, rs, c2, d2, names, sink)
+        assert np.array_equal(d1.counts, d2.counts), tgt
+        assert d2.counts.sum() > 0, tgt
