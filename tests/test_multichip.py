@@ -72,3 +72,36 @@ def test_sharded_pileup_count_merge(setup):
     for p, s in zip(pos, stat):
         want[p, s] += 1
     np.testing.assert_array_equal(counts, want)
+
+
+def test_compiled_collectives():
+    """The sharded pileup merge must compile to a real cross-device
+    all-reduce (psum over the dp axis), and the seed/extend programs must
+    partition over all devices — the ICI-collective design of SURVEY.md
+    §2d, checked on the 8-device CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from biscuit_tpu.parallel.mesh import make_mesh, shard_map
+
+    mesh = make_mesh(8)
+
+    def local_counts(pos, stat, valid):
+        counts = jnp.zeros((64, 4), jnp.int32)
+        counts = counts.at[pos % 64, stat % 4].add(
+            jnp.where(valid, 1, 0))
+        return jax.lax.psum(counts, "dp")
+
+    fn = shard_map(local_counts, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp")),
+                   out_specs=P())
+    args = (jnp.arange(64, dtype=jnp.int32),
+            jnp.arange(64, dtype=jnp.int32) % 4,
+            jnp.ones(64, jnp.bool_))
+    lowered = jax.jit(fn).lower(*args)
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo, "psum must lower to an all-reduce collective"
+    out = np.asarray(jax.jit(fn)(*args))
+    assert out.sum() == 64  # every shard's contribution merged
