@@ -172,8 +172,68 @@ def main_align(argv):
         elif c == "F":
             no_hdr = True  # MEM_F_ALN_REG in reference (table output)
         elif c == "h":
-            print("Usage: biscuit_tpu align [options] <index base> <in1.fq> [in2.fq]",
-                  file=sys.stderr)
+            o = MemOpt()
+            print(f"""
+Usage: biscuit_tpu align [options] <fai-index base> <in1.fq> [in2.fq]
+
+Algorithm options:
+    -@ INT          Number of threads [{o.n_threads}]
+    -b INT          Strand policy. PE: 1 = read1->parent, read2->daughter
+                        (directional library), 0 = both reads against both
+                        strands (non-directional) [0]. SE: 1 = parent only,
+                        3 = daughter only, 0 = both [0]. The parent is the
+                        bisulfite-converted strand.
+    -f INT          Restrict to one bisulfite strand: 1 BSW, 3 BSC, 0 both [0]
+    -k INT          Minimum seed length [{o.min_seed_len}]
+    -w INT          Band width for banded alignment [{o.w}]
+    -d INT          Off-diagonal X-dropoff (z-drop) [{o.zdrop}]
+    -r FLOAT        Re-seed inside seeds longer than {{-k}}*FLOAT [{o.split_factor:g}]
+    -y INT          Seed occurrence cutoff for the 3rd seeding round [{o.max_mem_intv}]
+    -J STR          Read-1 adaptor to trim (fastq direction)
+    -K STR          Read-2 adaptor to trim (fastq direction)
+    -z INT          Minimum base quality kept at read ends [{o.min_base_qual}]
+    -5 INT          Extra bases clipped from the 5' end [{o.clip5}]
+    -3 INT          Extra bases clipped from the 3' end [{o.clip3}]
+    -c INT          Skip seeds occurring more than INT times [{o.max_occ}]
+    -D FLOAT        Drop chains shorter than FLOAT of the longest overlap [{o.drop_ratio:.2f}]
+    -W INT          Discard chains with seeded bases shorter than INT [0]
+    -m INT          Mate-rescue rounds per read [{o.max_matesw}]
+    -S              Skip mate rescue
+    -P              Skip pairing (mate rescue still runs unless -S)
+    -e              Discard full-length exact matches
+    -9              Extract barcode/UMI from the read name
+
+Scoring options:
+    -A INT          Match score; scales -TdBOELU unless overridden [{o.a}]
+    -B INT          Mismatch penalty [{o.b}]
+    -O INT[,INT]    Gap-open penalties (deletion,insertion) [{o.o_del},{o.o_ins}]
+    -E INT[,INT]    Gap-extension penalties; gap g costs {{-O}} + {{-E}}*g [{o.e_del},{o.e_ins}]
+    -L INT[,INT]    5'/3' clipping penalties [{o.pen_clip5},{o.pen_clip3}]
+    -U INT          Unpaired read-pair penalty [{o.pen_unpaired}]
+
+Input/output options:
+    -1 STR          Align the literal read STR
+    -2 STR          Align STR as the mate of the -1 read
+    -i              Disable ALT-chromosome auto-inference
+    -p              Smart pairing (interleaved input; in2.fq ignored)
+    -R STR          Read-group header line (e.g. '@RG\\tID:foo\\tSM:bar')
+    -F              Suppress the SAM header
+    -H STR/FILE     Insert a header line (@...) or the @-lines of FILE
+    -j              Ignore the .alt file (ALT contigs become primary)
+    -q              Keep mapQ of supplementary alignments
+    -T INT          Minimum score to output [{o.T}]
+    -g INT[,INT]    Maximum XA hits (primary[,alt]) [{o.max_XA_hits},{o.max_XA_hits_alt}]
+    -a              Output all alignments for SE / unpaired PE
+    -C              Append the FASTQ comment to SAM
+    -V              Output the reference FASTA header in the XR tag
+    -Y              Soft-clip supplementary alignments
+    -M              Mark shorter split hits as secondary
+    -I FLOAT[,FLOAT[,INT[,INT]]]
+                    Insert-size distribution: mean[,std[,max[,min]]]
+                        (std = 10% of mean, max/min = 4 sigma if absent)
+    -v INT          Verbosity
+    -h              This help
+""", file=sys.stderr)
             return 1
 
     if rg_line:
@@ -328,8 +388,49 @@ def main_pileup(argv):
         elif c == "P": conf.prior1 = float(a)
         elif c == "Q": conf.prior2 = float(a)
         elif c == "h":
-            print("Usage: biscuit_tpu pileup [options] <ref.fa> <in1.bam> ...",
-                  file=sys.stderr)
+            d = PileupConf()
+            print(f"""
+Usage: biscuit_tpu pileup [options] <ref.fa> <in1.bam> [in2.bam ...]
+Som. Mode Usage: biscuit_tpu pileup [options] <-S -T tum.bam -I norm.bam> <ref.fa>
+
+Options:
+    -g STR      Region to process (whole BAM if absent)
+    -@ INT      Number of window workers [{d.bt.n_threads}]
+    -s INT      Window dispatch step [{d.bt.step}]
+    -N          NOMe-seq mode [off]
+    -S          Somatic mode (requires -T and -I) [off]
+    -T STR      Somatic mode: tumor BAM
+    -I STR      Somatic mode: normal BAM
+
+Output options:
+    -o STR      Output file [stdout]
+    -w STR      Pileup statistics output prefix [same as -o]
+    -v INT      Verbosity (>0 adds DIAGNOSE blocks) [0]
+
+Filter options:
+    -b INT      Minimum base quality [{d.filt.min_base_qual}]
+    -m INT      Minimum mapping quality [{d.filt.min_mapq}]
+    -a INT      Minimum alignment score (AS tag) [{d.filt.min_score}]
+    -t INT      Maximum cytosine retention per read [{d.filt.max_retention}]
+    -l INT      Minimum read length [{d.filt.min_read_len}]
+    -5 INT      Minimum distance to the 5' read end [{d.filt.min_dist_end_5p}]
+    -3 INT      Minimum distance to the 3' read end [{d.filt.min_dist_end_3p}]
+    -r          Do NOT redistribute ambiguous (Y/R) calls in genotyping
+    -c          Do NOT filter secondary mappings
+    -d          Double-count cytosines in overlapping mates
+    -u          Do NOT filter duplicate-flagged reads
+    -p          Do NOT filter improper pairs
+    -n INT      Maximum NM tag [{d.filt.max_nm}]
+
+Genotyping options:
+    -E FLOAT    Error rate [{d.error:.3f}]
+    -M FLOAT    Mutation rate [{d.mu:.3f}]
+    -x FLOAT    Somatic mutation rate [{d.mu_somatic:.3f}]
+    -C FLOAT    Contamination rate [{d.contam:.3f}]
+    -P FLOAT    Prior for a heterozygous variant [{d.prior1:.3f}]
+    -Q FLOAT    Prior for a homozygous variant [{d.prior2:.3f}]
+    -h          This help
+""", file=sys.stderr)
             return 1
 
     if conf.somatic:
@@ -530,7 +631,29 @@ Usage: biscuit_tpu <command> [options]
 Command:
  -- Read mapping
     index        Index reference genome sequences in the FASTA format
-    align        Align sequencing reads to indexed reference
+    align        Align bisulfite-treated short reads (adapted BWA-MEM)
+
+ -- BAM operation
+    tview        Text alignment viewer with bisulfite coloring
+    bsstrand     Validate/correct the bisulfite strand label (YD tag)
+    bsconv       Summarize/filter reads by bisulfite conversion (ZN tag)
+    cinread      Print cytosine-read pairs in long form
+
+ -- Base summary
+    pileup       Pileup cytosines and mutations to VCF
+    vcf2bed      Convert VCF to BED tracks
+    mergecg      Merge the C and G of a CpG
+
+ -- Epireads
+    epiread      Convert BAM to the epiBED format
+    rectangle    Convert old epiread format to a rectangular matrix
+    asm          Test allele-specific methylation
+
+ -- Other
+    bc           Extract barcodes/UMIs from FASTQ
+    sort         Coordinate-sort SAM/BAM (convenience; reference uses samtools)
+    bamindex     Write a .bai index for a sorted BAM (convenience)
+    version      Print the version
 """, file=sys.stderr)
         return 1
     if argv[0] == "version":
