@@ -31,15 +31,15 @@ def bench_pileup(d, fa):
     """BENCH_METRIC=pileup: windowed genome Mbp/s over the aligned testset."""
     import subprocess
     import multiprocessing
-    from biscuit_tpu.io.sambam import AlignmentFile
     from biscuit_tpu.pileup.common import RefCache
     from biscuit_tpu.pileup.engine import PileupConf, run_windows_pooled
+    from biscuit_tpu.pileup.native import RawBam
 
     sam = os.path.join(d, "aln.sam")
     bam = os.path.join(d, "aln.bam")
     subprocess.run([sys.executable, "-m", "biscuit_tpu.cli", "sort",
                     "-o", bam, sam], check=True)
-    af = AlignmentFile(bam)
+    af = RawBam(bam)
     rs = RefCache(fa)
     conf = PileupConf()
     conf.bt.n_threads = multiprocessing.cpu_count()

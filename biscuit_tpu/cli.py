@@ -452,7 +452,17 @@ Genotyping options:
         reffn = args[0]
         in_fns = args[1:]
 
-    bams = [AlignmentFile(fn) for fn in in_fns]
+    # raw-BAM fast path: the C++ engine parses records straight from the
+    # decompressed blob (fork workers share it copy-on-write)
+    from .io.sambam import _is_bam
+    use_raw = (os.environ.get("BISCUIT_TPU_PILEUP", "native") == "native"
+               and not conf.comm.verbose
+               and all(_is_bam(fn) for fn in in_fns))
+    if use_raw:
+        from .pileup.native import RawBam
+        bams = [RawBam(fn) for fn in in_fns]
+    else:
+        bams = [AlignmentFile(fn) for fn in in_fns]
     hdr = bams[0].header
     # sorted targets (alphabetic, like the reference qsort by name)
     targets = sorted(range(len(hdr.names)),

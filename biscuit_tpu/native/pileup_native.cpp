@@ -550,3 +550,326 @@ int bt_pileup_window(const btp::Conf *cf, const char *chrom_name,
 }
 
 }  // extern "C"
+
+// =====================================================================
+// Raw-BAM path: parse uncompressed BAM records (SAMv1 §4.2) directly so
+// no per-read Python marshaling is needed. bt_bam_scan indexes the blob
+// once; bt_pileup_window_raw runs a window from record offsets.
+// =====================================================================
+
+namespace btp {
+
+static const char NT16[] = "=ACMGRSVTWYHKDBN";
+
+struct RawRec {  // views into the BAM record body
+    int64_t pos, mpos;
+    int32_t tid, flag, mapq, l_qseq;
+    const uint32_t *cigar; int n_cigar;
+    const uint8_t *seq4;          // 4-bit packed
+    const uint8_t *qual;          // raw phred; qual[0]==0xFF => absent
+    const uint8_t *tags; int64_t tags_len;
+    int32_t nm, as_, bs_known, mate_len_mc;  // mate_len_mc -1 => no MC
+};
+
+static inline char seq_at(const RawRec &r, int qp) {
+    return NT16[(r.seq4[qp >> 1] >> ((~qp & 1) << 2)) & 0xF];
+}
+
+// parse one record at data+off; returns offset past it (or -1 on overrun)
+static int64_t parse_raw(const uint8_t *data, int64_t off, int64_t len,
+                         RawRec &r) {
+    if (off + 4 > len) return -1;
+    int32_t bs;
+    std::memcpy(&bs, data + off, 4);
+    if (bs < 32 || off + 4 + bs > len) return -1;
+    const uint8_t *p = data + off + 4;
+    int32_t refID, pos, l_seq, next_refID, next_pos;
+    std::memcpy(&refID, p, 4);
+    std::memcpy(&pos, p + 4, 4);
+    uint8_t l_read_name = p[8];
+    r.mapq = p[9];
+    uint16_t n_cigar, flag;
+    std::memcpy(&n_cigar, p + 12, 2);
+    std::memcpy(&flag, p + 14, 2);
+    std::memcpy(&l_seq, p + 16, 4);
+    std::memcpy(&next_refID, p + 20, 4);
+    std::memcpy(&next_pos, p + 24, 4);
+    r.tid = refID;
+    r.pos = pos;
+    r.mpos = next_pos;
+    r.flag = flag;
+    r.l_qseq = l_seq;
+    const uint8_t *q = p + 32 + l_read_name;
+    r.cigar = (const uint32_t *)q;
+    r.n_cigar = n_cigar;
+    q += 4 * n_cigar;
+    r.seq4 = q;
+    q += (l_seq + 1) / 2;
+    r.qual = q;
+    q += l_seq;
+    r.tags = q;
+    r.tags_len = (data + off + 4 + bs) - q;
+    // tag scan: NM/AS (i-family), YD (A), ZS, XG, MC
+    r.nm = INT32_MIN;
+    r.as_ = INT32_MIN;
+    r.bs_known = -1;
+    r.mate_len_mc = -1;
+    int bs_src = 3;  // priority: 0 = YD, 1 = ZS, 2 = XG, 3 = none
+    const uint8_t *t = r.tags;
+    const uint8_t *tend = r.tags + r.tags_len;
+    while (t + 3 <= tend) {
+        char t0 = t[0], t1 = t[1], typ = t[2];
+        const uint8_t *v = t + 3;
+        int64_t vlen = 0;
+        int64_t ival = 0;
+        bool is_int = true;
+        switch (typ) {
+            case 'A': vlen = 1; ival = (int8_t)v[0]; is_int = false; break;
+            case 'c': vlen = 1; ival = (int8_t)v[0]; break;
+            case 'C': vlen = 1; ival = v[0]; break;
+            case 's': { int16_t x; std::memcpy(&x, v, 2); ival = x; vlen = 2; break; }
+            case 'S': { uint16_t x; std::memcpy(&x, v, 2); ival = x; vlen = 2; break; }
+            case 'i': { int32_t x; std::memcpy(&x, v, 4); ival = x; vlen = 4; break; }
+            case 'I': { uint32_t x; std::memcpy(&x, v, 4); ival = (int64_t)x; vlen = 4; break; }
+            case 'f': vlen = 4; is_int = false; break;
+            case 'Z': case 'H': {
+                const uint8_t *z = v;
+                while (z < tend && *z) ++z;
+                vlen = (z - v) + 1;
+                is_int = false;
+                break;
+            }
+            case 'B': {
+                if (v + 5 > tend) { t = tend; continue; }
+                char sub = (char)v[0];
+                int32_t n;
+                std::memcpy(&n, v + 1, 4);
+                int esz = (sub == 'c' || sub == 'C') ? 1
+                    : (sub == 's' || sub == 'S') ? 2 : 4;
+                vlen = 5 + (int64_t)n * esz;
+                is_int = false;
+                break;
+            }
+            default: t = tend; continue;  // unknown: stop scanning
+        }
+        if (t0 == 'N' && t1 == 'M' && is_int) r.nm = (int32_t)ival;
+        else if (t0 == 'A' && t1 == 'S' && is_int) r.as_ = (int32_t)ival;
+        else if (t0 == 'Y' && t1 == 'D' && typ == 'A' && bs_src > 0) {
+            if ((char)v[0] == 'f') { r.bs_known = 0; bs_src = 0; }
+            else if ((char)v[0] == 'r') { r.bs_known = 1; bs_src = 0; }
+        } else if (t0 == 'Z' && t1 == 'S' && bs_src > 1
+                   && (typ == 'Z' || typ == 'A')) {
+            if ((char)v[0] == '+') { r.bs_known = 0; bs_src = 1; }
+            else if ((char)v[0] == '-') { r.bs_known = 1; bs_src = 1; }
+        } else if (t0 == 'X' && t1 == 'G' && typ == 'Z' && bs_src > 2
+                   && vlen >= 3) {
+            if (v[0] == 'C' && v[1] == 'T') { r.bs_known = 0; bs_src = 2; }
+            else if (v[0] == 'G' && v[1] == 'A') { r.bs_known = 1; bs_src = 2; }
+        } else if (t0 == 'M' && t1 == 'C' && typ == 'Z') {
+            // reference length from the mate cigar (MDN=X consume ref)
+            int64_t n = 0, cur = 0;
+            for (const uint8_t *z = v; z < tend && *z; ++z) {
+                if (*z >= '0' && *z <= '9') cur = cur * 10 + (*z - '0');
+                else {
+                    char op = (char)*z;
+                    if (op == 'M' || op == 'D' || op == 'N' || op == '='
+                        || op == 'X') n += cur;
+                    cur = 0;
+                }
+            }
+            r.mate_len_mc = (int32_t)n;
+        }
+        t = v + vlen;
+    }
+    return off + 4 + bs;
+}
+
+}  // namespace btp
+
+extern "C" {
+
+// Pass 1 (n_out == 0): returns the record count. Pass 2: fills offs/tids/
+// poss/rends (ref-end = pos + ref span from the cigar) for each record.
+int64_t bt_bam_scan(const uint8_t *data, int64_t len, int64_t body_off,
+                    int64_t *offs, int32_t *tids, int64_t *poss,
+                    int64_t *rends, int64_t n_out) {
+    using namespace btp;
+    int64_t off = body_off, n = 0;
+    RawRec r;
+    while (off < len) {
+        int64_t nxt = parse_raw(data, off, len, r);
+        if (nxt < 0) break;
+        if (n_out) {
+            if (n >= n_out) break;
+            int64_t span = 0;
+            for (int k = 0; k < r.n_cigar; ++k) {
+                uint32_t v = r.cigar[k];
+                uint32_t op = v & 0xF;
+                if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                    span += v >> 4;
+            }
+            offs[n] = off;
+            tids[n] = r.tid;
+            poss[n] = r.pos;
+            rends[n] = r.pos + span;
+        }
+        ++n;
+        off = nxt;
+    }
+    return n;
+}
+
+// One window over raw BAM records. datas/rec_offs/n_recs are per-sample.
+int bt_pileup_window_raw(const btp::Conf *cf, const char *chrom_name,
+                         const char *chrom, int64_t seqlen,
+                         int64_t beg, int64_t end, int32_t nbam,
+                         const uint8_t *const *datas, const int64_t *data_lens,
+                         const int64_t *const *rec_offs,
+                         const int64_t *n_recs,
+                         void **out_buf, int64_t *out_len,
+                         double *betasum, int64_t *cntctx) {
+    using namespace btp;
+    int64_t P = end - beg;
+    std::vector<int64_t> cm((size_t)P * nbam * NMETH, 0);
+    std::vector<int64_t> cb((size_t)P * nbam * NBASE, 0);
+    std::vector<int64_t> dp((size_t)P * nbam, 0);
+    std::vector<uint8_t> covered((size_t)P, 0);
+
+    RawRec b;
+    for (int sid = 0; sid < nbam; ++sid) {
+        for (int64_t ri = 0; ri < n_recs[sid]; ++ri) {
+            if (parse_raw(datas[sid], rec_offs[sid][ri], data_lens[sid], b) < 0)
+                continue;
+            if (b.mapq < cf->min_mapq) continue;
+            if (b.l_qseq < cf->min_read_len) continue;
+            if (b.flag > 0) {
+                if (cf->filter_secondary && (b.flag & FLAG_SECONDARY)) continue;
+                if (cf->filter_duplicate && (b.flag & FLAG_DUP)) continue;
+                if (cf->filter_ppair && (b.flag & FLAG_PAIRED)
+                    && !(b.flag & FLAG_PROPER)) continue;
+                if (cf->filter_qcfail && (b.flag & FLAG_QCFAIL)) continue;
+            }
+            if (b.nm != INT32_MIN && b.nm > cf->max_nm) continue;
+            if (b.as_ != INT32_MIN && b.as_ < cf->min_score) continue;
+
+            bool has_qual = !(b.l_qseq > 0 && b.qual[0] == 0xFF);
+            int bss = b.bs_known;
+            int64_t read_len_ref = 0;
+            {   // bsstrand inference + retention count (bisc_utils.c)
+                int nC2T = 0, nG2A = 0, cnt_c = 0, cnt_g = 0;
+                int64_t rpos = b.pos + 1;
+                int qpos = 0;
+                for (int k = 0; k < b.n_cigar; ++k) {
+                    uint32_t v = b.cigar[k];
+                    int op = v & 0xF, ln = v >> 4;
+                    if (op == 0 || op == 7 || op == 8) {
+                        for (int j = 0; j < ln; ++j) {
+                            int64_t rp = rpos + j;
+                            int qp = qpos + j;
+                            char rbc = (rp >= 1 && rp <= seqlen)
+                                ? chrom[rp - 1] : 'N';
+                            char qb = qp < b.l_qseq ? seq_at(b, qp) : 'N';
+                            bool qok = !has_qual
+                                || (qp < b.l_qseq
+                                    && b.qual[qp] >= cf->min_base_qual);
+                            if (qp < b.l_qseq && qok) {
+                                if (rbc == 'C' && qb == 'T') ++nC2T;
+                                if (rbc == 'G' && qb == 'A') ++nG2A;
+                            }
+                            if (rbc == 'C' && qb == 'C') ++cnt_c;
+                            if (rbc == 'G' && qb == 'G') ++cnt_g;
+                        }
+                        rpos += ln;
+                        qpos += ln;
+                        read_len_ref += ln;
+                    } else if (op == 1 || op == 4 || op == 5) {
+                        qpos += ln;
+                    } else if (op == 2 || op == 3) {
+                        rpos += ln;
+                        read_len_ref += ln;
+                    }
+                }
+                if (bss < 0) bss = nC2T >= nG2A ? 0 : 1;
+                int cnt_ret = bss ? cnt_c : cnt_g;
+                if (cnt_ret > cf->max_retention) continue;
+            }
+
+            int32_t mate_len = b.mate_len_mc >= 0 ? b.mate_len_mc
+                                                  : (int32_t)read_len_ref;
+            int64_t rpos0 = b.pos + 1;
+            int64_t rmpos = b.mpos + 1;
+            int64_t rend = rpos0 + read_len_ref - 1;
+            int64_t rmend = rmpos + mate_len - 1;
+            bool dc = cf->filter_doublecnt && (b.flag & FLAG_READ2);
+            int64_t ov_lo = std::max(rpos0, rmpos);
+            int64_t ov_hi = std::min(rend, rmend);
+
+            int64_t rpos = b.pos + 1;
+            int qpos = 0;
+            for (int k = 0; k < b.n_cigar; ++k) {
+                uint32_t v = b.cigar[k];
+                int op = v & 0xF, ln = v >> 4;
+                if (op == 0 || op == 7 || op == 8) {
+                    for (int j = 0; j < ln; ++j) {
+                        int64_t rp = rpos + j;
+                        if (rp < beg || rp >= end) continue;
+                        if (dc && rp >= ov_lo && rp <= ov_hi) continue;
+                        int qp = qpos + j;
+                        char rbc = (rp >= 1 && rp <= seqlen)
+                            ? chrom[rp - 1] : 'N';
+                        char qb = qp < b.l_qseq ? seq_at(b, qp) : 'N';
+                        int meth, base;
+                        if (bss) {
+                            meth = rbc == 'G'
+                                ? (qb == 'A' ? METH_CONV
+                                             : (qb == 'G' ? METH_RET : METH_NA))
+                                : METH_NA;
+                            base = qb == 'A' ? BASE_R : char2int8(qb);
+                        } else {
+                            meth = rbc == 'C'
+                                ? (qb == 'T' ? METH_CONV
+                                             : (qb == 'C' ? METH_RET : METH_NA))
+                                : METH_NA;
+                            base = qb == 'T' ? BASE_Y : char2int8(qb);
+                        }
+                        int64_t p = rp - beg;
+                        covered[p] = 1;
+                        dp[p * nbam + sid] += 1;
+                        int q = has_qual
+                            ? (qp < b.l_qseq ? b.qual[qp] : -33) : 0;
+                        if (q < cf->min_base_qual) continue;
+                        if (qp + 1 <= cf->min_dist_end_5p
+                            || b.l_qseq < qp + 1 + cf->min_dist_end_3p)
+                            continue;
+                        cm[(p * nbam + sid) * NMETH + meth] += 1;
+                        cb[(p * nbam + sid) * NBASE + base] += 1;
+                    }
+                    rpos += ln;
+                    qpos += ln;
+                } else if (op == 1 || op == 4 || op == 5) {
+                    qpos += ln;
+                } else if (op == 2 || op == 3) {
+                    rpos += ln;
+                }
+            }
+        }
+    }
+
+    std::string out;
+    out.reserve(1 << 16);
+    for (int64_t p = 0; p < P; ++p) {
+        if (!covered[p]) continue;
+        plp_format(chrom_name, chrom, seqlen, beg + p, *cf, nbam,
+                   cm.data() + (size_t)p * nbam * NMETH,
+                   cb.data() + (size_t)p * nbam * NBASE,
+                   dp.data() + (size_t)p * nbam, betasum, cntctx, out);
+    }
+    char *buf = (char *)std::malloc(out.size() > 0 ? out.size() : 1);
+    if (!buf) return -1;
+    std::memcpy(buf, out.data(), out.size());
+    *out_buf = buf;
+    *out_len = (int64_t)out.size();
+    return 0;
+}
+
+}  // extern "C"

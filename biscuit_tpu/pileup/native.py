@@ -91,6 +91,92 @@ def _bs_known(r: AlnRecord) -> int:
     return -1
 
 
+class RawBam:
+    """Decompressed BAM blob + C++-built record index: window queries become
+    numpy masks over (tid, pos, rend) and the C++ engine parses records
+    straight from the blob (no per-read Python objects)."""
+
+    def __init__(self, path: str):
+        from ..io import bgzf
+        from ..io.sambam import _parse_bam_header
+
+        L = native.lib()
+        L.bt_bam_scan.restype = C.c_int64
+        self.data = bgzf.decompress(path)
+        self.header, body_off = _parse_bam_header(self.data)
+        n = L.bt_bam_scan(self.data, len(self.data), body_off,
+                          None, None, None, None, C.c_int64(0))
+        self.offs = np.zeros(max(n, 1), np.int64)
+        self.tids = np.zeros(max(n, 1), np.int32)
+        self.poss = np.zeros(max(n, 1), np.int64)
+        self.rends = np.zeros(max(n, 1), np.int64)
+        if n:
+            got = L.bt_bam_scan(
+                self.data, len(self.data), body_off,
+                self.offs.ctypes.data_as(C.POINTER(C.c_int64)),
+                self.tids.ctypes.data_as(C.POINTER(C.c_int32)),
+                self.poss.ctypes.data_as(C.POINTER(C.c_int64)),
+                self.rends.ctypes.data_as(C.POINTER(C.c_int64)),
+                C.c_int64(n))
+            assert got == n
+        self.n = n
+
+    def window_offsets(self, tid: int, beg: int, end: int) -> np.ndarray:
+        """Record offsets overlapping the 1-based [beg, end) window, with the
+        same bounds quirk as engine.pileup_window's fetch call."""
+        fb = (beg - 1) if beg > 1 else 1
+        fe = end
+        span = np.maximum(self.rends - self.poss, 1)
+        m = (self.tids == tid) & (self.poss < fe) & (self.poss + span > fb)
+        return self.offs[m]
+
+
+def pileup_window_native_raw(rawbams, rs: RefCache, conf, tid: int, chrm: str,
+                             beg: int, end: int, betasum_context,
+                             cnt_context) -> str:
+    """Raw-BAM window: C++ parses records from the shared blob."""
+    L = native.lib()
+    L.bt_pileup_window_raw.restype = C.c_int
+    L.bt_buf_free.restype = None
+    L.bt_buf_free.argtypes = [C.c_void_p]
+
+    rs.fetch(chrm, beg - 100 if beg > 100 else 1, end + 100)
+    chrom = rs.arr
+    n_bams = len(rawbams)
+    sel = [rb.window_offsets(tid, beg, end) for rb in rawbams]
+    sel = [np.ascontiguousarray(s, np.int64) for s in sel]
+    datas = (C.c_void_p * n_bams)(
+        *[C.cast(C.c_char_p(rb.data), C.c_void_p) for rb in rawbams])
+    data_lens = np.array([len(rb.data) for rb in rawbams], np.int64)
+    offs_ptrs = (C.c_void_p * n_bams)(
+        *[s.ctypes.data_as(C.c_void_p) for s in sel])
+    n_recs = np.array([len(s) for s in sel], np.int64)
+
+    bs = np.zeros(n_bams * NCONTXTS, np.float64)
+    cc = np.zeros(n_bams * NCONTXTS, np.int64)
+    out_buf = C.c_void_p()
+    out_len = C.c_int64()
+    rc_ = L.bt_pileup_window_raw(
+        C.byref(_confc(conf)), chrm.encode(),
+        chrom.ctypes.data_as(C.c_void_p), rs.seqlen,
+        C.c_int64(beg), C.c_int64(end), n_bams,
+        datas, data_lens.ctypes.data_as(C.c_void_p),
+        offs_ptrs, n_recs.ctypes.data_as(C.c_void_p),
+        C.byref(out_buf), C.byref(out_len),
+        bs.ctypes.data_as(C.c_void_p), cc.ctypes.data_as(C.c_void_p))
+    if rc_ != 0:
+        raise RuntimeError(f"bt_pileup_window_raw rc={rc_}")
+    try:
+        text = C.string_at(out_buf, out_len.value).decode()
+    finally:
+        L.bt_buf_free(out_buf)
+    for sid in range(n_bams):
+        for k in range(NCONTXTS):
+            betasum_context[sid][k] += bs[sid * NCONTXTS + k]
+            cnt_context[sid][k] += int(cc[sid * NCONTXTS + k])
+    return text
+
+
 def pileup_window_native(bams, rs: RefCache, conf, tid: int, chrm: str,
                          beg: int, end: int, betasum_context,
                          cnt_context) -> str:

@@ -182,3 +182,35 @@ def test_bam_roundtrip(pipeline):
         assert (a.qname, a.flag, a.tid, a.pos, a.cigar, a.seq, a.qual) == \
                (b.qname, b.flag, b.tid, b.pos, b.cigar, b.seq, b.qual)
         assert a.tags == b.tags
+
+
+def test_pileup_raw_bam_matches_object_path(pipeline):
+    """The raw-BAM C++ path (bt_bam_scan + bt_pileup_window_raw) must be
+    byte-identical to the AlnRecord-marshaling path."""
+    d, fa = pipeline
+    from biscuit_tpu.io.sambam import AlignmentFile
+    from biscuit_tpu.pileup.common import NCONTXTS, RefCache
+    from biscuit_tpu.pileup.engine import PileupConf, pileup_window
+    from biscuit_tpu.pileup.native import RawBam
+
+    rs = RefCache(fa)
+    conf = PileupConf()
+    raw = RawBam(str(d / "aln.bam"))
+    af = AlignmentFile(str(d / "aln.bam"))
+    name = raw.header.names[0]
+    tlen = raw.header.lengths[0]
+
+    def run(bams):
+        bs = [[0.0] * NCONTXTS]
+        cs = [[0] * NCONTXTS]
+        out = []
+        wbeg = 1
+        while wbeg < tlen:
+            out.append(pileup_window(bams, rs, conf, 0, name, wbeg,
+                                     min(wbeg + 7000, tlen), bs, cs))
+            wbeg += 7000
+        return "".join(out), bs, cs
+
+    a = run([raw])
+    b = run([af])
+    assert a == b
