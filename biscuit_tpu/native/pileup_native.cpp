@@ -719,6 +719,299 @@ int64_t bt_bam_scan(const uint8_t *data, int64_t len, int64_t body_off,
     return n;
 }
 
+// ------------------------------------------------------------------
+// epiread (epiBED mode) over raw BAM records. Transliteration of
+// subcmds/epiread.py:process_window/_format_epibed (porting
+// epiread.c:195-281,540-1046); old/pairwise/modBAM modes stay Python.
+// snp_locs (sorted, 1-based) / snp_meth are the window's episnp table.
+// rs_beg/rs_end are the fetched reference-window bounds (refcache
+// semantics: context bases outside them read as absent).
+int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
+                          int32_t filter_empty, int32_t max_read_length,
+                          const char *chrom_name, const char *chrom,
+                          int64_t seqlen, int64_t rs_beg, int64_t rs_end,
+                          int64_t beg, int64_t end,
+                          int64_t print_w_beg, int64_t print_w_end,
+                          const uint8_t *data, int64_t data_len,
+                          const int64_t *rec_offs, int64_t n_recs,
+                          const int64_t *snp_locs, const uint8_t *snp_meth,
+                          int64_t n_snps,
+                          void **out_buf, int64_t *out_len) {
+    using namespace btp;
+    auto getb = [&](int64_t p) -> char {  // 1-based, fetched-window bounded
+        return (p >= 1 && p <= seqlen) ? chrom[p - 1] : 'N';
+    };
+    auto snp_at = [&](int64_t p) -> int {  // 0 none, 1 snp, 2 snp+methcallable
+        int64_t lo = 0, hi = n_snps;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (snp_locs[mid] < p) lo = mid + 1;
+            else hi = mid;
+        }
+        if (lo < n_snps && snp_locs[lo] == p) return snp_meth[lo] ? 2 : 1;
+        return 0;
+    };
+    std::string out;
+    out.reserve(1 << 16);
+    std::string s_cg, s_gc, s_vr, rle;
+    RawRec b;
+    for (int64_t ri = 0; ri < n_recs; ++ri) {
+        if (parse_raw(data, rec_offs[ri], data_len, b) < 0) continue;
+        if (b.mapq < cf->min_mapq) continue;
+        if (b.l_qseq < cf->min_read_len) continue;
+        if (b.flag > 0) {
+            if (cf->filter_secondary && (b.flag & FLAG_SECONDARY)) continue;
+            if (cf->filter_duplicate && (b.flag & FLAG_DUP)) continue;
+            if (cf->filter_ppair && (b.flag & FLAG_PAIRED)
+                && !(b.flag & FLAG_PROPER)) continue;
+            if (cf->filter_qcfail && (b.flag & FLAG_QCFAIL)) continue;
+        }
+        if (b.nm != INT32_MIN && b.nm > cf->max_nm) continue;
+        if (b.as_ != INT32_MIN && b.as_ < cf->min_score) continue;
+
+        bool has_qual = !(b.l_qseq > 0 && b.qual[0] == 0xFF);
+        int bss = b.bs_known;
+        int64_t read_len_ref = 0;
+        {
+            int nC2T = 0, nG2A = 0, cnt_c = 0, cnt_g = 0;
+            int64_t rpos = b.pos + 1;
+            int qpos = 0;
+            for (int k = 0; k < b.n_cigar; ++k) {
+                uint32_t v = b.cigar[k];
+                int op = v & 0xF, ln = v >> 4;
+                if (op == 0 || op == 7 || op == 8) {
+                    for (int j = 0; j < ln; ++j) {
+                        int64_t rp = rpos + j;
+                        int qp = qpos + j;
+                        char rbc = getb(rp);
+                        char qb = qp < b.l_qseq ? seq_at(b, qp) : 'N';
+                        bool qok = !has_qual
+                            || (qp < b.l_qseq
+                                && b.qual[qp] >= cf->min_base_qual);
+                        if (qp < b.l_qseq && qok) {
+                            if (rbc == 'C' && qb == 'T') ++nC2T;
+                            if (rbc == 'G' && qb == 'A') ++nG2A;
+                        }
+                        if (rbc == 'C' && qb == 'C') ++cnt_c;
+                        if (rbc == 'G' && qb == 'G') ++cnt_g;
+                    }
+                    rpos += ln;
+                    qpos += ln;
+                    read_len_ref += ln;
+                } else if (op == 1 || op == 4 || op == 5) {
+                    qpos += ln;
+                } else if (op == 2 || op == 3) {
+                    rpos += ln;
+                    read_len_ref += ln;
+                }
+            }
+            if (bss < 0) bss = nC2T >= nG2A ? 0 : 1;
+            int cnt_ret = bss ? cnt_c : cnt_g;
+            if (cnt_ret > cf->max_retention) continue;
+        }
+        if (b.l_qseq >= max_read_length) return -2;  // too-long read
+
+        int32_t mate_len = b.mate_len_mc >= 0 ? b.mate_len_mc
+                                              : (int32_t)read_len_ref;
+        int64_t rpos0 = b.pos + 1;
+        int64_t rmpos = b.mpos + 1;
+        int64_t rend = rpos0 + read_len_ref - 1;
+        int64_t rmend = rmpos + mate_len - 1;
+        bool dc = cf->filter_doublecnt && (b.flag & FLAG_READ2);
+        int64_t ov_lo = std::max(rpos0, rmpos);
+        int64_t ov_hi = std::min(rend, rmend);
+
+        int L2 = 2 * max_read_length;
+        s_cg.assign(L2, 0);
+        s_gc.assign(L2, 0);
+        s_vr.assign(L2, 0);
+        int n_del = 0, n_ins = 0, softclip_start = 0;
+        int64_t rpos = rpos0;
+        int qpos = 0;
+        for (int k = 0; k < b.n_cigar; ++k) {
+            uint32_t v = b.cigar[k];
+            int op = v & 0xF, ln = v >> 4;
+            if (op == 0 || op == 7 || op == 8) {
+                for (int j = 0; j < ln; ++j) {
+                    int qj = qpos + j;
+                    int qjd = qj + n_del;
+                    int64_t rp = rpos + j;
+                    char rb = getb(rp);
+                    char qb = qj < b.l_qseq ? seq_at(b, qj) : 'N';
+                    bool rle_set = false;
+                    int q = has_qual ? (qj < b.l_qseq ? b.qual[qj] : -33) : 0;
+                    if (q < cf->min_base_qual
+                        || qj + 1 <= cf->min_dist_end_5p
+                        || b.l_qseq < qj + 1 + cf->min_dist_end_3p
+                        || (dc && rp >= ov_lo && rp <= ov_hi)) {
+                        s_cg[qjd] = s_vr[qjd] = s_gc[qjd] = 'F';
+                        continue;
+                    }
+                    if (bss && rb == 'G' && rp - 1 >= rs_beg) {
+                        char rb0 = getb(rp - 1);
+                        if (is_nome) {
+                            if (rp + 1 <= rs_end) {
+                                char rb1 = getb(rp + 1);
+                                if (rb0 == 'C' && rb1 != 'C') {
+                                    if (qb == 'A') { s_cg[qjd] = 'U'; s_gc[qjd] = 'x'; rle_set = true; }
+                                    else if (qb == 'G') { s_cg[qjd] = 'M'; s_gc[qjd] = 'x'; rle_set = true; }
+                                } else if (rb0 != 'C' && rb1 == 'C') {
+                                    if (qb == 'A') { s_cg[qjd] = 'x'; s_gc[qjd] = 'S'; rle_set = true; }
+                                    else if (qb == 'G') { s_cg[qjd] = 'x'; s_gc[qjd] = 'O'; rle_set = true; }
+                                }
+                            }
+                        } else {
+                            s_gc[qjd] = 'x';
+                            if (rb0 == 'C') {
+                                if (qb == 'A') { s_cg[qjd] = 'U'; rle_set = true; }
+                                else if (qb == 'G') { s_cg[qjd] = 'M'; rle_set = true; }
+                            }
+                        }
+                    }
+                    if (!bss && rb == 'C' && rp + 1 <= rs_end) {
+                        char rb1 = getb(rp + 1);
+                        if (is_nome) {
+                            if (rp - 1 >= rs_beg) {
+                                char rb0 = getb(rp - 1);
+                                if (rb0 != 'G' && rb1 == 'G') {
+                                    if (qb == 'T') { s_cg[qjd] = 'U'; s_gc[qjd] = 'x'; rle_set = true; }
+                                    else if (qb == 'C') { s_cg[qjd] = 'M'; s_gc[qjd] = 'x'; rle_set = true; }
+                                } else if (rb0 == 'G' && rb1 != 'G') {
+                                    if (qb == 'T') { s_cg[qjd] = 'x'; s_gc[qjd] = 'S'; rle_set = true; }
+                                    else if (qb == 'C') { s_cg[qjd] = 'x'; s_gc[qjd] = 'O'; rle_set = true; }
+                                }
+                            }
+                        } else {
+                            s_gc[qjd] = 'x';
+                            if (rb1 == 'G') {
+                                if (qb == 'T') { s_cg[qjd] = 'U'; rle_set = true; }
+                                else if (qb == 'C') { s_cg[qjd] = 'M'; rle_set = true; }
+                            }
+                        }
+                    }
+                    int sp = n_snps ? snp_at(rp) : 0;
+                    if (sp) {
+                        if (!rle_set || (rle_set && sp != 2)) {
+                            s_cg[qjd] = 'x';
+                            s_gc[qjd] = 'x';
+                        }
+                        if (bss && qb == 'A') s_vr[qjd] = 'R';
+                        else if (!bss && qb == 'T') s_vr[qjd] = 'Y';
+                        else s_vr[qjd] = qb;
+                        rle_set = true;
+                    } else {
+                        s_vr[qjd] = 'x';
+                        if (!rle_set) { s_cg[qjd] = 'x'; s_gc[qjd] = 'x'; }
+                    }
+                    if (!rle_set && !s_cg[qjd]) { s_cg[qjd] = 'x'; s_gc[qjd] = 'x'; }
+                }
+                rpos += ln;
+                qpos += ln;
+            } else if (op == 1) {
+                for (int j = 0; j < ln; ++j) {
+                    int qj = qpos + j;
+                    int qjd = qj + n_del;
+                    char qb = qj < b.l_qseq ? seq_at(b, qj) : 'N';
+                    s_vr[qjd] = (char)std::tolower(qb);
+                    s_cg[qjd] = 'i';
+                    s_gc[qjd] = 'i';
+                }
+                n_ins += ln;
+                qpos += ln;
+            } else if (op == 2) {
+                for (int j = 0; j < ln; ++j) {
+                    int qjd = qpos + j + n_del;
+                    s_cg[qjd] = 'd';
+                    s_gc[qjd] = 'd';
+                    s_vr[qjd] = 'D';
+                }
+                n_del += ln;
+                rpos += ln;
+            } else if (op == 4) {
+                for (int j = 0; j < ln; ++j) {
+                    int qj = qpos + j;
+                    int qjd = qj + n_del;
+                    if (qj <= softclip_start) ++softclip_start;
+                    s_cg[qjd] = 'P';
+                    s_gc[qjd] = 'P';
+                    s_vr[qjd] = 'P';
+                }
+                qpos += ln;
+            } else {
+                return -3;  // H/N/other: Python path handles the error
+            }
+        }
+
+        int slen = b.l_qseq + n_del;
+        int64_t start = b.pos + 1 - softclip_start;
+        int64_t end_ = start + b.l_qseq + n_del - n_ins - 1;
+        int64_t w_start = b.pos + 1;
+        if (!(w_start > 0 && print_w_beg <= w_start && w_start < print_w_end))
+            continue;
+        auto all_in = [&](const std::string &s) {
+            for (int i = 0; i < slen; ++i) {
+                char c = s[i];
+                if (c != 'F' && c != 'x' && c != 'P') return false;
+            }
+            return true;
+        };
+        bool write_cg = true, write_gc = true, write_vr = true;
+        if (filter_empty) {
+            write_cg = !all_in(s_cg);
+            write_vr = !all_in(s_vr);
+            write_gc = is_nome ? !all_in(s_gc) : false;
+        }
+        if (!(write_cg || write_gc || write_vr)) continue;
+        if (start <= 0) continue;  // Python warns; rare degenerate case
+        // qname from the record body
+        const uint8_t *p = data + rec_offs[ri] + 4;
+        uint8_t l_read_name = p[8];
+        const char *qname = (const char *)p + 32;
+        auto rle_enc = [&](const std::string &s) {
+            rle.clear();
+            int i = 0;
+            while (i < slen) {
+                rle += s[i];
+                int run = 1;
+                while (i + 1 < slen && s[i] == s[i + 1]) { ++run; ++i; }
+                if (run > 1) rle += std::to_string(run);
+                ++i;
+            }
+        };
+        out += chrom_name;
+        out += '\t';
+        out += std::to_string(start - 1);
+        out += '\t';
+        out += std::to_string(end_);
+        out += '\t';
+        out.append(qname, l_read_name > 0 ? l_read_name - 1 : 0);
+        out += '\t';
+        out += (b.flag & FLAG_READ2) ? '2' : '1';
+        out += '\t';
+        out += bss ? '-' : '+';
+        out += '\t';
+        rle_enc(s_cg);
+        out += rle;
+        if (is_nome) {
+            out += '\t';
+            rle_enc(s_gc);
+            out += rle;
+        } else {
+            out += "\t.";
+        }
+        out += '\t';
+        rle_enc(s_vr);
+        out += rle;
+        out += '\n';
+    }
+    char *buf = (char *)std::malloc(out.size() > 0 ? out.size() : 1);
+    if (!buf) return -1;
+    std::memcpy(buf, out.data(), out.size());
+    *out_buf = buf;
+    *out_len = (int64_t)out.size();
+    return 0;
+}
+
 // One window over raw BAM records. datas/rec_offs/n_recs are per-sample.
 int bt_pileup_window_raw(const btp::Conf *cf, const char *chrom_name,
                          const char *chrom, int64_t seqlen,

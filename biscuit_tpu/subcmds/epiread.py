@@ -556,6 +556,85 @@ def _format_epibed(out, b, bsstrand, chrm, conf, print_w_beg, print_w_end,
         out.append("\n")
 
 
+def process_window_native(rawbam, rs: RefCache, conf: EpireadConf,
+                          snp_table, tid: int, chrm: str, beg: int, end: int,
+                          out: List[str]) -> None:
+    """epiBED window via the C++ raw-BAM engine (bt_epiread_window_raw);
+    byte-identical to process_window for the default output mode."""
+    import ctypes as C
+
+    import numpy as np
+
+    from .. import native
+    from ..pileup.native import ConfC
+
+    L = native.lib()
+    L.bt_epiread_window_raw.restype = C.c_int
+    L.bt_buf_free.restype = None
+    L.bt_buf_free.argtypes = [C.c_void_p]
+
+    flank = conf.max_read_length if conf.max_read_length > 1000 else 1000
+    snp_beg = beg - flank if beg > flank else 1
+    snp_end = end + flank
+    if snp_table is not None and chrm in snp_table:
+        locs, meths = snp_table[chrm]
+        la = np.asarray(locs, np.int64)
+        ma = np.asarray(meths, np.uint8)
+        m = (la >= snp_beg) & (la < snp_end)
+        order = np.argsort(la[m], kind="stable")
+        snp_locs = np.ascontiguousarray(la[m][order])
+        snp_meth = np.ascontiguousarray(ma[m][order])
+    else:
+        snp_locs = np.zeros(1, np.int64)
+        snp_meth = np.zeros(1, np.uint8)
+    n_snps = len(snp_locs) if (snp_table is not None and chrm in snp_table) else 0
+    rs.fetch(chrm, beg - flank if beg > flank else 1, end + flank)
+    print_w_beg = (beg - conf.max_read_length) if conf.epiread_reg_start == beg else beg
+    print_w_end = (end + conf.max_read_length) if conf.epiread_reg_end == end else end
+
+    sel = np.ascontiguousarray(rawbam.window_offsets(tid, beg, end), np.int64)
+    out_buf = C.c_void_p()
+    out_len = C.c_int64()
+    cc = ConfC()
+    f = conf.filt
+    cc.min_base_qual = f.min_base_qual
+    cc.min_read_len = f.min_read_len
+    cc.min_dist_end_5p = f.min_dist_end_5p
+    cc.min_dist_end_3p = f.min_dist_end_3p
+    cc.min_mapq = f.min_mapq
+    cc.min_score = f.min_score
+    cc.max_nm = f.max_nm
+    cc.max_retention = f.max_retention
+    cc.filter_ppair = f.filter_ppair
+    cc.filter_secondary = f.filter_secondary
+    cc.filter_duplicate = f.filter_duplicate
+    cc.filter_qcfail = f.filter_qcfail
+    cc.filter_doublecnt = f.filter_doublecnt
+    rc = L.bt_epiread_window_raw(
+        C.byref(cc), conf.comm.is_nome, conf.filter_empty_epiread,
+        conf.max_read_length, chrm.encode(),
+        rs.arr.ctypes.data_as(C.c_void_p), rs.seqlen,
+        C.c_int64(rs.beg), C.c_int64(rs.end),
+        C.c_int64(beg), C.c_int64(end),
+        C.c_int64(print_w_beg), C.c_int64(print_w_end),
+        rawbam.data, len(rawbam.data),
+        sel.ctypes.data_as(C.c_void_p), C.c_int64(len(sel)),
+        snp_locs.ctypes.data_as(C.c_void_p),
+        snp_meth.ctypes.data_as(C.c_void_p),
+        C.c_int64(n_snps),
+        C.byref(out_buf), C.byref(out_len))
+    if rc == -2:
+        raise SystemExit(
+            f"ERROR: Read longer than max read length "
+            f"({conf.max_read_length}). Rerun with larger -L value")
+    if rc != 0:
+        raise RuntimeError(f"bt_epiread_window_raw rc={rc}")
+    try:
+        out.append(C.string_at(out_buf, out_len.value).decode())
+    finally:
+        L.bt_buf_free(out_buf)
+
+
 _EP_POOL = None
 
 
@@ -565,7 +644,14 @@ def _ep_window1(job):
     if is_last:
         conf.epiread_reg_end = wend
     out: List[str] = []
-    process_window(bam, rs, conf, snp_table, tid, name, wbeg, wend, out)
+    from ..pileup.native import RawBam
+    fn = process_window_native if isinstance(bam, RawBam) else process_window
+    try:
+        fn(bam, rs, conf, snp_table, tid, name, wbeg, wend, out)
+    except SystemExit as e:
+        # SystemExit would kill the worker before the result ships and
+        # deadlock imap; surface it as a regular exception instead
+        raise RuntimeError(str(e)) from None
     return "".join(out)
 
 
@@ -627,7 +713,18 @@ def main(argv):
         return 1
     reffn, bamfn = args[0], args[1]
     snp_table = read_episnp(snp_bed) if snp_bed else None
-    bam = AlignmentFile(bamfn)
+    # default epiBED mode on BAM input runs on the C++ raw-record engine
+    import os as _os
+    from ..io.sambam import _is_bam
+    use_native = (not conf.epiread_old and not conf.epiread_pair
+                  and not conf.use_modbam
+                  and _os.environ.get("BISCUIT_TPU_PILEUP", "native") == "native"
+                  and _is_bam(bamfn))
+    if use_native:
+        from ..pileup.native import RawBam
+        bam = RawBam(bamfn)
+    else:
+        bam = AlignmentFile(bamfn)
     hdr = bam.header
     rs = RefCache(reffn)
     out_f = open(outfn, "w") if outfn else sys.stdout
@@ -666,15 +763,18 @@ def main(argv):
     if conf.bt.n_threads > 1 and len(windows) > 1:
         # window fork pool, ordered output (the reference runs epiread on the
         # same wqueue/record-shelf runtime as pileup; epiread.c:540,1153)
-        for text in run_epiread_windows_pooled(bam, rs, conf, snp_table,
-                                               windows):
-            out.append(text)
+        try:
+            for text in run_epiread_windows_pooled(bam, rs, conf, snp_table,
+                                                   windows):
+                out.append(text)
+        except RuntimeError as e:
+            raise SystemExit(str(e))
     else:
         for tid_, name_, wbeg_, wend_, is_last in windows:
             if is_last:
                 conf.epiread_reg_end = wend_
-            process_window(bam, rs, conf, snp_table, tid_, name_, wbeg_,
-                           wend_, out)
+            fn = process_window_native if use_native else process_window
+            fn(bam, rs, conf, snp_table, tid_, name_, wbeg_, wend_, out)
     out_f.write("".join(out))
     if out_f is not sys.stdout:
         out_f.close()

@@ -214,3 +214,43 @@ def test_pileup_raw_bam_matches_object_path(pipeline):
     a = run([raw])
     b = run([af])
     assert a == b
+
+
+def test_epiread_native_matches_python(pipeline):
+    """The C++ epiBED window engine must match the Python walk byte-for-byte,
+    including SNP-aware and NOMe modes."""
+    d, fa = pipeline
+    from biscuit_tpu.io.sambam import AlignmentFile
+    from biscuit_tpu.pileup.common import RefCache
+    from biscuit_tpu.pileup.native import RawBam
+    from biscuit_tpu.subcmds.epiread import (EpireadConf, process_window,
+                                             process_window_native,
+                                             read_episnp)
+
+    rs = RefCache(fa)
+    raw = RawBam(str(d / "aln.bam"))
+    af = AlignmentFile(str(d / "aln.bam"))
+    name = raw.header.names[0]
+    tlen = raw.header.lengths[0]
+    snps = run(["vcf2bed", "-t", "snp", str(d / "plp.vcf")], cwd=REPO)
+    (d / "esnps.bed").write_text(snps)
+    snp_table = read_episnp(str(d / "esnps.bed")) if snps.strip() else None
+
+    for nome in (0, 1):
+        for table in (None, snp_table):
+            conf = EpireadConf()
+            conf.comm.is_nome = nome
+
+            def runw(fn, b):
+                out = []
+                wbeg = 1
+                while wbeg < tlen:
+                    fn(b, rs, conf, table, 0, name, wbeg,
+                       min(wbeg + 7000, tlen), out)
+                    wbeg += 7000
+                return "".join(out)
+
+            a = runw(process_window_native, raw)
+            b = runw(process_window, af)
+            assert a == b, (nome, table is not None)
+            assert a.count("\n") > 50
