@@ -462,18 +462,25 @@ def _pileup_window_fast(bams: List[AlignmentFile], rs: RefCache, conf: PileupCon
     passm = np.concatenate(pass_l)
 
     p = pos - beg  # 0..P-1
-    # depth per (pos, sid) over ALL data
-    dp_arr = np.bincount(p * n_bams + sid, minlength=P * n_bams).reshape(P, n_bams)
-    # filtered counts per (pos, sid, status)
-    pp = p[passm]
-    ps = sid[passm]
-    pstat = stat[passm]
-    meth_idx = pstat & 0xF
-    base_idx = pstat >> 4
-    cm = np.bincount((pp * n_bams + ps) * NSTATUS_METH + meth_idx,
-                     minlength=P * n_bams * NSTATUS_METH).reshape(P, n_bams, NSTATUS_METH)
-    cb = np.bincount((pp * n_bams + ps) * NSTATUS_BASE + base_idx,
-                     minlength=P * n_bams * NSTATUS_BASE).reshape(P, n_bams, NSTATUS_BASE)
+    if os.environ.get("BISCUIT_TPU_PILEUP") == "device":
+        # TPU path: count matrices via the device scatter-add kernel
+        # (parallel/mesh.py pileup_count_window; psum-merged across a mesh in
+        # the sharded variant — see dryrun_multichip / test_multichip)
+        cm, cb, dp_arr = _device_counts(p, sid, stat, passm, P, n_bams)
+    else:
+        # depth per (pos, sid) over ALL data
+        dp_arr = np.bincount(p * n_bams + sid,
+                             minlength=P * n_bams).reshape(P, n_bams)
+        # filtered counts per (pos, sid, status)
+        pp = p[passm]
+        ps = sid[passm]
+        pstat = stat[passm]
+        meth_idx = pstat & 0xF
+        base_idx = pstat >> 4
+        cm = np.bincount((pp * n_bams + ps) * NSTATUS_METH + meth_idx,
+                         minlength=P * n_bams * NSTATUS_METH).reshape(P, n_bams, NSTATUS_METH)
+        cb = np.bincount((pp * n_bams + ps) * NSTATUS_BASE + base_idx,
+                         minlength=P * n_bams * NSTATUS_BASE).reshape(P, n_bams, NSTATUS_BASE)
 
     # vectorized emit mask: position must have data, non-N ref, and either
     # meth signal or a potential alt allele (see _top_mutant semantics: Y is
@@ -509,6 +516,27 @@ def _pileup_window_fast(bams: List[AlignmentFile], rs: RefCache, conf: PileupCon
         if line:
             out.append(line)
     return "".join(out)
+
+
+def _device_counts(p, sid, stat, passm, P: int, n_bams: int):
+    """Count matrices on the accelerator: one scatter-add over a packed
+    (site*sample, base*3+meth) grid plus one depth pass."""
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import pileup_count_window
+
+    comp = jnp.asarray(p * n_bams + sid)
+    code = jnp.asarray((stat >> 4) * NSTATUS_METH + (stat & 0xF))
+    counts = np.asarray(pileup_count_window(
+        comp, code, jnp.asarray(passm), P * n_bams, 32))
+    c = counts[:, :NSTATUS_BASE * NSTATUS_METH].reshape(
+        P, n_bams, NSTATUS_BASE, NSTATUS_METH)
+    cm = c.sum(axis=2).astype(np.int64)
+    cb = c.sum(axis=3).astype(np.int64)
+    dp_arr = np.asarray(pileup_count_window(
+        comp, jnp.zeros_like(comp), jnp.ones(len(p), bool), P * n_bams,
+        1)).reshape(P, n_bams).astype(np.int64)
+    return cm, cb, dp_arr
 
 
 def _pileup_window_slow(bams: List[AlignmentFile], rs: RefCache, conf: PileupConf,

@@ -105,3 +105,42 @@ def test_compiled_collectives():
     assert "all-reduce" in hlo, "psum must lower to an all-reduce collective"
     out = np.asarray(jax.jit(fn)(*args))
     assert out.sum() == 64  # every shard's contribution merged
+
+
+def test_pileup_device_counts_match_numpy():
+    """BISCUIT_TPU_PILEUP=device routes the window count matrices through the
+    accelerator scatter-add kernel; output must stay byte-identical."""
+    import os
+    import subprocess
+    import sys
+
+    from conftest import REPO
+
+    d = "/tmp/_plp_devtest"
+    if not os.path.isdir(d):
+        os.makedirs(d)
+        subprocess.run([sys.executable, f"{REPO}/tools/make_testdata.py", d,
+                        "--genome-size", "30000", "--n-reads", "200",
+                        "--seed", "13"], check=True, capture_output=True)
+        fa = os.path.join(d, "genome.fa")
+        run = lambda a: subprocess.run(
+            [sys.executable, "-m", "biscuit_tpu.cli"] + a, check=True,
+            capture_output=True, text=True, cwd=REPO).stdout
+        run(["index", fa])
+        sam = run(["align", fa, os.path.join(d, "reads.fq")])
+        open(os.path.join(d, "aln.sam"), "w").write(sam)
+        run(["sort", "-o", os.path.join(d, "aln.bam"),
+             os.path.join(d, "aln.sam")])
+    fa = os.path.join(d, "genome.fa")
+
+    def pl(mode):
+        env = dict(os.environ, BISCUIT_TPU_PILEUP=mode)
+        r = subprocess.run(
+            [sys.executable, "-m", "biscuit_tpu.cli", "pileup", "-@", "1",
+             fa, os.path.join(d, "aln.bam")],
+            capture_output=True, text=True, cwd=REPO, env=env)
+        assert r.returncode == 0, r.stderr[-800:]
+        return [l for l in r.stdout.splitlines()
+                if not l.startswith("##program")]
+
+    assert pl("device") == pl("numpy")
