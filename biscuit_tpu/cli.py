@@ -563,28 +563,72 @@ Genotyping options:
 
 def main_sort(argv):
     """Utility (not in the reference, which delegates to samtools): sort a
-    SAM/BAM by coordinate and write BAM (or SAM with -O sam)."""
-    from .io.sambam import AlignmentFile, write_bam, write_sam
+    SAM/BAM by coordinate and write BAM (or SAM with -O sam). Inputs larger
+    than the -m record budget spill to sorted temp runs merged with a k-way
+    heap (samtools-style external sort)."""
+    from .io.sambam import (AlignmentFile, _is_bam, stream_bam_records,
+                            write_bam, write_sam)
     out = None
     fmt = "bam"
-    opts, args = getopt.getopt(argv, "o:O:h")
+    max_mem_records = 2_000_000
+    opts, args = getopt.getopt(argv, "o:O:m:h")
     for o, a in opts:
         if o == "-o":
             out = a
         elif o == "-O":
             fmt = a
+        elif o == "-m":
+            max_mem_records = int(a)
     if not args or not out:
-        print("Usage: biscuit_tpu sort -o out.bam [-O bam|sam] <in.sam|in.bam>",
-              file=sys.stderr)
+        print("Usage: biscuit_tpu sort -o out.bam [-O bam|sam]"
+              " [-m max-records-in-memory] <in.sam|in.bam>", file=sys.stderr)
         return 1
-    af = AlignmentFile(args[0])
-    recs = sorted(af, key=lambda r: (r.tid if r.tid >= 0 else 1 << 30, r.pos))
-    if not any(l.startswith("@HD") for l in af.header.lines):
-        af.header.lines.insert(0, "@HD\tVN:1.6\tSO:coordinate")
-    if fmt == "sam":
-        write_sam(out, af.header, recs)
+
+    key = lambda r: (r.tid if r.tid >= 0 else 1 << 30, r.pos)
+    if _is_bam(args[0]):
+        hdr = None
+        it = stream_bam_records(args[0])
+        # need the header separately
+        from .io.sambam import _parse_bam_header_streaming
+        hdr = _parse_bam_header_streaming(args[0])
     else:
-        write_bam(out, af.header, recs)
+        af = AlignmentFile(args[0])
+        hdr = af.header
+        it = iter(af)
+
+    import heapq
+    import tempfile
+
+    runs = []          # paths of spilled sorted runs
+    chunk = []
+    tmpdir = None
+    for r in it:
+        chunk.append(r)
+        if len(chunk) >= max_mem_records:
+            chunk.sort(key=key)
+            if tmpdir is None:
+                tmpdir = tempfile.mkdtemp(prefix="btsort")
+            runp = os.path.join(tmpdir, f"run{len(runs)}.bam")
+            write_bam(runp, hdr, chunk)
+            runs.append(runp)
+            chunk = []
+    chunk.sort(key=key)
+
+    if not any(l.startswith("@HD") for l in hdr.lines):
+        hdr.lines.insert(0, "@HD\tVN:1.6\tSO:coordinate")
+
+    if not runs:
+        recs = chunk
+    else:
+        streams = [stream_bam_records(p) for p in runs] + [iter(chunk)]
+        recs = heapq.merge(*streams, key=key)
+    if fmt == "sam":
+        write_sam(out, hdr, recs)
+    else:
+        write_bam(out, hdr, recs)
+    if runs:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
     return 0
 
 

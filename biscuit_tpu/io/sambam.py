@@ -448,6 +448,35 @@ class AlignmentFile:
                 yield r
 
 
+def stream_bam_records(path: str) -> Iterator[AlnRecord]:
+    """Stream-decode a BAM without loading it wholesale (no index needed):
+    used by the external sort and anywhere order-only iteration suffices."""
+    with open(path, "rb") as f:
+        data = b""
+        # header
+        while True:
+            off = _bam_header_end(data)
+            if off is not None:
+                buf = data[off:]
+                break
+            b = bgzf._read_block(f)
+            if b is None:
+                raise IOError(f"{path}: truncated BAM header")
+            data += b
+        while True:
+            while len(buf) >= 4:
+                (sz,) = struct.unpack_from("<i", buf, 0)
+                if len(buf) < 4 + sz:
+                    break
+                rec, _ = _decode_bam_record(buf[:4 + sz], 0)
+                buf = buf[4 + sz:]
+                yield rec
+            nxt = bgzf._read_block(f)
+            if nxt is None:
+                return
+            buf += nxt
+
+
 def write_bam(path: str, hdr: SamHeader, records: List[AlnRecord]) -> None:
     w = bgzf.BGZFWriter(path)
     text = ("\n".join(hdr.lines) + "\n").encode() if hdr.lines else b""

@@ -136,3 +136,14 @@ def test_cinread_vectorized_counts_match_scalar(pipe):
             cinread_func(b, rs, c2, d2, names, sink)
         assert np.array_equal(d1.counts, d2.counts), tgt
         assert d2.counts.sum() > 0, tgt
+
+
+def test_external_sort_matches_in_memory(pipe, tmp_path):
+    """sort -m N spills sorted runs and k-way merges; result must be
+    byte-identical to the in-memory sort."""
+    d, fa = pipe
+    a = tmp_path / "a.bam"
+    b = tmp_path / "b.bam"
+    run(["sort", "-o", str(a), str(d / "aln.sam")])
+    run(["sort", "-m", "100", "-o", str(b), str(d / "aln.sam")])
+    assert a.read_bytes() == b.read_bytes()
