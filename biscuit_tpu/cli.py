@@ -122,7 +122,8 @@ def main_align(argv):
                 opt.max_XA_hits_alt = int(parts[1])
         elif c == "Q":
             opt.mapQ_coef_len = int(a)
-            opt.mapQ_coef_fac = math.log(opt.mapQ_coef_len) if opt.mapQ_coef_len > 0 else 0
+            # int-truncated like the reference's int mapQ_coef_fac field
+            opt.mapQ_coef_fac = int(math.log(opt.mapQ_coef_len)) if opt.mapQ_coef_len > 0 else 0
         elif c == "O":
             parts = a.split(",")
             opt.o_del = opt.o_ins = int(parts[0])

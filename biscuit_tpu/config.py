@@ -69,7 +69,10 @@ class MemOpt:
     XA_drop_ratio: float = 0.80
     mask_level_redun: float = 0.95
     mapQ_coef_len: float = 50.0
-    mapQ_coef_fac: float = field(default_factory=lambda: math.log(50))
+    # NB: the reference stores mapQ_coef_fac in an int field (bwamem.h:81),
+    # so log(50)=3.912 TRUNCATES to 3 — reproducing that is required for
+    # mapq parity in single-strand modes (caught by the -b/-f flag matrix)
+    mapQ_coef_fac: float = field(default_factory=lambda: float(int(math.log(50))))
     max_ins: int = 5000
     max_matesw: int = 50
     max_XA_hits: int = 5

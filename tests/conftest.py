@@ -49,6 +49,8 @@ def small_dataset(tmp_path_factory, oracle):
         check=True, capture_output=True)
     fa = str(d / "genome.fa")
     subprocess.run([oracle, "index", fa], check=True, capture_output=True)
+    subprocess.run([sys.executable, "-m", "biscuit_tpu.cli", "index", fa],
+                   check=True, capture_output=True, cwd=REPO)
     with open(d / "oracle.sam", "w") as f:
         subprocess.run([oracle, "align", fa, str(d / "reads.fq")],
                        check=True, stdout=f, stderr=subprocess.DEVNULL)

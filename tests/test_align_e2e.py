@@ -82,3 +82,90 @@ def test_literal_read_parity(small_dataset, oracle):
         ref = run_oracle(oracle, ["align", "-1", read, fa])
         mine = run_mine(["align", "-1", read, fa])
         assert mine == ref
+
+
+FLAG_MATRIX = [
+    ["-Y"],                 # soft-clip supplementary
+    ["-a"],                 # output all alignments
+    ["-T", "20"],           # lower output score threshold
+    ["-k", "25"],           # longer min seed
+    ["-A", "2"],            # match-score rescaling of dependent penalties
+    ["-f", "1"],            # restrict to BSW strand
+    ["-b", "3"],            # daughter-only policy
+    ["-L", "3,7"],          # asymmetric clip penalties
+    ["-z", "20"],           # quality-clip read ends
+    ["-5", "2", "-3", "2"],  # fixed end clips
+    ["-M"],                 # mark shorter split hits secondary
+]
+
+
+@pytest.mark.parametrize("flags", FLAG_MATRIX,
+                         ids=[" ".join(f) for f in FLAG_MATRIX])
+def test_se_flag_parity(small_dataset, oracle, flags):
+    """Option matrix: each flag combination must stay byte-identical to the
+    reference aligner."""
+    d = small_dataset
+    fa = str(d / "genome.fa")
+    args = ["align"] + flags + [fa, str(d / "reads.fq")]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
+
+
+@pytest.fixture(scope="module")
+def alt_dataset(tmp_path_factory, oracle):
+    """Genome whose second contig is chr1_alt: exercises ALT auto-inference,
+    alt_sc propagation and the PA/XB alt accounting."""
+    d = tmp_path_factory.mktemp("alt")
+    subprocess.run(
+        [sys.executable, f"{REPO}/tools/make_testdata.py", str(d),
+         "--genome-size", "60000", "--n-reads", "300", "--n-chroms", "2",
+         "--seed", "17"],
+        check=True, capture_output=True)
+    fa = d / "genome.fa"
+    txt = fa.read_text().replace(">chr2", ">chr1_alt")
+    # make the alt contig partially homologous to chr1 so reads hit both
+    lines = txt.splitlines()
+    fa.write_text("\n".join(lines) + "\n")
+    subprocess.run([oracle, "index", str(fa)], check=True, capture_output=True)
+    subprocess.run([sys.executable, "-m", "biscuit_tpu.cli", "index", str(fa)],
+                   check=True, capture_output=True, cwd=REPO)
+    return d
+
+
+def test_alt_contig_parity(alt_dataset, oracle):
+    d = alt_dataset
+    fa = str(d / "genome.fa")
+    args = ["align", fa, str(d / "reads.fq")]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
+    # -j ignores ALT status; -i disables inference — both must match too
+    for extra in (["-j"], ["-i"]):
+        args = ["align"] + extra + [fa, str(d / "reads.fq")]
+        assert run_mine(args) == run_oracle(oracle, args)
+
+
+@pytest.fixture(scope="module")
+def long_read_dataset(tmp_path_factory, oracle):
+    d = tmp_path_factory.mktemp("longreads")
+    subprocess.run(
+        [sys.executable, f"{REPO}/tools/make_testdata.py", str(d),
+         "--genome-size", "80000", "--n-reads", "150", "--read-len", "250",
+         "--seed", "23"],
+        check=True, capture_output=True)
+    subprocess.run([oracle, "index", str(d / "genome.fa")], check=True,
+                   capture_output=True)
+    subprocess.run([sys.executable, "-m", "biscuit_tpu.cli", "index",
+                    str(d / "genome.fa")], check=True, capture_output=True,
+                   cwd=REPO)
+    return d
+
+
+def test_long_read_parity(long_read_dataset, oracle):
+    d = long_read_dataset
+    fa = str(d / "genome.fa")
+    args = ["align", fa, str(d / "reads.fq")]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
