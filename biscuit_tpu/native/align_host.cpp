@@ -322,12 +322,15 @@ static int seed_strategy1(const StrandFM &fm, const StrandFM &fmc,
 static void collect_intv(const Opt &opt, const StrandFM &fm, const StrandFM &fmc,
                          const uint8_t *q, int len, std::vector<Seed5> &mem) {
     mem.clear();
+    // MEM_F_SELF_OVLP requires >= 2 occurrences in the first pass so a
+    // read's own locus does not seed (memchain.c:54, smem.py:107)
+    int start_width = (opt.flag & 0x40) ? 2 : 1;
     int split_len = (int)(opt.min_seed_len * opt.split_factor + 0.499);
     std::vector<Seed5> tmp;
     int x = 0;
     while (x < len) {
         if (q[x] < 4) {
-            x = smem1a(fm, fmc, q, len, x, 1, tmp);
+            x = smem1a(fm, fmc, q, len, x, start_width, tmp);
             for (auto &s : tmp)
                 if (s.end - s.start >= opt.min_seed_len) mem.push_back(s);
         } else ++x;

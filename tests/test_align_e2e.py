@@ -169,3 +169,51 @@ def test_long_read_parity(long_read_dataset, oracle):
     ref = run_oracle(oracle, args)
     mine = run_mine(args)
     assert mine == ref, _diff_report(ref, mine)
+
+
+FLAG_MATRIX2 = [
+    ["-O", "8,4"],          # asymmetric gap-open
+    ["-E", "2,3"],          # asymmetric gap-extend
+    ["-w", "50"],           # narrower band
+    ["-d", "50"],           # tighter z-drop
+    ["-r", "2.5"],          # re-seeding factor
+    ["-y", "5"],            # 3rd-round seeding cutoff
+    ["-c", "100"],          # max seed occurrence
+    ["-D", "0.3"],          # chain drop ratio
+    ["-W", "40"],           # min chain weight (C++ worker1 fallback gate)
+    ["-e"],                 # discard full-length exact matches
+    ["-q"],                 # keep supplementary mapq
+]
+
+
+@pytest.mark.parametrize("flags", FLAG_MATRIX2,
+                         ids=[" ".join(f) for f in FLAG_MATRIX2])
+def test_se_flag_parity2(small_dataset, oracle, flags):
+    d = small_dataset
+    fa = str(d / "genome.fa")
+    args = ["align"] + flags + [fa, str(d / "reads.fq")]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
+
+
+PE_FLAG_MATRIX = [
+    ["-I", "400,50"],       # explicit insert-size spec
+    ["-P"],                 # no pairing
+    ["-S"],                 # no mate rescue
+    ["-S", "-P"],           # neither
+    ["-U", "9"],            # unpaired penalty
+    ["-T", "20"],
+]
+
+
+@pytest.mark.parametrize("flags", PE_FLAG_MATRIX,
+                         ids=[" ".join(f) for f in PE_FLAG_MATRIX])
+def test_pe_flag_parity(pe_dataset, oracle, flags):
+    d = pe_dataset
+    fa = str(d / "genome.fa")
+    args = (["align"] + flags
+            + [fa, str(d / "reads_1.fq"), str(d / "reads_2.fq")])
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
