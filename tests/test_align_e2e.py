@@ -217,3 +217,78 @@ def test_pe_flag_parity(pe_dataset, oracle, flags):
     ref = run_oracle(oracle, args)
     mine = run_mine(args)
     assert mine == ref, _diff_report(ref, mine)
+
+
+@pytest.fixture(scope="module")
+def tricky_dataset(small_dataset, tmp_path_factory):
+    """Derived read sets: N runs injected, too-short reads, comments,
+    gzipped input, and an interleaved file for smart pairing."""
+    import gzip as _gzip
+    import random
+
+    d = tmp_path_factory.mktemp("tricky")
+    src = (small_dataset / "reads.fq").read_text().splitlines()
+    rng = random.Random(99)
+    out = []
+    for i in range(0, len(src), 4):
+        name, seq, plus, qual = src[i], src[i + 1], src[i + 2], src[i + 3]
+        if i // 4 % 5 == 1:  # N run in the middle
+            p = rng.randrange(10, len(seq) - 15)
+            n = rng.randrange(1, 6)
+            seq = seq[:p] + "N" * n + seq[p + n:]
+        elif i // 4 % 5 == 2:  # truncate below min seed length
+            seq = seq[:rng.randrange(5, 18)]
+            qual = qual[:len(seq)]
+        elif i // 4 % 5 == 3:  # leading/trailing N
+            seq = "NN" + seq[2:-2] + "NN"
+        out += [name, seq, plus, qual]
+    (d / "tricky.fq").write_text("\n".join(out) + "\n")
+    with _gzip.open(d / "tricky.fq.gz", "wt") as f:
+        f.write("\n".join(out) + "\n")
+    # comments on read names
+    com = []
+    for i in range(0, len(src), 4):
+        com += [src[i] + " BC:Z:ACGT extra", src[i + 1], src[i + 2], src[i + 3]]
+    (d / "comments.fq").write_text("\n".join(com) + "\n")
+    return d
+
+
+def test_n_and_short_read_parity(small_dataset, tricky_dataset, oracle):
+    fa = str(small_dataset / "genome.fa")
+    args = ["align", fa, str(tricky_dataset / "tricky.fq")]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
+
+
+def test_gzip_input_parity(small_dataset, tricky_dataset, oracle):
+    fa = str(small_dataset / "genome.fa")
+    args = ["align", fa, str(tricky_dataset / "tricky.fq.gz")]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
+
+
+def test_comment_copy_parity(small_dataset, tricky_dataset, oracle):
+    fa = str(small_dataset / "genome.fa")
+    for flags in ([], ["-C"]):
+        args = ["align"] + flags + [fa, str(tricky_dataset / "comments.fq")]
+        ref = run_oracle(oracle, args)
+        mine = run_mine(args)
+        assert mine == ref, _diff_report(ref, mine)
+
+
+def test_smart_pairing_parity(pe_dataset, oracle, tmp_path_factory):
+    d = pe_dataset
+    fa = str(d / "genome.fa")
+    r1 = (d / "reads_1.fq").read_text().splitlines()
+    r2 = (d / "reads_2.fq").read_text().splitlines()
+    inter = []
+    for i in range(0, len(r1), 4):
+        inter += r1[i:i + 4] + r2[i:i + 4]
+    t = tmp_path_factory.mktemp("smart")
+    (t / "interleaved.fq").write_text("\n".join(inter) + "\n")
+    args = ["align", "-p", fa, str(t / "interleaved.fq")]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
