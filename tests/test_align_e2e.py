@@ -292,3 +292,19 @@ def test_smart_pairing_parity(pe_dataset, oracle, tmp_path_factory):
     ref = run_oracle(oracle, args)
     mine = run_mine(args)
     assert mine == ref, _diff_report(ref, mine)
+
+
+def test_barcode_umi_parity(small_dataset, oracle, tmp_path):
+    """-9: inline barcode/UMI extraction from read names (CB/RX tags)."""
+    src = (small_dataset / "reads.fq").read_text().splitlines()
+    out = []
+    for i in range(0, len(src), 4):
+        out += [src[i].split()[0] + "_ACGTACGT_TTGGCCAA",
+                src[i + 1], src[i + 2], src[i + 3]]
+    fq = tmp_path / "bc.fq"
+    fq.write_text("\n".join(out) + "\n")
+    fa = str(small_dataset / "genome.fa")
+    args = ["align", "-9", fa, str(fq)]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine and mine == ref, _diff_report(ref, mine)
