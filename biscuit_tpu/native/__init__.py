@@ -56,9 +56,16 @@ def _declare(L: ctypes.CDLL) -> None:
 
 
 def suffix_array(text: np.ndarray, alphabet_size: int = 4) -> np.ndarray:
-    """Suffix array of a uint8 text (no sentinel; virtual $ is smallest)."""
+    """Suffix array of a uint8 text (no sentinel; virtual $ is smallest).
+    Uses the int32 SA-IS when the text fits (half the memory traffic)."""
     text = np.ascontiguousarray(text, dtype=np.uint8)
     n = len(text)
+    if n < (1 << 31) - 16:
+        sa32 = np.empty(n, dtype=np.int32)
+        rc = lib().sais_u8_i32(text, sa32, n, alphabet_size)
+        if rc != 0:
+            raise RuntimeError(f"sais failed rc={rc}")
+        return sa32.astype(np.int64)
     sa = np.empty(n, dtype=np.int64)
     rc = lib().sais_u8_i64(text, sa, n, alphabet_size)
     if rc != 0:
