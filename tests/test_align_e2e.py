@@ -308,3 +308,31 @@ def test_barcode_umi_parity(small_dataset, oracle, tmp_path):
     ref = run_oracle(oracle, args)
     mine = run_mine(args)
     assert mine and mine == ref, _diff_report(ref, mine)
+
+
+def test_pe_tricky_read_parity(pe_dataset, oracle, tmp_path):
+    """PE with N runs / truncated mates — pairing and rescue must survive
+    degenerate ends byte-identically."""
+    import random
+
+    rng = random.Random(7)
+    for mate in ("1", "2"):
+        src = (pe_dataset / f"reads_{mate}.fq").read_text().splitlines()
+        out = []
+        for i in range(0, len(src), 4):
+            name, seq, plus, qual = src[i:i + 4]
+            k = i // 4 % 6
+            if k == 1:
+                p = rng.randrange(10, len(seq) - 15)
+                seq = seq[:p] + "N" * rng.randrange(1, 5) + seq[p + 4:]
+                qual = qual[:len(seq)]
+            elif k == 2 and mate == "2":
+                seq = seq[:rng.randrange(8, 17)]
+                qual = qual[:len(seq)]
+            out += [name, seq, plus, qual]
+        (tmp_path / f"t_{mate}.fq").write_text("\n".join(out) + "\n")
+    fa = str(pe_dataset / "genome.fa")
+    args = ["align", fa, str(tmp_path / "t_1.fq"), str(tmp_path / "t_2.fq")]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
