@@ -125,3 +125,31 @@ def test_epiread_modbam(tmp_path):
     rle = cols[6]
     # first modified C (prob 250/256 -> M), second listed C (prob 5/256 -> U)
     assert "M" in rle and "U" in rle, rle
+
+
+def test_nome_bed_tracks(data):
+    """NOMe bed chain: vcf2bed -t hcg/gch on a NOMe VCF + mergecg -N."""
+    import subprocess
+    import sys
+    from conftest import REPO
+
+    d, fa = data
+    run = lambda a: subprocess.run(
+        [sys.executable, "-m", "biscuit_tpu.cli"] + a, capture_output=True,
+        text=True, cwd=REPO)
+    nome = run(["pileup", "-N", fa, str(d / "aln.bam")])
+    assert nome.returncode == 0
+    (d / "nome.vcf").write_text(nome.stdout)
+    hcg = run(["vcf2bed", "-t", "hcg", str(d / "nome.vcf")])
+    gch = run(["vcf2bed", "-t", "gch", str(d / "nome.vcf")])
+    assert hcg.returncode == 0 and gch.returncode == 0
+    assert hcg.stdout and gch.stdout
+    for l in hcg.stdout.splitlines()[:20]:
+        c = l.split("\t")
+        assert int(c[2]) == int(c[1]) + 1 and 0 <= float(c[3]) <= 1
+    (d / "hcg.bed").write_text(hcg.stdout)
+    merged = run(["mergecg", "-N", fa, str(d / "hcg.bed")])
+    assert merged.returncode == 0 and merged.stdout
+    # HCG rows merge to 2-bp CpG records with C/G support columns
+    first = merged.stdout.splitlines()[0].split("\t")
+    assert int(first[2]) - int(first[1]) == 2 and first[5].startswith("C:")
