@@ -22,7 +22,7 @@ class StrandFMC(C.Structure):
                 ("sa", C.c_void_p), ("primary", C.c_int64),
                 ("seq_len", C.c_int64), ("n_words", C.c_int64),
                 ("ilv", C.c_void_p), ("sa_wide", C.c_int32),
-                ("pad", C.c_int32)]
+                ("pad", C.c_int32), ("ilv2", C.c_void_p)]
 
 
 class BnsC(C.Structure):
@@ -106,6 +106,7 @@ class NativeAligner:
         self._bufs = []
 
         self.lib.bt_build_ilv.restype = C.c_void_p
+        self.lib.bt_build_ilv2.restype = C.c_void_p
         self.lib.bt_buf_free.restype = None
         self.lib.bt_buf_free.argtypes = [C.c_void_p]
         self._ilv_ptrs = []
@@ -121,12 +122,19 @@ class NativeAligner:
                 s.sa_samples.astype(np.int64 if sa_wide else np.uint32))
             self._bufs += [occ, words, L2, sa]
             fm = StrandFMC(_ptr(words), _ptr(occ), _ptr(L2), _ptr(sa),
-                           s.primary, s.seq_len, len(words), None, sa_wide, 0)
-            # interleaved occ+BWT blocks: one cache line per occ4 query
-            ilv = self.lib.bt_build_ilv(C.byref(fm))
-            if ilv:
-                self._ilv_ptrs.append(ilv)
-                fm.ilv = ilv
+                           s.primary, s.seq_len, len(words), None, sa_wide, 0,
+                           None)
+            # dense 64-base interleaved blocks (narrow strands); fall back
+            # to the 128-base layout, then the flat arrays
+            ilv2 = self.lib.bt_build_ilv2(C.byref(fm))
+            if ilv2:
+                self._ilv_ptrs.append(ilv2)
+                fm.ilv2 = ilv2
+            else:
+                ilv = self.lib.bt_build_ilv(C.byref(fm))
+                if ilv:
+                    self._ilv_ptrs.append(ilv)
+                    fm.ilv = ilv
             return fm
 
         self.dau = strand(idx.dau)

@@ -41,6 +41,10 @@ struct StrandFM {
     // per 128 bases — [0..3] = checkpoint counts, [4..7] = the 8 BWT words
     // as 4 uint64 superwords — so occ4 touches a single cache line.
     const uint64_t *ilv = nullptr;
+    // Denser variant for strands < 2^32 (bt_build_ilv2): 32-byte blocks per
+    // 64 bases — uint32 counts[4] + 2 uint64 superwords; at most 2 popcount
+    // rounds per query. Preferred over ilv when present.
+    const uint8_t *ilv2 = nullptr;
 };
 
 static inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
@@ -55,6 +59,34 @@ static Occ4 occ4(const StrandFM &f, int64_t k) {
         return o;
     }
     if (k >= f.primary) k -= 1;
+    if (f.ilv2) {
+        const uint8_t *blk = f.ilv2 + ((k >> 6) << 5);
+        const uint32_t *cnts = (const uint32_t *)blk;
+        const uint64_t *words = (const uint64_t *)(blk + 16);
+        int64_t cnt0 = cnts[0], cnt1 = cnts[1], cnt2 = cnts[2], cnt3 = cnts[3];
+        const uint64_t M = 0x5555555555555555ULL;
+        int sw = (int)((k >> 5) & 1);
+        if (sw) {
+            uint64_t y = words[0], inv = ~y;
+            cnt0 += __builtin_popcountll(((inv >> 1) & inv) & M);
+            cnt1 += __builtin_popcountll(((inv >> 1) & y) & M);
+            cnt2 += __builtin_popcountll(((y >> 1) & inv) & M);
+            cnt3 += __builtin_popcountll(((y >> 1) & y) & M);
+        }
+        uint64_t y = words[sw];
+        int zero = 31 - (int)(k & 31);
+        if (zero) {
+            int sh = zero << 1;
+            y = (y >> sh) << sh;
+        }
+        uint64_t inv = ~y;
+        cnt0 += __builtin_popcountll(((inv >> 1) & inv) & M) - zero;
+        cnt1 += __builtin_popcountll(((inv >> 1) & y) & M);
+        cnt2 += __builtin_popcountll(((y >> 1) & inv) & M);
+        cnt3 += __builtin_popcountll(((y >> 1) & y) & M);
+        o.c[0] = cnt0; o.c[1] = cnt1; o.c[2] = cnt2; o.c[3] = cnt3;
+        return o;
+    }
     if (f.ilv) {
         const uint64_t *blk = f.ilv + ((k >> 7) << 3);
         int64_t cnt0 = (int64_t)blk[0], cnt1 = (int64_t)blk[1];
@@ -2401,7 +2433,50 @@ struct StrandFMC {
     int64_t primary, seq_len, n_words;
     const uint64_t *ilv;   // optional interleaved blocks (bt_build_ilv)
     int32_t sa_wide, pad;  // 1 => sa is int64[] (genome strand >= 2^31)
+    const uint8_t *ilv2;   // optional dense 64-base blocks (bt_build_ilv2)
 };
+
+// Dense interleave: 32-byte block per 64 BWT bases (uint32 counts + 2
+// uint64 superwords). Only valid for strands < 2^32 (uint32 counts).
+// Caller frees with bt_buf_free.
+void *bt_build_ilv2(const StrandFMC *s) {
+    if (s->seq_len >= (1LL << 32)) return nullptr;
+    int64_t nb = (s->seq_len + 63) >> 6;
+    uint8_t *buf = (uint8_t *)std::malloc((size_t)nb * 32);
+    if (!buf) return nullptr;
+    int64_t n_words = s->n_words;
+    const uint64_t M = 0x5555555555555555ULL;
+    for (int64_t b = 0; b < nb; ++b) {
+        uint8_t *blk = buf + (b << 5);
+        uint32_t *cnts = (uint32_t *)blk;
+        uint64_t *words = (uint64_t *)(blk + 16);
+        // checkpoint at the enclosing 128-block + first-half superword counts
+        int64_t b128 = b >> 1;
+        int64_t c[4];
+        for (int i = 0; i < 4; ++i) c[i] = s->occ[b128 * 4 + i];
+        if (b & 1) {  // second half: add the first 2 superwords (64 bases)
+            for (int t = 0; t < 2; ++t) {
+                int64_t w0 = (b128 << 3) + 2 * t, w1 = w0 + 1;
+                uint64_t hi = w0 < n_words ? s->words[w0] : 0;
+                uint64_t lo = w1 < n_words ? s->words[w1] : 0;
+                uint64_t y = (hi << 32) | lo, inv = ~y;
+                c[0] += __builtin_popcountll(((inv >> 1) & inv) & M);
+                c[1] += __builtin_popcountll(((inv >> 1) & y) & M);
+                c[2] += __builtin_popcountll(((y >> 1) & inv) & M);
+                c[3] += __builtin_popcountll(((y >> 1) & y) & M);
+            }
+        }
+        for (int i = 0; i < 4; ++i) cnts[i] = (uint32_t)c[i];
+        int toff = (b & 1) ? 2 : 0;
+        for (int t = 0; t < 2; ++t) {
+            int64_t w0 = (b128 << 3) + 2 * (toff + t), w1 = w0 + 1;
+            uint64_t hi = w0 < n_words ? s->words[w0] : 0;
+            uint64_t lo = w1 < n_words ? s->words[w1] : 0;
+            words[t] = (hi << 32) | lo;
+        }
+    }
+    return buf;
+}
 
 // Build the interleaved occ+BWT block array (see StrandFM::ilv): one
 // 64-byte block per 128 BWT bases. Caller frees with bt_buf_free.
@@ -2463,7 +2538,8 @@ int bt_worker1_batch(const StrandFMC *dau, const StrandFMC *par, const BnsC *bns
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words, s->sa_wide, s->ilv};
+                            s->seq_len, s->n_words, s->sa_wide, s->ilv,
+                            s->ilv2};
     }
     cx.bns = Bns{bns->ann_off, bns->ann_len, bns->ann_alt, bns->n_seqs,
                  bns->pac, bns->l_pac};
@@ -2576,7 +2652,8 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words, s->sa_wide, s->ilv};
+                            s->seq_len, s->n_words, s->sa_wide, s->ilv,
+                            s->ilv2};
     }
     cx.bns = Bns{bnsc->ann_off, bnsc->ann_len, bnsc->ann_alt, bnsc->n_seqs,
                  bnsc->pac, bnsc->l_pac};
@@ -2726,7 +2803,8 @@ int bt_align_pe_batch(const StrandFMC *dau, const StrandFMC *par,
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words, s->sa_wide, s->ilv};
+                            s->seq_len, s->n_words, s->sa_wide, s->ilv,
+                            s->ilv2};
     }
     cx.bns = Bns{bnsc->ann_off, bnsc->ann_len, bnsc->ann_alt, bnsc->n_seqs,
                  bnsc->pac, bnsc->l_pac};
