@@ -336,3 +336,69 @@ def test_pe_tricky_read_parity(pe_dataset, oracle, tmp_path):
     ref = run_oracle(oracle, args)
     mine = run_mine(args)
     assert mine == ref, _diff_report(ref, mine)
+
+
+@pytest.fixture(scope="module")
+def indel_dataset(small_dataset, tmp_path_factory):
+    """Reads with deletions, insertions, and chimeric halves: the simulator
+    only makes substitutions, so indel CIGARs (I/D ops, MD ^-runs, band
+    growth, D-squeeze) and supplementary/soft-clip emission were otherwise
+    untouched by E2E."""
+    import random
+
+    rng = random.Random(4242)
+    genome = {}
+    name = None
+    for line in (small_dataset / "genome.fa").read_text().splitlines():
+        if line.startswith(">"):
+            name = line[1:].split()[0]
+            genome[name] = []
+        else:
+            genome[name].append(line)
+    genome = {k: "".join(v) for k, v in genome.items()}
+
+    def bis_convert(s, strand):
+        # parent C->T (f) or daughter G->A (r) fully converted read
+        if strand == "f":
+            return s.upper().replace("C", "T")
+        return s.upper().replace("G", "A")
+
+    reads = []
+    chroms = list(genome)
+    for i in range(300):
+        chrom = chroms[i % len(chroms)]
+        g = genome[chrom]
+        p = rng.randrange(0, len(g) - 160)
+        frag = g[p:p + 120]
+        kind = i % 4
+        if kind == 0:   # deletion of 1-8 bp
+            dpos = rng.randrange(20, 80)
+            dlen = rng.randrange(1, 9)
+            frag = frag[:dpos] + frag[dpos + dlen:]
+        elif kind == 1:  # insertion of 1-6 random bp
+            ipos = rng.randrange(20, 80)
+            ins = "".join(rng.choice("ACGT") for _ in range(rng.randrange(1, 7)))
+            frag = frag[:ipos] + ins + frag[ipos:]
+        elif kind == 2:  # chimera: prefix from elsewhere (soft clips)
+            q = rng.randrange(0, len(g) - 60)
+            frag = g[q:q + 35] + frag[:85]
+        read = bis_convert(frag[:100], "f")
+        reads.append((f"ind{i}", read))
+    d = tmp_path_factory.mktemp("indel")
+    with open(d / "reads.fq", "w") as f:
+        for n, s in reads:
+            f.write(f"@{n}\n{s}\n+\n{'I' * len(s)}\n")
+    return d
+
+
+def test_indel_read_parity(small_dataset, indel_dataset, oracle):
+    fa = str(small_dataset / "genome.fa")
+    args = ["align", fa, str(indel_dataset / "reads.fq")]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
+    # the dataset must actually produce indel and clipped CIGARs
+    cigs = [l.split("\t")[5] for l in mine.splitlines() if not l.startswith("@")]
+    assert any("D" in c for c in cigs), "no deletions exercised"
+    assert any("I" in c for c in cigs), "no insertions exercised"
+    assert any("S" in c for c in cigs), "no soft clips exercised"

@@ -254,3 +254,50 @@ def test_epiread_native_matches_python(pipeline):
             b = runw(process_window, af)
             assert a == b, (nome, table is not None)
             assert a.count("\n") > 50
+
+
+def test_downstream_engines_agree_on_indel_bam(tmp_path):
+    """pileup and epiread C++ vs numpy paths on a BAM with real I/D/S
+    CIGARs (the simulator only makes substitutions)."""
+    import random
+
+    rng = random.Random(77)
+    unit = "ACGTTAGCCATTGGCAACGT"
+    genome = "".join(rng.choice("ACGT") for _ in range(30000))
+    (tmp_path / "g.fa").write_text(">chr1\n" + genome + "\n")
+    reads = []
+    for i in range(200):
+        p = rng.randrange(0, len(genome) - 160)
+        frag = genome[p:p + 120]
+        k = i % 3
+        if k == 0:
+            dp = rng.randrange(20, 80)
+            frag = frag[:dp] + frag[dp + rng.randrange(1, 8):]
+        elif k == 1:
+            ip = rng.randrange(20, 80)
+            frag = frag[:ip] + "".join(
+                rng.choice("ACGT") for _ in range(rng.randrange(1, 6))) + frag[ip:]
+        reads.append(frag[:100].replace("C", "T"))  # parent-converted
+    with open(tmp_path / "r.fq", "w") as f:
+        for i, s in enumerate(reads):
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+    fa = str(tmp_path / "g.fa")
+    run(["index", fa], cwd=REPO)
+    sam = run(["align", fa, str(tmp_path / "r.fq")], cwd=REPO)
+    (tmp_path / "a.sam").write_text(sam)
+    run(["sort", "-o", str(tmp_path / "a.bam"), str(tmp_path / "a.sam")],
+        cwd=REPO)
+    cigs = [l.split("\t")[5] for l in sam.splitlines() if not l.startswith("@")]
+    assert any("D" in c for c in cigs) and any("I" in c for c in cigs)
+
+    def md5(cmdargs, env_mode):
+        env = dict(os.environ, BISCUIT_TPU_PILEUP=env_mode)
+        r = subprocess.run([sys.executable, "-m", "biscuit_tpu.cli"] + cmdargs,
+                           capture_output=True, text=True, cwd=REPO, env=env)
+        assert r.returncode == 0, r.stderr[-500:]
+        return "\n".join(l for l in r.stdout.splitlines()
+                         if not l.startswith("##program"))
+
+    for cmd in (["pileup", fa, str(tmp_path / "a.bam")],
+                ["epiread", fa, str(tmp_path / "a.bam")]):
+        assert md5(cmd, "native") == md5(cmd, "numpy"), cmd[0]
