@@ -147,3 +147,18 @@ def test_external_sort_matches_in_memory(pipe, tmp_path):
     run(["sort", "-o", str(a), str(d / "aln.sam")])
     run(["sort", "-m", "100", "-o", str(b), str(d / "aln.sam")])
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_shard_align_matches_single_process(pipe):
+    """tools/shard_align.py: sharded output must equal single-process."""
+    d, fa = pipe
+    single = subprocess.run(
+        [sys.executable, "-m", "biscuit_tpu.cli", "align", fa,
+         str(d / "reads.fq")], capture_output=True, text=True, cwd=REPO)
+    assert single.returncode == 0
+    sh = subprocess.run(
+        [sys.executable, f"{REPO}/tools/shard_align.py", "-n", "3", fa,
+         str(d / "reads.fq")], capture_output=True, text=True, cwd=REPO)
+    assert sh.returncode == 0, sh.stderr[-500:]
+    strip = lambda s: [l for l in s.splitlines() if not l.startswith("@")]
+    assert strip(sh.stdout) == strip(single.stdout)
