@@ -74,10 +74,22 @@ class VcfFile:
             names = spec.split(",")
             self.target_idx = [self.samples.index(n) for n in names]
 
-    def __iter__(self):
+    def raw_body(self):
+        """Raw body lines (post-header), for callers that pre-filter with a
+        substring test before paying for the full parse."""
         for line in self._f:
             if not line.strip() or line.startswith("#"):
                 continue
+            yield line
+
+    def parse_line(self, line: str):
+        return self._parse(line)
+
+    def __iter__(self):
+        for line in self.raw_body():
+            yield self._parse(line)
+
+    def _parse(self, line):
             f = line.rstrip("\n").split("\t")
             chrom = f[0]
             tid = self._name2tid.get(chrom, -1)
@@ -86,7 +98,7 @@ class VcfFile:
                 self._name2tid[chrom] = len(self.contigs)
                 self.contigs.append((chrom, 0))
                 tid = self._name2tid[chrom]
-            yield VcfRecord(tid=tid, chrom=chrom, pos=int(f[1]), id=f[2],
+            return VcfRecord(tid=tid, chrom=chrom, pos=int(f[1]), id=f[2],
                             ref=f[3], alt=f[4], qual=f[5], filter=f[6],
                             info=f[7], fmt=f[8] if len(f) > 8 else "",
                             samples=f[9:])

@@ -32,7 +32,15 @@ def _record_beta_cov(rec, idx):
 def vcf2bed_ctxt(vcf: VcfFile, mincov: int, showctxt: bool, showmu: bool,
                  cx_target: str, out) -> None:
     idx = vcf.target_idx
-    for rec in vcf:
+    # substring pre-filter: for a specific context target, reject lines
+    # cheaply before the full field parse (most records are other contexts)
+    needle = None if cx_target in ("C", "CH") else f"CX={cx_target}"
+    for line in vcf.raw_body():
+        if "CX=" not in line:
+            continue
+        if needle is not None and needle not in line:
+            continue
+        rec = vcf.parse_line(line)
         cx = rec.info_get("CX")
         if cx is None:
             continue
