@@ -460,8 +460,10 @@ Genotyping options:
                and not conf.comm.verbose
                and all(_is_bam(fn) for fn in in_fns))
     if use_raw:
-        from .pileup.native import RawBam
-        bams = [RawBam(fn) for fn in in_fns]
+        from .pileup.native import raw_bam_open
+        # with a usable .bai, stream each window's blocks (bounded memory);
+        # otherwise hold the decompressed blob (shared by fork workers)
+        bams = [raw_bam_open(fn) for fn in in_fns]
     else:
         bams = [AlignmentFile(fn) for fn in in_fns]
     hdr = bams[0].header

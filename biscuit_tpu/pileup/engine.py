@@ -341,9 +341,9 @@ def pileup_window(bams: List[AlignmentFile], rs: RefCache, conf: PileupConf,
     if not conf.comm.verbose:
         mode = os.environ.get("BISCUIT_TPU_PILEUP", "native")
         if mode == "native":
-            from .native import (RawBam, pileup_window_native,
+            from .native import (RawBamBase, pileup_window_native,
                                  pileup_window_native_raw)
-            if bams and isinstance(bams[0], RawBam):
+            if bams and isinstance(bams[0], RawBamBase):
                 return pileup_window_native_raw(bams, rs, conf, tid, chrm,
                                                 beg, end, betasum_context,
                                                 cnt_context)

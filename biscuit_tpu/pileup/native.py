@@ -91,7 +91,12 @@ def _bs_known(r: AlnRecord) -> int:
     return -1
 
 
-class RawBam:
+class RawBamBase:
+    """Common base for raw-BAM window sources (isinstance gate in
+    engine.pileup_window and the epiread driver)."""
+
+
+class RawBam(RawBamBase):
     """Decompressed BAM blob + C++-built record index: window queries become
     numpy masks over (tid, pos, rend) and the C++ engine parses records
     straight from the blob (no per-read Python objects)."""
@@ -131,6 +136,97 @@ class RawBam:
         return self.offs[m]
 
 
+def raw_bam_open(path: str):
+    """RawBamStream when a usable .bai sits next to the BAM (bounded
+    memory), else whole-blob RawBam. A corrupt/unreadable .bai demotes to
+    RawBam with a warning rather than failing the run."""
+    import os
+    import sys
+
+    if os.path.exists(path + ".bai"):
+        try:
+            return RawBamStream(path)
+        except Exception as e:
+            print(f"[biscuit_tpu] warning: ignoring {path}.bai ({e}); "
+                  "falling back to in-memory BAM", file=sys.stderr)
+    return RawBam(path)
+
+
+class RawBamStream(RawBamBase):
+    """Bounded-memory variant of RawBam: requires a .bai; each window
+    decompresses only the BGZF blocks its records live in (htslib-style),
+    so memory is O(window) instead of O(file)."""
+
+    def __init__(self, path: str):
+        import struct
+
+        from ..io.bai import BaiIndex
+        from ..io.sambam import _parse_bam_header_streaming
+
+        self.path = path
+        self.bai = BaiIndex.read(path + ".bai")
+        self.header = _parse_bam_header_streaming(path)
+        self._struct = struct
+
+    def window_blob(self, tid: int, beg: int, end: int):
+        """(blob bytes starting at a record boundary, record offsets within
+        it overlapping the 1-based [beg, end) window)."""
+        from ..io import bgzf
+
+        struct = self._struct
+        fb = (beg - 1) if beg > 1 else 1
+        voff = self.bai.min_offset(tid, fb, end)
+        if voff is None:
+            return b"", np.zeros(0, np.int64)
+        chunks = []
+        with open(self.path, "rb") as f:
+            f.seek(voff >> 16)
+            first = bgzf._read_block(f)
+            if first is None:
+                return b"", np.zeros(0, np.int64)
+            buf = bytearray(first[voff & 0xFFFF:])
+            scanned = 0  # bytes whose records we've peeked
+            done = False
+            while not done:
+                # peek complete records for the stop condition
+                while scanned + 4 <= len(buf):
+                    (sz,) = struct.unpack_from("<i", buf, scanned)
+                    if scanned + 4 + sz > len(buf):
+                        break
+                    rtid, rpos = struct.unpack_from("<ii", buf, scanned + 4)
+                    scanned += 4 + sz
+                    if rtid > tid or rtid < 0 or (rtid == tid and rpos >= end):
+                        done = True
+                        buf = buf[:scanned]
+                        break
+                if done:
+                    break
+                nxt = bgzf._read_block(f)
+                if nxt is None:
+                    break
+                buf += nxt
+        blob = bytes(buf)
+        L = native.lib()
+        L.bt_bam_scan.restype = C.c_int64
+        n = L.bt_bam_scan(blob, len(blob), 0, None, None, None, None,
+                          C.c_int64(0))
+        if n == 0:
+            return blob, np.zeros(0, np.int64)
+        offs = np.zeros(n, np.int64)
+        tids = np.zeros(n, np.int32)
+        poss = np.zeros(n, np.int64)
+        rends = np.zeros(n, np.int64)
+        L.bt_bam_scan(blob, len(blob), 0,
+                      offs.ctypes.data_as(C.POINTER(C.c_int64)),
+                      tids.ctypes.data_as(C.POINTER(C.c_int32)),
+                      poss.ctypes.data_as(C.POINTER(C.c_int64)),
+                      rends.ctypes.data_as(C.POINTER(C.c_int64)),
+                      C.c_int64(n))
+        span = np.maximum(rends - poss, 1)
+        m = (tids == tid) & (poss < end) & (poss + span > fb)
+        return blob, np.ascontiguousarray(offs[m], np.int64)
+
+
 def pileup_window_native_raw(rawbams, rs: RefCache, conf, tid: int, chrm: str,
                              beg: int, end: int, betasum_context,
                              cnt_context) -> str:
@@ -143,11 +239,22 @@ def pileup_window_native_raw(rawbams, rs: RefCache, conf, tid: int, chrm: str,
     rs.fetch(chrm, beg - 100 if beg > 100 else 1, end + 100)
     chrom = rs.arr
     n_bams = len(rawbams)
-    sel = [rb.window_offsets(tid, beg, end) for rb in rawbams]
-    sel = [np.ascontiguousarray(s, np.int64) for s in sel]
+    blobs = []
+    sel = []
+    for rb in rawbams:
+        if isinstance(rb, RawBamStream):
+            blob, offs = rb.window_blob(tid, beg, end)
+            blobs.append(blob)
+            sel.append(offs)
+        else:
+            blobs.append(rb.data)
+            sel.append(np.ascontiguousarray(
+                rb.window_offsets(tid, beg, end), np.int64))
+    blobs = [b if b else b"\0" for b in blobs]  # keep refs alive for the call
     datas = (C.c_void_p * n_bams)(
-        *[C.cast(C.c_char_p(rb.data), C.c_void_p) for rb in rawbams])
-    data_lens = np.array([len(rb.data) for rb in rawbams], np.int64)
+        *[C.cast(C.c_char_p(b), C.c_void_p) for b in blobs])
+    data_lens = np.array(
+        [len(b) if s_.size else 0 for b, s_ in zip(blobs, sel)], np.int64)
     offs_ptrs = (C.c_void_p * n_bams)(
         *[s.ctypes.data_as(C.c_void_p) for s in sel])
     n_recs = np.array([len(s) for s in sel], np.int64)

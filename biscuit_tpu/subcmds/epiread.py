@@ -592,7 +592,15 @@ def process_window_native(rawbam, rs: RefCache, conf: EpireadConf,
     print_w_beg = (beg - conf.max_read_length) if conf.epiread_reg_start == beg else beg
     print_w_end = (end + conf.max_read_length) if conf.epiread_reg_end == end else end
 
-    sel = np.ascontiguousarray(rawbam.window_offsets(tid, beg, end), np.int64)
+    from ..pileup.native import RawBamStream
+    if isinstance(rawbam, RawBamStream):
+        blob, sel = rawbam.window_blob(tid, beg, end)
+        if not blob:
+            blob = b"\0"
+    else:
+        blob = rawbam.data
+        sel = np.ascontiguousarray(rawbam.window_offsets(tid, beg, end),
+                                   np.int64)
     out_buf = C.c_void_p()
     out_len = C.c_int64()
     cc = ConfC()
@@ -617,7 +625,7 @@ def process_window_native(rawbam, rs: RefCache, conf: EpireadConf,
         C.c_int64(rs.beg), C.c_int64(rs.end),
         C.c_int64(beg), C.c_int64(end),
         C.c_int64(print_w_beg), C.c_int64(print_w_end),
-        rawbam.data, len(rawbam.data),
+        blob, len(blob) if len(sel) else 0,
         sel.ctypes.data_as(C.c_void_p), C.c_int64(len(sel)),
         snp_locs.ctypes.data_as(C.c_void_p),
         snp_meth.ctypes.data_as(C.c_void_p),
@@ -644,8 +652,9 @@ def _ep_window1(job):
     if is_last:
         conf.epiread_reg_end = wend
     out: List[str] = []
-    from ..pileup.native import RawBam
-    fn = process_window_native if isinstance(bam, RawBam) else process_window
+    from ..pileup.native import RawBamBase
+    fn = (process_window_native if isinstance(bam, RawBamBase)
+          else process_window)
     try:
         fn(bam, rs, conf, snp_table, tid, name, wbeg, wend, out)
     except SystemExit as e:
@@ -721,8 +730,8 @@ def main(argv):
                   and _os.environ.get("BISCUIT_TPU_PILEUP", "native") == "native"
                   and _is_bam(bamfn))
     if use_native:
-        from ..pileup.native import RawBam
-        bam = RawBam(bamfn)
+        from ..pileup.native import raw_bam_open
+        bam = raw_bam_open(bamfn)
     else:
         bam = AlignmentFile(bamfn)
     hdr = bam.header

@@ -216,6 +216,55 @@ def test_pileup_raw_bam_matches_object_path(pipeline):
     assert a == b
 
 
+def test_pileup_bai_streaming_matches_whole_blob(pipeline):
+    """RawBamStream (per-window BGZF block decompression via the .bai,
+    bounded memory) must match whole-blob RawBam byte-for-byte."""
+    d, fa = pipeline
+    import subprocess
+    import sys
+
+    from biscuit_tpu.io.bai import build_bai
+    from biscuit_tpu.pileup.common import NCONTXTS, RefCache
+    from biscuit_tpu.pileup.engine import PileupConf, pileup_window
+    from biscuit_tpu.pileup.native import RawBam, RawBamStream
+
+    bam = str(d / "aln.bam")
+    build_bai(bam).write(bam + ".bai")
+    rs = RefCache(fa)
+    conf = PileupConf()
+    raw = RawBam(bam)
+    stream = RawBamStream(bam)
+    name = raw.header.names[0]
+    tlen = raw.header.lengths[0]
+
+    def run(bams):
+        bs = [[0.0] * NCONTXTS]
+        cs = [[0] * NCONTXTS]
+        out = []
+        wbeg = 1
+        while wbeg < tlen:
+            out.append(pileup_window(bams, rs, conf, 0, name, wbeg,
+                                     min(wbeg + 7000, tlen), bs, cs))
+            wbeg += 7000
+        return "".join(out), bs, cs
+
+    a = run([raw])
+    b = run([stream])
+    assert a == b
+
+    # epiread windows: streaming vs whole-blob, through the CLI (the CLI
+    # picks RawBamStream automatically when the .bai exists)
+    run_cli = lambda args: subprocess.run(
+        [sys.executable, "-m", "biscuit_tpu.cli"] + args,
+        capture_output=True, text=True)
+    with_bai = run_cli(["epiread", fa, bam])
+    assert with_bai.returncode == 0, with_bai.stderr[-800:]
+    (d / "aln.bam.bai").unlink()
+    without = run_cli(["epiread", fa, bam])
+    assert without.returncode == 0
+    assert with_bai.stdout == without.stdout and with_bai.stdout
+
+
 def test_epiread_native_matches_python(pipeline):
     """The C++ epiBED window engine must match the Python walk byte-for-byte,
     including SNP-aware and NOMe modes."""
