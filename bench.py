@@ -93,6 +93,15 @@ def main():
         bench_pileup(d, fa)
         return
 
+    # Profile-guided build of the native library (~10% on the align hot
+    # path). Must happen before anything dlopens the .so in this process;
+    # skipped instantly when a fresh profile already exists.
+    if os.environ.get("BENCH_ENGINE", "native") == "native" and \
+            os.environ.get("BENCH_PGO", "1") != "0":
+        from biscuit_tpu import native
+        native.train_pgo([sys.executable,
+                          os.path.join(here, "tools", "pgo_train.py")])
+
     import jax
     from biscuit_tpu.index.build import build_index
     from biscuit_tpu.config import MemOpt

@@ -16,10 +16,44 @@ _SOURCES = [os.path.join(_DIR, f) for f in sorted(os.listdir(_DIR)) if f.endswit
 _lib = None
 
 
-def _build() -> None:
+_PGO_DIR = os.path.join(_DIR, "_build", "pgo")
+_PGO_STAMP = os.path.join(_PGO_DIR, "stamp")
+_PGO_SO_MARK = os.path.join(_PGO_DIR, "built_so_mtime")
+
+
+def _src_stamp() -> str:
+    return str(max(os.path.getmtime(s) for s in _SOURCES))
+
+
+def _has_gcda() -> bool:
+    # gcc may mangle profile names flat or nest them by object path
+    for _root, _dirs, files in os.walk(_PGO_DIR):
+        if any(f.endswith(".gcda") for f in files):
+            return True
+    return False
+
+
+def _pgo_profile_fresh() -> bool:
+    """A trained profile exists and matches the current sources."""
+    if not os.path.exists(_PGO_STAMP):
+        return False
+    if not _has_gcda():
+        return False
+    with open(_PGO_STAMP) as f:
+        return f.read() == _src_stamp()
+
+
+def _build(instrument: bool = False) -> None:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    extra = []
+    if instrument:
+        extra = [f"-fprofile-generate={_PGO_DIR}"]
+    elif _pgo_profile_fresh():
+        # profile-guided rebuild: ~10% on the align hot path (same output;
+        # PGO only reorders/optimizes, it never changes semantics)
+        extra = [f"-fprofile-use={_PGO_DIR}", "-fprofile-correction"]
     base = ["g++", "-O3", "-funroll-loops", "-std=c++17", "-shared", "-fPIC",
-            "-o", _SO]
+            *extra, "-o", _SO]
     tail = _SOURCES + ["-lz", "-lpthread"]
     # -march=native turns __builtin_popcount into the POPCNT instruction
     # (the occ4 hot loop); fall back to the portable build if unsupported.
@@ -27,6 +61,38 @@ def _build() -> None:
                        capture_output=True)
     if r.returncode != 0:
         subprocess.run(base + tail, check=True)
+    if extra and not instrument:
+        with open(_PGO_SO_MARK, "w") as f:
+            f.write(str(os.path.getmtime(_SO)))
+
+
+def train_pgo(train_argv) -> None:
+    """Profile-guided optimization: build instrumented, run the training
+    command in a subprocess (it must exercise the hot paths and exit so the
+    .gcda profiles flush), then rebuild optimized. Call before lib() in this
+    process; later processes pick the profiled build up automatically."""
+    import shutil
+
+    if _pgo_profile_fresh():
+        # rebuild unless the current .so is the one built with this profile
+        mark = None
+        if os.path.exists(_PGO_SO_MARK):
+            with open(_PGO_SO_MARK) as f:
+                mark = f.read()
+        if not os.path.exists(_SO) or mark != str(os.path.getmtime(_SO)):
+            _build()
+        return
+    shutil.rmtree(_PGO_DIR, ignore_errors=True)
+    os.makedirs(_PGO_DIR, exist_ok=True)
+    _build(instrument=True)
+    r = subprocess.run(train_argv, capture_output=True)
+    if r.returncode != 0 or not _has_gcda():
+        shutil.rmtree(_PGO_DIR, ignore_errors=True)  # fall back to plain
+        _build()
+        return
+    with open(_PGO_STAMP, "w") as f:
+        f.write(_src_stamp())
+    _build()
 
 
 def lib() -> ctypes.CDLL:
