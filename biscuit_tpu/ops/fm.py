@@ -54,14 +54,26 @@ class FMNumpy:
         # (bwt.c:84,94-96). Use a true -1 for the same arithmetic.
         self.sa_samples[0] = -1
         self.sa_intv = 32
-        # scalar fast path: per-word cumulative counts + Python lists/ints
+
+    # scalar fast-path tables (Python lists/ints) are built lazily on first
+    # *_s call: the native C++ engine never touches them, and building them
+    # eagerly costs minutes + GBs on large (100 Mbp+) genomes
+    _SCALAR_ATTRS = ("_occ_w", "_words_l", "_L2_l", "_sa_l", "_totals")
+
+    def __getattr__(self, name):
+        if name in FMNumpy._SCALAR_ATTRS:
+            self._build_scalar()
+            return object.__getattribute__(self, name)
+        raise AttributeError(name)
+
+    def _build_scalar(self):
         n_words = len(self.words)
-        onehot = np.zeros((n_words, 16, 4), dtype=np.uint32)
-        w = self.words
-        for j in range(16):
-            base = (w >> np.uint32((15 - j) * 2)) & 3
-            onehot[np.arange(n_words), j, base] = 1
-        per_word = onehot.sum(axis=1)
+        w64 = self.words.astype(np.uint64)
+        per_word = np.empty((n_words, 4), dtype=np.int64)
+        for c in range(4):
+            t = ((w64 if c & 2 else ~w64) >> np.uint64(1)) \
+                & (w64 if c & 1 else ~w64) & np.uint64(0x55555555)
+            per_word[:, c] = popcount64(t)
         cum = np.zeros((n_words + 1, 4), dtype=np.int64)
         cum[1:] = per_word.cumsum(axis=0)
         # trim counts past seq_len (padding bases in the last word are zeros
