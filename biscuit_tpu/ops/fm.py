@@ -43,12 +43,14 @@ class FMNumpy:
     """
 
     def __init__(self, s: StrandIndex):
-        self.words = s.words.astype(np.uint32)
-        self.occ_cp = s.occ_cp.astype(np.int64)
-        self.L2 = s.L2.astype(np.int64)
+        # asarray: no copy when the stored dtype already matches (it does for
+        # indexes we build), so an mmap-loaded index stays page-shared
+        self.words = np.asarray(s.words, np.uint32)
+        self.occ_cp = np.asarray(s.occ_cp, np.int64)
+        self.L2 = np.asarray(s.L2, np.int64)
         self.primary = int(s.primary)
         self.seq_len = int(s.seq_len)
-        self.sa_samples = s.sa_samples.astype(np.int64)
+        self.sa_samples = s.sa_samples.astype(np.int64)  # copy: [0] set below
         # rank 0 is the '$' row; the reference stores (bwtint_t)-1 there so
         # that a walk ending at rank 0 yields add - 1 via unsigned wrap
         # (bwt.c:84,94-96). Use a true -1 for the same arithmetic.
