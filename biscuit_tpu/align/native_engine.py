@@ -111,7 +111,9 @@ class NativeAligner:
         self.lib.bt_buf_free.argtypes = [C.c_void_p]
         self._ilv_ptrs = []
 
-        def strand(s):
+        def strand(s, tag):
+            import os
+
             occ = np.ascontiguousarray(s.occ_cp.astype(np.int64))
             words = np.ascontiguousarray(s.words)
             L2 = np.ascontiguousarray(s.L2.astype(np.int64))
@@ -124,12 +126,33 @@ class NativeAligner:
             fm = StrandFMC(_ptr(words), _ptr(occ), _ptr(L2), _ptr(sa),
                            s.primary, s.seq_len, len(words), None, sa_wide, 0,
                            None)
-            # dense 64-base interleaved blocks (narrow strands); fall back
-            # to the 128-base layout, then the flat arrays
+            # dense 64-base interleaved blocks (narrow strands); with an
+            # mmap-layout index the blocks persist in the .btidx dir so
+            # later processes map them instead of rebuilding
+            mmap_dir = getattr(idx, "mmap_dir", None)
+            nb2 = (s.seq_len + 63) >> 6
+            cache = (os.path.join(mmap_dir, f"{tag}_ilv2.npy")
+                     if mmap_dir else None)
+            if cache and os.path.exists(cache):
+                arr = np.load(cache, mmap_mode="r")
+                if arr.nbytes == nb2 * 32:
+                    self._bufs.append(arr)
+                    fm.ilv2 = arr.ctypes.data  # read-only pages; C++ reads only
+                    return fm
             ilv2 = self.lib.bt_build_ilv2(C.byref(fm))
             if ilv2:
                 self._ilv_ptrs.append(ilv2)
                 fm.ilv2 = ilv2
+                if cache:
+                    try:
+                        a = np.frombuffer(
+                            C.string_at(ilv2, nb2 * 32), np.uint8)
+                        # ends in .npy so np.save won't append a suffix
+                        tmp = f"{cache}.{os.getpid()}.tmp.npy"
+                        np.save(tmp, a)
+                        os.replace(tmp, cache)
+                    except OSError:
+                        pass  # read-only dir: just keep the in-memory blocks
             else:
                 ilv = self.lib.bt_build_ilv(C.byref(fm))
                 if ilv:
@@ -137,8 +160,8 @@ class NativeAligner:
                     fm.ilv = ilv
             return fm
 
-        self.dau = strand(idx.dau)
-        self.par = strand(idx.par)
+        self.dau = strand(idx.dau, "dau")
+        self.par = strand(idx.par, "par")
         ann_off = np.ascontiguousarray(
             np.array([a.offset for a in idx.anns], np.int64))
         ann_len = np.ascontiguousarray(

@@ -54,6 +54,9 @@ class BisIndex:
     anns: List[Ann]
     ambs: List[Amb]
     l_pac: int
+    # set when loaded from the mmap layout; derived caches (e.g. the native
+    # engine's interleaved occ blocks) persist here for instant re-use
+    mmap_dir: str = None
 
     def save(self, prefix: str) -> None:
         meta = {
@@ -127,6 +130,7 @@ class BisIndex:
             anns=[Ann(**a) for a in meta["anns"]],
             ambs=[Amb(**a) for a in meta["ambs"]],
             l_pac=meta["l_pac"],
+            mmap_dir=d,
         )
 
     @classmethod
