@@ -13,6 +13,7 @@ from typing import List, Optional
 
 import numpy as np
 
+from ..utils.ksort import introsort
 from ..config import MemOpt
 from ..ops.fm import FMNumpy
 from ..ops import sw
@@ -169,10 +170,10 @@ def mem_chain_flt(opt: MemOpt, chns: List[Chain]) -> List[Chain]:
     chns = kept_chains
     if not chns:
         return chns
-    # stable sort by weight desc (ks_introsort with strict < comparator is not
-    # stable; ties between equal weights may order differently — flagged for
-    # parity follow-up)
-    chns.sort(key=lambda c: -c.w)
+    # exact ks_introsort(mem_flt) order (memchain.c:402,425): equal-weight
+    # chains land in partition order, and mem_chain_flt keeps the FIRST
+    # shadowed chain — tie order decides which chain survives
+    introsort(chns, lambda a, b: a.w > b.w)
 
     def chn_beg(c):
         return c.seeds[0].qbeg

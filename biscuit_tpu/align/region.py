@@ -8,6 +8,7 @@ from typing import List, Optional
 
 import numpy as np
 
+from ..utils.ksort import introsort
 from ..config import MemOpt
 from ..ops import sw
 from . import bns as bnsmod
@@ -343,7 +344,9 @@ def sort_deduplicate(opt: MemOpt, idx, query, regs: AlnRegs) -> None:
     """mem_alnreg.c:112-195."""
     if len(regs) <= 1:
         return
-    regs.sort(key=lambda p: p.re)
+    # ks_introsort(mem_ars2) order, ties included (mem_alnreg.c:43,118):
+    # merge bookkeeping below reads adjacent pairs, so tie order matters
+    introsort(regs, lambda a, b: a.re < b.re)
     for p in regs:
         p.n_comp = 1
     for i in range(1, len(regs)):
@@ -377,8 +380,10 @@ def sort_deduplicate(opt: MemOpt, idx, query, regs: AlnRegs) -> None:
                     p.w = w
                     q.qb = q.qe
     regs[:] = [p for p in regs if p.qe > p.qb]
-    # sort by score desc, rb, qb; drop identical
-    regs.sort(key=lambda p: (-p.score, p.rb, p.qb))
+    # ks_introsort(mem_ars) order (mem_alnreg.c:48,180)
+    introsort(regs, lambda a, b: a.score > b.score or (
+        a.score == b.score and (a.rb < b.rb or (
+            a.rb == b.rb and a.qb < b.qb))))
     for i in range(1, len(regs)):
         if (regs[i].score == regs[i - 1].score and regs[i].rb == regs[i - 1].rb
                 and regs[i].qb == regs[i - 1].qb):

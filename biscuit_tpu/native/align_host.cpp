@@ -49,6 +49,94 @@ struct StrandFM {
 
 static inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
 
+// Behavioral emulation of the reference's ksort.h ks_introsort (ksort.h:
+// 184-234): comparators are strict less-than, so the order of EQUAL keys
+// comes from the partition/swap pattern (not input order). mem_chain_flt
+// keeps the FIRST shadowed chain and dedup reads adjacent pairs, so exact
+// SAM parity needs this element order, ties included. Mirrors the control
+// flow only (median-of-3 pivot one past the midpoint parked at the right
+// end, explicit stack, <=16 segments left for a final insertion pass,
+// combsort on depth exhaustion).
+template <typename T, typename LT>
+static void ks_insertsort_emul(T *s, T *t, LT lt) {
+    for (T *i = s + 1; i < t; ++i)
+        for (T *j = i; j > s && lt(*j, *(j - 1)); --j) std::swap(*j, *(j - 1));
+}
+
+template <typename T, typename LT>
+static void ks_combsort_emul(size_t n, T *a, LT lt) {
+    const double shrink = 1.2473309501039786540366528676643;
+    size_t gap = n;
+    bool do_swap;
+    do {
+        if (gap > 2) {
+            gap = (size_t)(gap / shrink);
+            if (gap == 9 || gap == 10) gap = 11;
+        }
+        do_swap = false;
+        for (T *i = a; i < a + n - gap; ++i) {
+            T *j = i + gap;
+            if (lt(*j, *i)) { std::swap(*i, *j); do_swap = true; }
+        }
+    } while (do_swap || gap > 2);
+    if (gap != 1) ks_insertsort_emul(a, a + n, lt);
+}
+
+template <typename T, typename LT>
+static void ks_introsort_emul(std::vector<T> &v, LT lt) {
+    size_t n = v.size();
+    T *a = v.data();
+    if (n < 1) return;
+    if (n == 2) {
+        if (lt(a[1], a[0])) std::swap(a[0], a[1]);
+        return;
+    }
+    int d = 2;
+    while ((1ull << d) < n) ++d;
+    struct Seg { T *left, *right; int depth; };
+    std::vector<Seg> stack;
+    T *s = a, *t = a + (n - 1);
+    d <<= 1;
+    for (;;) {
+        if (s < t) {
+            if (--d == 0) {
+                ks_combsort_emul((size_t)(t - s + 1), s, lt);
+                t = s;
+                continue;
+            }
+            T *i = s, *j = t, *k = i + ((j - i) >> 1) + 1;
+            if (lt(*k, *i)) {
+                if (lt(*k, *j)) k = j;
+            } else
+                k = lt(*j, *i) ? i : j;
+            T rp = *k;
+            if (k != t) std::swap(*k, *t);
+            for (;;) {
+                do ++i; while (lt(*i, rp));
+                do --j; while (i <= j && lt(rp, *j));
+                if (j <= i) break;
+                std::swap(*i, *j);
+            }
+            std::swap(*i, *t);
+            if (i - s > t - i) {
+                if (i - s > 16) stack.push_back({s, i - 1, d});
+                s = (t - i > 16) ? i + 1 : t;
+            } else {
+                if (t - i > 16) stack.push_back({i + 1, t, d});
+                t = (i - s > 16) ? i - 1 : s;
+            }
+        } else {
+            if (stack.empty()) {
+                ks_insertsort_emul(a, a + n, lt);
+                return;
+            }
+            Seg sg = stack.back();
+            stack.pop_back();
+            s = sg.left; t = sg.right; d = sg.depth;
+        }
+    }
+}
+
 struct Occ4 { int64_t c[4]; };
 
 static Occ4 occ4(const StrandFM &f, int64_t k) {
@@ -683,8 +771,9 @@ static void chain_flt(const Opt &opt, std::vector<Chain> &chns) {
     }
     chns.swap(kept_chains);
     if (chns.empty()) return;
-    std::stable_sort(chns.begin(), chns.end(),
-                     [](const Chain &a, const Chain &b) { return a.w > b.w; });
+    // exact ks_introsort(mem_flt) tie order (memchain.c:402,425)
+    ks_introsort_emul(chns,
+                      [](const Chain &a, const Chain &b) { return a.w > b.w; });
     auto chn_beg = [](const Chain &c) { return c.seeds[0].qbeg; };
     auto chn_end = [](const Chain &c) {
         const SeedHit &s = c.seeds.back();
@@ -1306,8 +1395,9 @@ static void sort_deduplicate(const Opt &opt, const Opt2 &o2, const Bns &bns,
                              const uint8_t *query, std::vector<Reg2> &regs,
                              std::vector<Reg2> *graveyard = nullptr) {
     if (regs.size() <= 1) return;
-    std::stable_sort(regs.begin(), regs.end(),
-                     [](const Reg2 &x, const Reg2 &y) { return x.re < y.re; });
+    // exact ks_introsort(mem_ars2) tie order (mem_alnreg.c:43,118)
+    ks_introsort_emul(regs,
+                      [](const Reg2 &x, const Reg2 &y) { return x.re < y.re; });
     for (auto &p : regs) p.n_comp = 1;
     for (size_t i = 1; i < regs.size(); ++i) {
         Reg2 &p = regs[i];
@@ -1349,12 +1439,13 @@ static void sort_deduplicate(const Opt &opt, const Opt2 &o2, const Bns &bns,
         }
         regs.swap(keep);
     }
-    std::stable_sort(regs.begin(), regs.end(),
-                     [](const Reg2 &x, const Reg2 &y) {
-                         if (x.score != y.score) return x.score > y.score;
-                         if (x.rb != y.rb) return x.rb < y.rb;
-                         return x.qb < y.qb;
-                     });
+    // exact ks_introsort(mem_ars) tie order (mem_alnreg.c:48,180)
+    ks_introsort_emul(regs,
+                      [](const Reg2 &x, const Reg2 &y) {
+                          if (x.score != y.score) return x.score > y.score;
+                          if (x.rb != y.rb) return x.rb < y.rb;
+                          return x.qb < y.qb;
+                      });
     for (size_t i = 1; i < regs.size(); ++i)
         if (regs[i].score == regs[i - 1].score && regs[i].rb == regs[i - 1].rb
             && regs[i].qb == regs[i - 1].qb)
