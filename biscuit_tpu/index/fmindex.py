@@ -86,6 +86,15 @@ class BisIndex:
 
         d = prefix + ".btidx"
         os.makedirs(d, exist_ok=True)
+        # Drop derived caches (e.g. {par,dau}_ilv2.npy interleaved occ blocks
+        # written lazily by the native engine): rebuilding over an existing
+        # dir must not let a same-size stale cache masquerade as current.
+        import glob
+        for stale in glob.glob(os.path.join(d, "*_ilv2.npy")):
+            try:
+                os.unlink(stale)
+            except OSError:
+                pass
         meta = {
             "l_pac": self.l_pac,
             "anns": [vars(a) for a in self.anns],
@@ -274,9 +283,16 @@ def read_reference_sa(path: str, idx: StrandIndex) -> None:
     assert sa_intv == SA_INTERVAL
     assert seq_len == idx.seq_len
     vals = raw[7:]
-    idx.sa_samples = np.empty(len(vals) + 1, dtype=np.uint32)
-    idx.sa_samples[0] = np.uint32(0xFFFFFFFF)
-    idx.sa_samples[1:] = vals.astype(np.uint32)
+    if index_is_wide(seq_len):
+        # human-scale strand: int64 samples with a literal -1 sentinel
+        # (uint32 wrap would silently truncate positions >= 2^32)
+        idx.sa_samples = np.empty(len(vals) + 1, dtype=np.int64)
+        idx.sa_samples[0] = -1
+        idx.sa_samples[1:] = vals.astype(np.int64)
+    else:
+        idx.sa_samples = np.empty(len(vals) + 1, dtype=np.uint32)
+        idx.sa_samples[0] = np.uint32(0xFFFFFFFF)
+        idx.sa_samples[1:] = vals.astype(np.uint32)
 
 
 def read_reference_ann(prefix: str):

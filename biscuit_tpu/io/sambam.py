@@ -1,9 +1,9 @@
 """SAM/BAM record model and IO — the framework's htslib replacement surface
 (reference depends on htslib for BAM/SAM/aux/iterators; SURVEY.md §2e).
 
-Supports: SAM text read/write, BAM (BGZF) read/write, in-memory region
-queries over coordinate-sorted input, aux tags. Big-file BAI indexing is a
-planned follow-up; region queries currently bucket records in memory.
+Supports: SAM text read/write, BAM (BGZF) read/write, aux tags, and region
+queries: streamed over a .bai index when one exists (io/bai.py, `biscuit
+bamindex`), else bucketed in memory for small coordinate-sorted inputs.
 """
 import re
 import struct

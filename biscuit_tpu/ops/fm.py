@@ -43,10 +43,12 @@ class FMNumpy:
     """
 
     def __init__(self, s: StrandIndex):
-        # asarray: no copy when the stored dtype already matches (it does for
-        # indexes we build), so an mmap-loaded index stays page-shared
+        # Keep words/occ_cp in their stored dtypes: asarray is a no-copy view
+        # then, so an mmap-loaded index stays page-shared across processes.
+        # occ_cp is stored uint32 (occ_checkpoints) and widened per-gather at
+        # the use site instead of materializing an int64 copy per process.
         self.words = np.asarray(s.words, np.uint32)
-        self.occ_cp = np.asarray(s.occ_cp, np.int64)
+        self.occ_cp = np.asarray(s.occ_cp)
         self.L2 = np.asarray(s.L2, np.int64)
         self.primary = int(s.primary)
         self.seq_len = int(s.seq_len)
@@ -173,7 +175,7 @@ class FMNumpy:
         mid = (~full) & (k >= 0)
         kk = k[mid] - (k[mid] >= self.primary)
         block = kk >> OCC_SHIFT
-        acc = self.occ_cp[block].copy()  # [M,4]
+        acc = self.occ_cp[block].astype(np.int64)  # [M,4] gather + widen
         w_idx = (kk >> 4) & 7
         t_low = (~kk & 15).astype(np.uint32)  # number of masked-off low bases in partial word
         base_word = block * WORDS_PER_BLOCK
