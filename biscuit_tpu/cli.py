@@ -542,9 +542,9 @@ Genotyping options:
             else:
                 f.write("sample\tchrm\tCGn\tCGb\tCHGn\tCHGb\tCHHn\tCHHb\tCHn\tCHb\n")
             for sid, fn in enumerate(in_fns):
-                sample = os.path.basename(fn)
-                if sample.endswith(".bam"):
-                    sample = sample[:-4]
+                # the reference prints the raw bam path as the sample column
+                # (pileup.c:218 passes c->bam_fns[sid])
+                sample = fn
                 # reproduce the reference's write_func/print_meth_average1
                 # indexing: stats are accumulated by ORIGINAL tid but rows are
                 # emitted in sorted-target order with data taken at index k

@@ -163,6 +163,12 @@ def main(argv):
     bam = AlignmentFile(infn)
     d = BsconvData()
     out_records = []
+    if outfn == "-":
+        # reference streams SAM text to stdout *with* the header
+        # (bamfilter.c:37-41 writes it whenever ofn is given, incl. "-"),
+        # even in -p tab mode where the tab rows then follow it
+        for line in bam.header.lines:
+            sys.stdout.write(line + "\n")
     it = bam
     if reg:
         name = reg.split(":")[0]

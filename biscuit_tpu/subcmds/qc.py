@@ -35,7 +35,11 @@ def main(argv):
     names = bam.header.names
 
     data_bsstrand = BsstrandData()
-    conf_bsconv = BsconvConf(no_printing=1)
+    # the reference zero-initializes bsconv_conf_t and only resets
+    # max_cph/max_cpa/max_cpc/max_cpt to -1 (qc.c:226-229) — max_cpy stays
+    # 0, so any read with >=1 CpC/CpT retention is excluded from the
+    # conversion-rate table. Reproduced for parity.
+    conf_bsconv = BsconvConf(no_printing=1, max_cpy=0)
     data_bsconv = BsconvData()
     conf_cin_cg = CinreadConf(tgt=SL_CG, skip_printing=1,
                               tp_names=["QPAIR", "CQPOS", "CRETENTION"])
