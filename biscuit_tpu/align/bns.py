@@ -112,3 +112,6 @@ def infer_alt_chromosomes(idx: BisIndex) -> None:
         if a.name.startswith("chrUn") or "_random" in a.name or "_hap" in a.name \
            or "_alt" in a.name:
             a.is_alt = 1
+            from . import trace
+            if trace.verbose >= 4:
+                trace.err("[M:infer_alt_chromosomes] Set %s as ALT.\n" % a.name)

@@ -18,6 +18,7 @@ from ..config import MemOpt
 from ..ops.fm import FMNumpy
 from ..ops import sw
 from . import bns as bnsmod
+from . import trace
 from .smem import collect_intv
 
 MEM_SHORT_EXT = 50
@@ -153,6 +154,11 @@ def mem_chain(opt: MemOpt, fm: FMNumpy, fmc: FMNumpy, idx, l_seq: int,
 
     for c in tree:
         c.frac_rep = l_rep / l_seq
+    if trace.verbose >= 4:
+        # memchain.c:385-388; the reference computes (float)l_rep/l_seq
+        trace.out("[mem_chain] Found %d chains; Fraction of repetitive seeds: %.3f\n"
+                  % (len(tree), np.float32(l_rep) / np.float32(l_seq)))
+        trace.print_chains(idx, tree)
     return tree
 
 
@@ -231,6 +237,7 @@ def mem_flt_chained_seeds(opt: MemOpt, idx, l_query: int, query: np.ndarray,
     min_l = MEM_HSP_COEF * opt.min_chain_weight if opt.min_chain_weight \
         else MEM_MINSC_COEF * math.log(l_query)
     if min_l > MEM_SEEDSW_COEF * l_query:
+        _flt_chained_trace(idx, chns)
         return
     min_hsp_score = int(opt.a * min_l + 0.499)
     for c in chns:
@@ -241,6 +248,15 @@ def mem_flt_chained_seeds(opt: MemOpt, idx, l_query: int, query: np.ndarray,
                 s.score = s.len * opt.a if s.score < 0 else s.score
                 kept.append(s)
         c.seeds = kept
+    _flt_chained_trace(idx, chns)
+
+
+def _flt_chained_trace(idx, chns) -> None:
+    # END_CHAIN_FLT (memchain.c:563-568) runs on both the short-read goto
+    # path and the normal fall-through
+    if trace.verbose >= 4:
+        trace.out("[mem_flt_chained_seeds] %d chains remained.\n" % len(chns))
+        trace.print_chains(idx, chns)
 
 
 def _seed_sw(opt: MemOpt, idx, l_query: int, query: np.ndarray, s: Seed,

@@ -9,6 +9,7 @@ from typing import List, Tuple
 from ..config import MemOpt
 from .region import AlnReg, AlnRegs, alnreg_isize, hash_64, infer_isize
 from . import bns as bnsmod
+from . import trace
 
 MIN_RATIO = 0.8
 MIN_DIR_CNT = 10
@@ -121,6 +122,17 @@ def mem_pair(opt: MemOpt, idx, pes: PeStat, regs_pair, pair_id: int):
             v.append((x, y, z_))
     v.sort(key=lambda t: (t[0], t[1]))
 
+    if trace.verbose >= 8:
+        # mem_pair.c:171-180
+        trace.out("sort by location and ascending score:\n")
+        trace.out("There are %d primary for read 1 and %d for read 2.\n"
+                  % (regs_pair[0].n_pri, regs_pair[1].n_pri))
+        for (x, y, _z) in v:
+            trace.out("read %u, %s:%u (str:%u)\n"
+                      % ((y & 1) + 1, idx.anns[(x >> 32) & 0xFFFF].name,
+                         x & 0xFFFFFFFF, (y >> 1) & 0x1))
+        trace.out("\n")
+
     proper_pairs = []
     for i in range(len(v)):
         for k in range(i - 1, -1, -1):
@@ -135,6 +147,15 @@ def mem_pair(opt: MemOpt, idx, pes: PeStat, regs_pair, pair_id: int):
             is_ = infer_isize(v[k][0] & 0xFFFFFFFF, v[i][0] & 0xFFFFFFFF,
                               (v[k][1] >> 1) & 1, (v[i][1] >> 1) & 1,
                               v[k][2], v[i][2])
+            if trace.verbose >= 8:
+                # mem_pair.c:197-201 — the second parenthesised hit strand is
+                # v[i]'s in the reference too (an upstream printf quirk)
+                trace.out("%s, Hit %u (%u), paired with hit %u (%u)\n"
+                          % (idx.anns[(v[i][0] >> 32) & 0xFFFF].name,
+                             v[i][0] & 0xFFFFFFFF, (v[i][1] >> 1) & 1,
+                             v[k][0] & 0xFFFFFFFF, (v[i][1] >> 1) & 1))
+                trace.out("Insert size: %d (must be in [%d,%d]\n"
+                          % (is_ if is_ is not None else 0, pes.low, pes.high))
             if is_ is not None and pes.low <= is_ <= pes.high:
                 zscore = (is_ - pes.avg) / pes.std
                 score_ = max(0, int((v[i][1] >> 32) + (v[k][1] >> 32)
@@ -147,6 +168,19 @@ def mem_pair(opt: MemOpt, idx, pes: PeStat, regs_pair, pair_id: int):
     z = [-1, -1]
     if proper_pairs:
         proper_pairs.sort(key=lambda t: (t[0], t[1]))
+        if trace.verbose >= 4:
+            # mem_pair.c:223-235: u runs n-1..1 (u=0 is never printed)
+            for u in range(len(proper_pairs) - 1, 0, -1):
+                iu = proper_pairs[u][1] >> 32
+                ku = proper_pairs[u][1] & 0xFFFFFFFF
+                p1 = regs_pair[v[iu][1] & 1][(v[iu][1] & 0xFFFFFFFF) >> 2]
+                p2 = regs_pair[v[ku][1] & 1][(v[ku][1] & 0xFFFFFFFF) >> 2]
+                trace.out("[mem_pair] Found proper pairing: read %u: "
+                          % ((v[iu][1] & 1) + 1))
+                trace.print_region1(idx, p1)
+                trace.out(" -- with read %u: " % ((v[ku][1] & 1) + 1))
+                trace.print_region1(idx, p2)
+                trace.out("\n")
         i = proper_pairs[-1][1] >> 32
         k = proper_pairs[-1][1] & 0xFFFFFFFF
         z[v[i][1] & 1] = (v[i][1] & 0xFFFFFFFF) >> 2

@@ -16,6 +16,7 @@ from ..index.fmindex import BisIndex
 from ..ops.fm import FMNumpy
 from . import bns as bnsmod
 from . import sam as sammod
+from . import trace
 from .chain import mem_chain, mem_chain_flt, mem_flt_chained_seeds
 from .pair import PeStat, pestat
 from .region import AlnRegs, mark_primary, matesw, merge_regions
@@ -52,6 +53,9 @@ def bsconvert(seq: BSeq, parent: int) -> np.ndarray:
 def align1_core(opt: MemOpt, st: AlignerState, seq: BSeq, regs: AlnRegs,
                 parent: int) -> None:
     """mem_align1_core (bwamem.c:183-208)."""
+    if trace.verbose >= 4:
+        trace.out("[mem_align1_core] === Seeding %s against (parent: %u)\n"
+                  % (seq.name, parent))
     bis = bsconvert(seq, parent)
     fm, fmc = st.fm_pair(parent)
     chns = mem_chain(opt, fm, fmc, st.idx, seq.l_seq, bis, parent)
@@ -61,6 +65,8 @@ def align1_core(opt: MemOpt, st: AlignerState, seq: BSeq, regs: AlnRegs,
 
 
 def worker1_se(opt: MemOpt, st: AlignerState, seq: BSeq) -> AlnRegs:
+    if trace.verbose >= 4:
+        trace.out("\n=====> [bis_worker1] Processing read '%s' <=====\n" % seq.name)
     read_clipping(seq, opt.adaptor1, opt)
     regs = AlnRegs()
     if not (opt.parent & 1) or (opt.parent >> 1):
@@ -77,11 +83,15 @@ def worker1_pe(opt: MemOpt, st: AlignerState, s1: BSeq, s2: BSeq):
             raise RuntimeError(f'paired reads have different names: "{s1.name}", "{s2.name}"')
     read_clipping(s1, opt.adaptor1, opt)
     read_clipping(s2, opt.adaptor2, opt)
+    if trace.verbose >= 4:
+        trace.out("\n=====> [bis_worker1] Processing read '%s'/1 <=====\n" % s1.name)
     regs1 = AlnRegs()
     align1_core(opt, st, s1, regs1, 1)
     if not opt.parent:
         align1_core(opt, st, s1, regs1, 0)
     merge_regions(opt, st.idx, s1.seq, s1.l_seq, regs1)
+    if trace.verbose >= 4:
+        trace.out("\n=====> [bis_worker1] Processing read '%s'/2 <=====\n" % s2.name)
     regs2 = AlnRegs()
     align1_core(opt, st, s2, regs2, 0)
     if not opt.parent:
@@ -92,6 +102,8 @@ def worker1_pe(opt: MemOpt, st: AlignerState, s1: BSeq, s2: BSeq):
 
 def worker2_se(opt: MemOpt, st: AlignerState, seq: BSeq, regs: AlnRegs,
                n_processed: int, i: int, rg_id: str = "") -> None:
+    if trace.verbose >= 4:
+        trace.out("\n=====> [bis_worker2] Finalizing SE read '%s' <=====\n" % seq.name)
     mark_primary(opt, regs, n_processed + i)
     for r in regs:
         r.flag = 0
@@ -100,9 +112,16 @@ def worker2_se(opt: MemOpt, st: AlignerState, seq: BSeq, regs: AlnRegs,
 
 def worker2_pe(opt: MemOpt, st: AlignerState, seqs, regs_pair, pes: PeStat,
                n_processed: int, i: int, rg_id: str = "") -> None:
+    if trace.verbose >= 4:
+        trace.out("\n=====> [bis_worker2] Finalizing PE read '%s' <=====\n"
+                  % seqs[0].name)
     if not (opt.flag & MEM_F_NO_RESCUE):
         matesw(opt, st.idx, pes, seqs, regs_pair)
+    if trace.verbose >= 4:
+        trace.out("\n\n====== [bis_worker2] Primary-marking read 1\n")
     mark_primary(opt, regs_pair[0], (i << 1) | 0)
+    if trace.verbose >= 4:
+        trace.out("\n\n====== [bis_worker2] Primary-marking read 2\n")
     mark_primary(opt, regs_pair[1], (i << 1) | 1)
     for rp in regs_pair:
         for r in rp:

@@ -12,6 +12,7 @@ from ..utils.ksort import introsort
 from ..config import MemOpt
 from ..ops import sw
 from . import bns as bnsmod
+from . import trace
 from .chain import Chain, Seed, getbss
 
 MAX_BAND_TRY = 2
@@ -51,8 +52,11 @@ class AlnReg:
     sub_n: int = 0
     w: int = 0
     seedcov: int = 0
-    secondary: int = -1
-    secondary_all: int = -1
+    # the reference memsets new regions to 0 (memchain.c:829): secondary is 0
+    # until mem_mark_primary_se assigns the real -1/default labels — visible
+    # in -v 4 region dumps
+    secondary: int = 0
+    secondary_all: int = 0
     seedlen0: int = 0
     n_comp: int = 0
     is_alt: int = 0
@@ -131,8 +135,17 @@ def _left_extend(opt: MemOpt, s: Seed, query: np.ndarray, rseq: np.ndarray,
     for i in range(MAX_BAND_TRY):
         prev = reg.score
         aw = opt.w << i
+        if trace.verbose >= 4:
+            trace.out("*** [left_extend_seed_set_align_beg] Left ref:   ")
+            trace.print_bases_one_per_line(rs)
+            trace.out("*** [left_extend_seed_set_align_beg] Left query: ")
+            trace.print_bases_one_per_line(qs)
         reg.score, qle, tle, gtle, gscore, max_off = \
             yield (qs, rs, aw, opt.pen_clip5, s.len * opt.a)
+        if trace.verbose >= 4:
+            trace.out("*** [left_extend_seed_set_align_beg] Left extension: "
+                      "prev_score=%d; score=%d; bandwidth=%d; max_off_diagonal_dist=%d\n"
+                      % (prev, reg.score, aw, max_off))
         if reg.score == prev or max_off < (aw >> 1) + (aw >> 2):
             break
     if gscore <= 0 or gscore <= reg.score - opt.pen_clip5:
@@ -163,8 +176,17 @@ def _right_extend(opt: MemOpt, s: Seed, query: np.ndarray, l_query: int,
     for i in range(MAX_BAND_TRY):
         prev = reg.score
         aw = opt.w << i
+        if trace.verbose >= 4:
+            trace.out("*** [right_extend_seed_set_align_end] Right ref:   ")
+            trace.print_bases_one_per_line(rseq[re_:rmax1 - rmax0])
+            trace.out("*** [right_extend_seed_set_align_end] Right query: ")
+            trace.print_bases_one_per_line(query[qe:])
         reg.score, qle, tle, gtle, gscore, max_off = \
             yield (query[qe:], rseq[re_:rmax1 - rmax0], aw, opt.pen_clip3, sc0)
+        if trace.verbose >= 4:
+            trace.out("*** [right_extend_seed_set_align_end] Right extension: "
+                      "prev_score=%d; score=%d; bandwidth=%d; max_off_diagonal_dist=%d\n"
+                      % (prev, reg.score, aw, max_off))
         if reg.score == prev or max_off < (aw >> 1) + (aw >> 2):
             break
     if gscore <= 0 or gscore <= reg.score - opt.pen_clip3:
@@ -219,6 +241,12 @@ def chain2region1(opt: MemOpt, idx, rseq: np.ndarray, rmax, rid: int,
                 break
             u += 1
         if contained:
+            if trace.verbose >= 4:
+                trace.out(
+                    "** [mem_chain2region1] Seed(%d) [%d;%d,%d] is almost contained"
+                    " in an existing alignment [%d,%d) <=> [%d,%d)\n"
+                    % (k, s.len, s.qbeg, s.rbeg, regs[u].qb, regs[u].qe,
+                       regs[u].rb, regs[u].re))
             # check overlapping seeds in the same chain (memchain.c:803-814)
             i2 = k + 1
             overlapping = False
@@ -242,11 +270,19 @@ def chain2region1(opt: MemOpt, idx, rseq: np.ndarray, rmax, rid: int,
             if not overlapping:
                 srt_alive[sidx] = False
                 continue
+            if trace.verbose >= 4:
+                trace.out("** [mem_chain2region1] Seed(%d) might lead to a different"
+                          " alignment even though it is contained. Extension will"
+                          " be performed.\n" % k)
 
         reg = AlnReg()
         reg.w = opt.w
         reg.score = reg.truesc = -1
         reg.rid = rid
+        if trace.verbose >= 4:
+            trace.out("** ---> [mem_chain2region1] Extending from seed(%d)"
+                      " [%d;%d,%d] @ %s <---\n"
+                      % (k, s.len, s.qbeg, s.rbeg, idx.anns[rid].name))
         aw0 = yield from _left_extend(opt, s, query, rseq, rmax[0], parent, reg)
         aw1 = yield from _right_extend(opt, s, query, l_query, rseq, rmax[0],
                                        rmax[1], parent, reg)
@@ -255,6 +291,10 @@ def chain2region1(opt: MemOpt, idx, rseq: np.ndarray, rmax, rid: int,
         if getbss(parent, idx, reg.re) != reg.bss:
             continue  # cross strand boundary, rare
         regs.append(reg)
+        if trace.verbose >= 4:
+            trace.out("*** [mem_chain2region1] Added alignment region:"
+                      " [%d,%d) <=> [%d,%d); score=%d; {left,right}_bandwidth={%d,%d}\n"
+                      % (reg.qb, reg.qe, reg.rb, reg.re, reg.score, aw0, aw1))
         reg.seedcov = 0
         for t in seeds:
             if (t.qbeg >= reg.qb and t.qbeg + t.len <= reg.qe and
@@ -274,6 +314,9 @@ def chain2region_gen(opt: MemOpt, idx, l_seq: int, query: np.ndarray,
     for c in chns:
         if not c.seeds:
             continue
+        if trace.verbose >= 4:
+            trace.out("[mem_chain2region] ---> Convert following chain to region <---\n")
+            trace.print_chain1(idx, c)
         rmax0, rmax1 = chain_reference_span(opt, l_seq, idx.l_pac, c)
         rseq, rid, rmax0, rmax1 = bnsmod.fetch_seq(idx, rmax0, c.seeds[0].rbeg, rmax1)
         n0 = len(regs)
@@ -323,6 +366,11 @@ def _test_reg_concatenation(opt: MemOpt, idx, query: np.ndarray,
         return 0, None
     w = abs((a.re - b.rb) - (a.qe - b.qb))
     r = abs((a.re - b.rb) / (b.re - a.rb) - (a.qe - b.qb) / (b.qe - a.qb))
+    if trace.verbose >= 4:
+        trace.out("* potential hit merge between [%d,%d)<=>[%d,%d) and"
+                  " [%d,%d)<=>[%d,%d), @ %s; w=%d, r=%.4g\n"
+                  % (a.qb, a.qe, a.rb, a.re, b.qb, b.qe, b.rb, b.re,
+                     idx.anns[a.rid].name, w, r))
     if a.re < b.rb or a.qe < b.qb:
         if w > opt.w << 1 or r >= PATCH_MAX_R_BW:
             return 0, None
@@ -330,11 +378,16 @@ def _test_reg_concatenation(opt: MemOpt, idx, query: np.ndarray,
         return 0, None
     w += a.w + b.w
     w = min(w, opt.w << 2)
+    if trace.verbose >= 4:
+        trace.out("* test potential hit merge with global alignment; w=%d\n" % w)
     res = gen_cigar(opt, idx, query[a.qb:b.qe], a.rb, b.re, a.parent, w,
                     want_cigar=False)
     score = res.score
     q_s = int((b.qe - a.qb) / ((b.qe - b.qb) + (a.qe - a.qb)) * (b.score + a.score) + 0.499)
     r_s = int((b.re - a.rb) / ((b.re - b.rb) + (a.re - a.rb)) * (b.score + a.score) + 0.499)
+    if trace.verbose >= 4:
+        trace.out("[mem_test_reg_concatenation] score=%d;(%d,%d)\n"
+                  % (score, q_s, r_s))
     if score / max(q_s, r_s) < PATCH_MIN_SC_RATIO:
         return 0, None
     return score, w
@@ -398,6 +451,10 @@ def merge_regions(opt: MemOpt, idx, query, l_seq: int, regs: AlnRegs) -> None:
     if opt.flag & MEM_F_SELF_OVLP:
         if regs and regs[0].truesc == l_seq * opt.a:
             del regs[0]
+    if trace.verbose >= 4:
+        trace.out("[mem_merge_regions] %d regions remain after merging"
+                  " duplicated regions\n" % len(regs))
+        trace.print_regions(idx, regs)
     for p in regs:
         if p.rid >= 0 and idx.anns[p.rid].is_alt:
             p.is_alt = 1
@@ -438,6 +495,9 @@ def mark_primary(opt: MemOpt, regs: AlnRegs, rid_id: int) -> None:
     regs.n_pri = 0
     if not regs:
         return
+    if trace.verbose >= 4:
+        trace.out("[mem_mark_primary_se] Before marking\n")
+        trace.print_regions(None, regs)
     for i, p in enumerate(regs):
         p.sub = p.alt_sc = 0
         p.secondary = -1
@@ -447,6 +507,9 @@ def mark_primary(opt: MemOpt, regs: AlnRegs, rid_id: int) -> None:
             regs.n_pri += 1
     regs.sort(key=lambda p: (-p.score, p.is_alt, p.hash))
     _mark_primary_core(opt, len(regs), regs)
+    if trace.verbose >= 4:
+        trace.out("[mem_mark_primary_se] 1st round marking\n")
+        trace.print_regions(None, regs)
     for i, p in enumerate(regs):
         p.secondary_all = i
         if not p.is_alt and p.secondary >= 0 and regs[p.secondary].is_alt:
@@ -471,6 +534,9 @@ def mark_primary(opt: MemOpt, regs: AlnRegs, rid_id: int) -> None:
     else:
         for p in regs:
             p.secondary_all = p.secondary
+    if trace.verbose >= 4:
+        trace.out("[mem_mark_primary_se] 2nd round marking\n")
+        trace.print_regions(None, regs)
 
 
 # ---------------------------------------------------------------------------
@@ -524,6 +590,13 @@ def _matesw_core(opt: MemOpt, idx, pes, reg: AlnReg, l_ms: int, ms: np.ndarray,
                       opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                       xstart=True, xsubo=opt.min_seed_len * opt.a,
                       xbyte=l_ms * opt.a < 250)
+    if trace.verbose >= 4:
+        trace.out("[mem_alnreg_matesw_core] Try adding matesw-ed region %d-%d."
+                  " score:%d\n" % (rb, re_, aln.score))
+        trace.out("original: %d - %d (pes: [%d-%d])\n"
+                  % (reg.rb, reg.re, pes.low, pes.high))
+        trace.print_region1(idx, reg)
+        trace.out("\n")
     if aln.score >= opt.min_seed_len and aln.qb >= 0:
         b = AlnReg()
         b.rid = reg.rid
@@ -538,6 +611,13 @@ def _matesw_core(opt: MemOpt, idx, pes, reg: AlnReg, l_ms: int, ms: np.ndarray,
         b.seedcov = min(b.re - b.rb, b.qe - b.qb) >> 1
         b.bss = reg.bss
         b.parent = 1 - parent
+        if trace.verbose >= 4:
+            trace.out("\n[mem_alnreg_matesw_core] Add matesw-ed region:\n")
+            trace.print_region1(idx, b)
+            trace.out("\n")
+            trace.out("[mem_alnreg_matesw_core] for original alignment:\n")
+            trace.print_region1(idx, reg)
+            trace.out("\n\n")
         # insert b keeping mregs sorted by score desc
         i = 0
         while i < len(mregs):

@@ -15,6 +15,7 @@ from ..config import (MemOpt, MEM_F_ALL, MEM_F_KEEP_SUPP_MAPQ, MEM_F_NO_MULTI,
                       MEM_F_NOPAIRING, MEM_F_REF_HDR, MEM_F_SOFTCLIP)
 from ..ops import sw
 from . import bns as bnsmod
+from . import trace
 from .region import (AlnReg, AlnRegs, INT_MAX, alnreg_isize, hash_64,
                      is_proper_pair)
 
@@ -74,6 +75,14 @@ def gen_cigar(opt: MemOpt, idx, query: np.ndarray, rb: int, re_: int,
         w = min(w, w_)
         min_w = abs(rlen - l_query) + 3
         w = max(w, min_w)
+        if trace.verbose >= 4:
+            # bwa.c:338-342 (query/rseq already reversed here when rb >= l_pac)
+            trace.out("* Global bandwidth: %d\n" % w)
+            trace.out("* Global ref:   ")
+            trace.print_bases(rseq)
+            trace.out("\n* Global query: ")
+            trace.print_bases(query)
+            trace.out("\n")
         res.score, cig = sw.sw_global(query, rseq, mat, opt.o_del, opt.e_del,
                                       opt.o_ins, opt.e_ins, w, want_cigar=want_cigar)
         res.cigar = cig
@@ -141,11 +150,18 @@ def alnreg_setSAM(opt: MemOpt, idx, seq, reg: AlnReg) -> None:
     w = max(_w1, _w2)
     if w > opt.w:
         w = min(w, reg.w)
+    if trace.verbose >= 4:
+        trace.out("[mem_alnreg_setSAM] Generate cigar for\n")
+        trace.print_region1(idx, reg)
+        trace.out("\n")
     last_sc = -(1 << 30)
     res = None
     for i in range(3):
         w = min(w, opt.w << 2)
         res = gen_cigar(opt, idx, query[reg.qb:reg.qe], reg.rb, reg.re, reg.parent, w)
+        if trace.verbose >= 4:
+            trace.out("[mem_alnreg_setSAM] w=%d, global_sc=%d, local_sc=%d\n"
+                      % (w, res.score, reg.truesc))
         if res.score == last_sc:
             break
         if w == opt.w << 2:
@@ -451,6 +467,8 @@ def raw_mapq(diff: int, a: int) -> int:
 def reg2sam_pe_nopairing(opt: MemOpt, idx, seqs, regs_pair, pes,
                          rg_id: str = "") -> Tuple[str, str]:
     """mem_reg2sam_pe_nopairing (mem_alnreg_format.c:519-559)."""
+    if trace.verbose >= 4:
+        trace.out("PE no pairing.\n")
     best = [None, None]
     to_outputs = []
     for i in range(2):
@@ -486,6 +504,12 @@ def reg2sam_pe(opt: MemOpt, idx, pair_id: int, seqs, regs_pair, pes,
     """mem_reg2sam_pe (mem_alnreg_format.c:562-696)."""
     import math as _math
     from .pair import mem_pair
+    if trace.verbose >= 4:
+        trace.out("[mem_reg2sam_pe] Read 1 in pairing:\n")
+        trace.print_regions(idx, regs_pair[0])
+        trace.out("[mem_reg2sam_pe] Read 2 in pairing:\n")
+        trace.print_regions(idx, regs_pair[1])
+        trace.out("\n")
     for i in range(2):
         for r in regs_pair[i]:
             r.flag |= (0x40 << i) | 1
@@ -510,8 +534,24 @@ def reg2sam_pe(opt: MemOpt, idx, pair_id: int, seqs, regs_pair, pes,
     if pscore <= 0:
         return reg2sam_pe_nopairing(opt, idx, seqs, regs_pair, pes, rg_id)
 
+    if trace.verbose >= 4:
+        # mem_alnreg_format.c:605-611: setSAM is invoked early here (idempotent)
+        # so the paired regions' pos fields are printable
+        p1 = regs_pair[0][z[0]]
+        p2 = regs_pair[1][z[1]]
+        alnreg_setSAM(opt, idx, seqs[0], p1)
+        alnreg_setSAM(opt, idx, seqs[1], p2)
+        trace.out("** pairing read 1: %d, [%d,%d) <=> [%d,%d,%s,%d) <> "
+                  "read 2: %d, [%d,%d) <=> [%d,%d,%s,%d)\n"
+                  % (p1.score, p1.qb, p1.qe, p1.rb, p1.re,
+                     idx.anns[p1.rid].name, p1.pos,
+                     p2.score, p2.qb, p2.qe, p2.rb, p2.re,
+                     idx.anns[p2.rid].name, p2.pos))
+
     score_unpaired = regs_pair[0][0].score + regs_pair[1][0].score - opt.pen_unpaired
     if pscore > score_unpaired:
+        if trace.verbose >= 4:
+            trace.out("Favor pairing\n")
         sub_pscore = max(sub_pscore, score_unpaired)
         q_pe = raw_mapq(pscore - sub_pscore, opt.a)
         if n_subpairings > 0:
@@ -531,6 +571,8 @@ def reg2sam_pe(opt: MemOpt, idx, pair_id: int, seqs, regs_pair, pes,
         c[0].mapq = min(q_se[0], raw_mapq(c[0].score - c[0].csub, opt.a))
         c[1].mapq = min(q_se[1], raw_mapq(c[1].score - c[1].csub, opt.a))
     else:
+        if trace.verbose >= 4:
+            trace.out("Favor best hits in pairing\n")
         z = [0, 0]
         regs_pair[0][0].mapq = mapq_se(opt, regs_pair[0][0])
         regs_pair[1][0].mapq = mapq_se(opt, regs_pair[1][0])

@@ -66,6 +66,8 @@ def main_align(argv):
     ignore_alt = False
     pes0 = None
     no_hdr = False
+    mode = None
+    verbose = 3
 
     optstr = "@:1:2:3:5:9ab:c:d:ef:g:hijk:m:pqr:s:v:w:x:y:z:A:B:CD:E:FG:H:I:J:K:L:MN:O:PQ:R:ST:U:VW:X:Y"
     opts, args = getopt.getopt(argv, optstr)
@@ -93,17 +95,18 @@ def main_align(argv):
         elif c == "e": opt.flag |= MEM_F_SELF_OVLP
         elif c == "Y": opt.flag |= MEM_F_SOFTCLIP
         elif c == "V": opt.flag |= MEM_F_REF_HDR
-        elif c == "c": opt.max_occ = int(a)
+        elif c == "c": opt.max_occ = int(a); overridden.add("max_occ")
         elif c == "d": opt.zdrop = int(a); overridden.add("zdrop")
-        elif c == "v": pass  # verbosity
+        elif c == "v": verbose = int(a)
+        elif c == "x": mode = a
         elif c == "j": ignore_alt = True
-        elif c == "r": opt.split_factor = float(a)
-        elif c == "D": opt.drop_ratio = float(a)
+        elif c == "r": opt.split_factor = float(a); overridden.add("split_factor")
+        elif c == "D": opt.drop_ratio = float(a); overridden.add("drop_ratio")
         elif c == "m": opt.max_matesw = int(a)
         elif c == "s": opt.split_width = int(a)
         elif c == "G": opt.max_chain_gap = int(a)
-        elif c == "N": opt.max_chain_extend = int(a)
-        elif c == "W": opt.min_chain_weight = int(a)
+        elif c == "N": opt.max_chain_extend = int(a); overridden.add("max_chain_extend")
+        elif c == "W": opt.min_chain_weight = int(a); overridden.add("min_chain_weight")
         elif c == "y": opt.max_mem_intv = int(a)
         elif c == "C": copy_comment = True
         elif c == "J":
@@ -244,12 +247,58 @@ Input/output options:
         print("Missing index base or FASTQ file", file=sys.stderr)
         return 1
 
-    if "a" in overridden:
+    if mode is not None:
+        # -x read-type presets (align.c:476-512); each field applies only if
+        # not individually overridden, and update_a is skipped entirely
+        ov = overridden
+        if mode == "intractg":
+            if "o_del" not in ov: opt.o_del = 16
+            if "o_ins" not in ov: opt.o_ins = 16
+            if "b" not in ov: opt.b = 9
+            if "pen_clip5" not in ov: opt.pen_clip5 = 5
+            if "pen_clip3" not in ov: opt.pen_clip3 = 5
+        elif mode in ("pacbio", "pbref", "pbread", "ont2d"):
+            if "o_del" not in ov: opt.o_del = 1
+            if "e_del" not in ov: opt.e_del = 1
+            if "o_ins" not in ov: opt.o_ins = 1
+            if "e_ins" not in ov: opt.e_ins = 1
+            if "b" not in ov: opt.b = 1
+            if "split_factor" not in ov: opt.split_factor = 10.0
+            if mode == "pbread":
+                opt.flag |= MEM_F_ALL | MEM_F_SELF_OVLP
+                no_hdr = True  # MEM_F_ALN_REG
+                if "min_chain_weight" not in ov: opt.min_chain_weight = 40
+                if "max_occ" not in ov: opt.max_occ = 1000
+                if "min_seed_len" not in ov: opt.min_seed_len = 13
+                if "max_chain_extend" not in ov: opt.max_chain_extend = 25
+                if "drop_ratio" not in ov: opt.drop_ratio = 0.001
+            elif mode == "ont2d":
+                if "min_chain_weight" not in ov: opt.min_chain_weight = 20
+                if "min_seed_len" not in ov: opt.min_seed_len = 14
+                if "pen_clip5" not in ov: opt.pen_clip5 = 0
+                if "pen_clip3" not in ov: opt.pen_clip3 = 0
+            else:
+                if "min_chain_weight" not in ov: opt.min_chain_weight = 40
+                if "min_seed_len" not in ov: opt.min_seed_len = 17
+                if "pen_clip5" not in ov: opt.pen_clip5 = 0
+                if "pen_clip3" not in ov: opt.pen_clip3 = 0
+        else:
+            print(f"[E::main_align] unknown read type '{mode}'", file=sys.stderr)
+            return 1
+    elif "a" in overridden:
         opt.update_a(overridden)
     # rebuild scoring matrices with the final a/b
     opt.__post_init__()
 
+    from .align import trace
+    trace.set_verbose(verbose)
+
     idx = BisIndex.load(args[0])
+    if verbose >= 3:
+        # bwa_idx_load_from_disk (bwa.c:540-544): ALT count from the .alt file
+        n_alt = sum(1 for a in idx.anns if getattr(a, "is_alt", 0))
+        print(f"[M::bwa_idx_load_from_disk] read {n_alt} ALT contigs",
+              file=sys.stderr)
     if auto_infer_alt:
         bnsmod.infer_alt_chromosomes(idx)
     if ignore_alt:
@@ -265,6 +314,12 @@ Input/output options:
         out.write(sam_header(idx, hdr_line, pg))
 
     engine = os.environ.get("BISCUIT_TPU_ENGINE", "native")
+    if verbose >= 4:
+        # debug traces are only wired through the Python host engine, and
+        # ordered output needs a single in-process worker (bwa_verbose >= 4
+        # in the reference likewise only makes sense at -t 1)
+        engine = "host"
+        opt.n_threads = 1
     dev = nat = None
     if engine == "device":
         from .align.device_engine import DeviceAligner, process_seqs_device
@@ -274,12 +329,20 @@ Input/output options:
         nat = NativeAligner(st)
 
     def run_batch(seqs, n_processed):
+        import time as _time
+        ct0, rt0 = _time.process_time(), _time.perf_counter()
         if dev is not None:
             process_seqs_device(opt, st, seqs, n_processed, pes0, rg_id, engine=dev)
         elif nat is not None:
             process_seqs_native(opt, st, seqs, n_processed, pes0, rg_id, engine=nat)
         else:
             process_seqs(opt, st, seqs, n_processed, pes0, rg_id)
+        if verbose >= 3:
+            # mem_process_seqs (bwamem.c:474-475)
+            print("[M::mem_process_seqs] Processed %d reads in %.3f CPU sec,"
+                  " %.3f real sec" % (len(seqs), _time.process_time() - ct0,
+                                      _time.perf_counter() - rt0),
+                  file=sys.stderr)
 
     if seq1 is not None:
         seqs = [make_bseq("inputread", None, seq1, None)]

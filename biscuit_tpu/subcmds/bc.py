@@ -26,13 +26,21 @@ def _fastq_records(path):
             yield parts[0], (parts[1] if len(parts) > 1 else ""), seq, qual
 
 
+def _null_comment(comment):
+    # the reference printfs kseq's comment.s unconditionally (bc.c:77,127);
+    # with no FASTQ comment that pointer is NULL and glibc renders "(null)"
+    return comment if comment else "(null)"
+
+
 def _fmt_with_bc(name, comment, seq, qual, bc, start, length):
+    comment = _null_comment(comment)
     return "@%s_%s_AAAAAAAA %s\n%s%s\n+\n%s%s\n" % (
         name, bc, comment, seq[:start], seq[start + length:],
         qual[:start], qual[start + length:])
 
 
 def _fmt_keep(name, comment, seq, qual, bc):
+    comment = _null_comment(comment)
     return "@%s_%s_AAAAAAAA %s\n%s\n+\n%s\n" % (name, bc, comment, seq, qual)
 
 

@@ -402,3 +402,67 @@ def test_indel_read_parity(small_dataset, indel_dataset, oracle):
     assert any("D" in c for c in cigs), "no deletions exercised"
     assert any("I" in c for c in cigs), "no insertions exercised"
     assert any("S" in c for c in cigs), "no soft clips exercised"
+
+
+# ---------------------------------------------------------------------------
+# -x read-type presets (align.c:476-512) and -v debug traces
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["intractg", "pacbio", "pbref", "ont2d", "pbread"])
+def test_x_preset_parity(small_dataset, oracle, mode):
+    fa = str(small_dataset / "genome.fa")
+    args = ["align", "-x", mode, fa, str(small_dataset / "reads.fq")]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
+
+
+@pytest.mark.parametrize("flags", [["-x", "pacbio", "-B", "2"],
+                                   ["-x", "intractg", "-O", "5", "-L", "3"],
+                                   ["-x", "ont2d", "-k", "10"]])
+def test_x_preset_override_parity(small_dataset, oracle, flags):
+    """Explicit flags beat the preset field-by-field (align.c opt0 guards)."""
+    fa = str(small_dataset / "genome.fa")
+    args = ["align"] + flags + [fa, str(small_dataset / "reads.fq")]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
+
+
+def test_x_preset_unknown_errors(small_dataset):
+    fa = str(small_dataset / "genome.fa")
+    r = subprocess.run([sys.executable, "-m", "biscuit_tpu.cli", "align",
+                        "-x", "nonsense", fa, str(small_dataset / "reads.fq")],
+                       capture_output=True, text=True, cwd=REPO)
+    assert r.returncode != 0
+    assert "unknown read type" in r.stderr
+
+
+def test_verbose4_trace_parity_se(small_dataset, oracle, tmp_path):
+    """-v 4 per-read seed/chain/extension/marking traces byte-match the
+    reference's bwa_verbose>=4 stdout (memchain.c/mem_alnreg*.c dumps)."""
+    fa = str(small_dataset / "genome.fa")
+    fq = tmp_path / "sub.fq"
+    with open(small_dataset / "reads.fq") as f:
+        lines = f.read().splitlines()
+    fq.write_text("\n".join(lines[:80]) + "\n")
+    args = ["align", "-v", "4", fa, str(fq)]
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)
+
+
+def test_verbose8_trace_parity_pe(pe_dataset, oracle, tmp_path):
+    """-v 8 adds the pairing-internals dumps (mem_pair.c:171-235)."""
+    fa = str(pe_dataset / "genome.fa")
+    fqs = []
+    for end in (1, 2):
+        sub = tmp_path / f"sub_{end}.fq"
+        with open(pe_dataset / f"reads_{end}.fq") as f:
+            lines = f.read().splitlines()
+        sub.write_text("\n".join(lines[:80]) + "\n")
+        fqs.append(str(sub))
+    args = ["align", "-v", "8", fa] + fqs
+    ref = run_oracle(oracle, args)
+    mine = run_mine(args)
+    assert mine == ref, _diff_report(ref, mine)

@@ -214,6 +214,33 @@ def test_cinread_identical(ds, t):
     assert o == m
 
 
+def test_bc_stdout_identical(ds):
+    d, fa, bam = ds
+    fq1, fq2 = str(d / "reads_1.fq"), str(d / "reads_2.fq")
+    o, _ = run_oracle(["bc", fq1, fq2])
+    m, _ = run_ours(["bc", fq1, fq2])
+    assert o == m
+    o, _ = run_oracle(["bc", "-s", "2", "-l", "5", fq1])
+    m, _ = run_ours(["bc", "-s", "2", "-l", "5", fq1])
+    assert o == m
+
+
+def test_bc_prefix_identical(ds, tmp_path):
+    import gzip
+    d, fa, bam = ds
+    fq1, fq2 = str(d / "reads_1.fq"), str(d / "reads_2.fq")
+    run_oracle(["bc", "-m", "2", "-s", "3", "-l", "6",
+                "-o", str(tmp_path / "o"), fq1, fq2])
+    run_ours(["bc", "-m", "2", "-s", "3", "-l", "6",
+              "-o", str(tmp_path / "m"), fq1, fq2])
+    for s in ("_R1.fq.gz", "_R2.fq.gz"):
+        with gzip.open(tmp_path / ("o" + s)) as f:
+            o = f.read()
+        with gzip.open(tmp_path / ("m" + s)) as f:
+            m = f.read()
+        assert o == m, s
+
+
 def test_qc_identical(ds, tmp_path):
     d, fa, bam = ds
     od = tmp_path / "oqc"; od.mkdir()
