@@ -482,7 +482,10 @@ def process_seqs_native(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
                       else opt.adaptor2, opt)
 
     n_workers = max(1, opt.n_threads)
-    if pe and not (opt.flag & MEM_F_REF_HDR):
+    from . import pair as pairmod
+    if pe and not (opt.flag & MEM_F_REF_HDR) and pairmod.ISIZE_EXCHANGE is None:
+        # the fused C++ path computes pes internally from its own chunk; a
+        # multi-host isize exchange needs the Python pestat below
         sams, pes = nat.align_pe_batch(opt, seqs, n_processed, rg_id,
                                        n_workers, pes0)
         if any(s is not None for s in sams):

@@ -42,9 +42,17 @@ def _cal_sub(opt: MemOpt, regs: AlnRegs) -> int:
     return opt.min_seed_len * opt.a
 
 
-def pestat(opt: MemOpt, idx, regs_pairs: List[AlnRegs], verbose=True) -> PeStat:
-    """mem_pestat (mem_pair.c:60-144)."""
-    import sys
+# Multi-host hook: when set, pestat passes its local candidate isize list
+# through this callable (an allgather across shards) before computing the
+# boundaries, so every shard derives the SAME pes regardless of how the
+# reads were partitioned — the DCN analog of the reference computing pes
+# over the whole in-memory chunk (bwamem.c:464-467). Installed by the align
+# CLI from BISCUIT_TPU_PES_EXCHANGE (see cli.py / tools/shard_align.py).
+ISIZE_EXCHANGE = None
+
+
+def pestat_isizes(opt: MemOpt, idx, regs_pairs: List[AlnRegs]) -> List[int]:
+    """Candidate unique-pair insert sizes (mem_pestat's collection phase)."""
     isize: List[int] = []
     n = len(regs_pairs)
     for i in range(n >> 1):
@@ -64,6 +72,15 @@ def pestat(opt: MemOpt, idx, regs_pairs: List[AlnRegs], verbose=True) -> PeStat:
         is_ = alnreg_isize(idx, best0, best1)
         if is_ is not None and -opt.max_ins <= is_ <= opt.max_ins:
             isize.append(is_)
+    return isize
+
+
+def pestat(opt: MemOpt, idx, regs_pairs: List[AlnRegs], verbose=True) -> PeStat:
+    """mem_pestat (mem_pair.c:60-144)."""
+    import sys
+    isize = pestat_isizes(opt, idx, regs_pairs)
+    if ISIZE_EXCHANGE is not None:
+        isize = list(ISIZE_EXCHANGE(isize))
     pes = PeStat()
     if verbose:
         print(f"[M::mem_pestat] # candidate unique pairs: {len(isize)}", file=sys.stderr)

@@ -293,6 +293,15 @@ Input/output options:
     from .align import trace
     trace.set_verbose(verbose)
 
+    # multi-host PE determinism: pool candidate insert sizes across shard
+    # ranks so every rank computes the same pes (tools/shard_align.py sets
+    # BISCUIT_TPU_PES_EXCHANGE=dir:rank:n)
+    from .parallel.exchange import from_env as _exchange_from_env
+    _ex = _exchange_from_env()
+    if _ex is not None:
+        from .align import pair as _pairmod
+        _pairmod.ISIZE_EXCHANGE = _ex
+
     idx = BisIndex.load(args[0])
     if verbose >= 3:
         # bwa_idx_load_from_disk (bwa.c:540-544): ALT count from the .alt file

@@ -163,3 +163,28 @@ def test_shard_align_matches_single_process(pipe):
     assert sh.returncode == 0, sh.stderr[-500:]
     strip = lambda s: [l for l in s.splitlines() if not l.startswith("@")]
     assert strip(sh.stdout) == strip(single.stdout)
+
+
+def test_shard_align_pe_matches_single_process(tmp_path):
+    """PE sharding is deterministic: candidate insert sizes are pooled across
+    ranks (BISCUIT_TPU_PES_EXCHANGE file allgather), so every shard computes
+    the chunk-wide pes of the reference (bwamem.c:464-467) and the merged
+    output equals the single-process run byte-for-byte."""
+    subprocess.run(
+        [sys.executable, f"{REPO}/tools/make_testdata.py", str(tmp_path),
+         "--genome-size", "40000", "--n-reads", "300", "--pe", "--seed", "31",
+         "--n-chroms", "1"],
+        check=True, capture_output=True)
+    fa = str(tmp_path / "genome.fa")
+    run(["index", fa])
+    fq1, fq2 = str(tmp_path / "reads_1.fq"), str(tmp_path / "reads_2.fq")
+    single = subprocess.run(
+        [sys.executable, "-m", "biscuit_tpu.cli", "align", fa, fq1, fq2],
+        capture_output=True, text=True, cwd=REPO)
+    assert single.returncode == 0
+    sh = subprocess.run(
+        [sys.executable, f"{REPO}/tools/shard_align.py", "-n", "3", fa,
+         fq1, fq2], capture_output=True, text=True, cwd=REPO)
+    assert sh.returncode == 0, sh.stderr[-500:]
+    strip = lambda s: [l for l in s.splitlines() if not l.startswith("@")]
+    assert strip(sh.stdout) == strip(single.stdout)

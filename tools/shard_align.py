@@ -63,13 +63,19 @@ def main():
         shards2 = shard_fastq(fqs[1], args.n, td, "r2", 1) if pe else None
         procs = []
         outs = []
+        exdir = os.path.join(td, "pes_exchange")
         for i in range(args.n):
             of = open(os.path.join(td, f"out.{i}.sam"), "w")
             cmd = [sys.executable, "-m", "biscuit_tpu.cli", "align",
                    *ref_and_flags, shards1[i]]
+            env = dict(os.environ)
             if pe:
                 cmd.append(shards2[i])
-            procs.append(subprocess.Popen(cmd, stdout=of,
+                # pool candidate insert sizes across ranks: every worker then
+                # computes the same pes as a single-process run would
+                # (reference chunk-wide semantics, bwamem.c:464-467)
+                env["BISCUIT_TPU_PES_EXCHANGE"] = f"{exdir}:{i}:{args.n}"
+            procs.append(subprocess.Popen(cmd, stdout=of, env=env,
                                           stderr=subprocess.DEVNULL))
             outs.append(of)
         rcs = [p.wait() for p in procs]
