@@ -14,6 +14,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -48,6 +49,38 @@ struct StrandFM {
 };
 
 static inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
+
+// --- stage profiling (BT_PROF=1): cumulative ns per stage over all threads
+static std::atomic<long long> g_prof_ns[8];
+static bool g_prof_on = false;
+static const char *g_prof_names[8] = {
+    "seed(collect_intv)", "chain(+sa)", "chain_flt", "extend(chain2region)",
+    "merge_regions", "worker2(sam)", "", ""};
+struct ProfScope {
+    int slot;
+    std::chrono::steady_clock::time_point t0;
+    explicit ProfScope(int s) : slot(s) {
+        if (g_prof_on) t0 = std::chrono::steady_clock::now();
+    }
+    ~ProfScope() {
+        if (g_prof_on)
+            g_prof_ns[slot] += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                std::chrono::steady_clock::now() - t0).count();
+    }
+};
+static void prof_report(const char *tag) {
+    if (!g_prof_on) return;
+    long long tot = 0;
+    for (int i = 0; i < 8; ++i) tot += g_prof_ns[i].load();
+    fprintf(stderr, "[BT_PROF %s] total %.3fs:", tag, tot / 1e9);
+    for (int i = 0; i < 8; ++i) {
+        long long v = g_prof_ns[i].load();
+        if (v) fprintf(stderr, " %s=%.3fs(%.0f%%)", g_prof_names[i], v / 1e9,
+                       100.0 * v / tot);
+        g_prof_ns[i] = 0;
+    }
+    fprintf(stderr, "\n");
+}
 
 // Behavioral emulation of the reference's ksort.h ks_introsort (ksort.h:
 // 184-234): comparators are strict less-than, so the order of EQUAL keys
@@ -232,11 +265,55 @@ static Occ4 occ4(const StrandFM &f, int64_t k) {
     return o;
 }
 
-// paired occ4 for ranks k <= l: when both fall in the same 128-base
-// interleaved block, share the cache line and the full-superword prefix
-// (fm_extend's two queries are usually a small interval apart)
+// paired occ4 for ranks k <= l: when both fall in the same interleaved
+// block, share the cache line and the full-superword prefix (fm_extend's
+// two queries are usually a small interval apart).  Mirrors the intent of
+// the reference's bwt_2occ4 (lib/aln/bwt.c) without copying its layout.
 static void occ4_pair(const StrandFM &f, int64_t k, int64_t l,
                       Occ4 &ok, Occ4 &ol) {
+    if (f.ilv2 && k >= 0 && l >= 0 && l < f.seq_len && k <= l) {
+        int64_t k2 = k - (k >= f.primary ? 1 : 0);
+        int64_t l2 = l - (l >= f.primary ? 1 : 0);
+        if ((k2 >> 6) == (l2 >> 6)) {
+            const uint8_t *blk = f.ilv2 + ((k2 >> 6) << 5);
+            const uint32_t *cnts = (const uint32_t *)blk;
+            const uint64_t *words = (const uint64_t *)(blk + 16);
+            const uint64_t M = 0x5555555555555555ULL;
+            int64_t base[4] = {cnts[0], cnts[1], cnts[2], cnts[3]};
+            int swk = (int)((k2 >> 5) & 1), swl = (int)((l2 >> 5) & 1);
+            auto addfull2 = [&](uint64_t y, int64_t *c) {
+                uint64_t inv = ~y;
+                c[0] += __builtin_popcountll(((inv >> 1) & inv) & M);
+                c[1] += __builtin_popcountll(((inv >> 1) & y) & M);
+                c[2] += __builtin_popcountll(((y >> 1) & inv) & M);
+                c[3] += __builtin_popcountll(((y >> 1) & y) & M);
+            };
+            auto addpart2 = [&](uint64_t y, int64_t kk, int64_t *c) {
+                int zero = 31 - (int)(kk & 31);
+                if (zero) {
+                    int sh = zero << 1;
+                    y = (y >> sh) << sh;
+                }
+                uint64_t inv = ~y;
+                c[0] += __builtin_popcountll(((inv >> 1) & inv) & M) - zero;
+                c[1] += __builtin_popcountll(((inv >> 1) & y) & M);
+                c[2] += __builtin_popcountll(((y >> 1) & inv) & M);
+                c[3] += __builtin_popcountll(((y >> 1) & y) & M);
+            };
+            if (swk) addfull2(words[0], base);
+            int64_t ck[4] = {base[0], base[1], base[2], base[3]};
+            addpart2(words[swk], k2, ck);
+            ok.c[0] = ck[0]; ok.c[1] = ck[1]; ok.c[2] = ck[2]; ok.c[3] = ck[3];
+            if (swl > swk) addfull2(words[0], base);
+            addpart2(words[swl], l2, base);
+            ol.c[0] = base[0]; ol.c[1] = base[1]; ol.c[2] = base[2];
+            ol.c[3] = base[3];
+            return;
+        }
+        ok = occ4(f, k);
+        ol = occ4(f, l);
+        return;
+    }
     if (!f.ilv || k < 0 || l < 0 || k >= f.seq_len || l >= f.seq_len
         || k > l) {
         ok = occ4(f, k);
@@ -321,14 +398,155 @@ static inline int bwt_char(const StrandFM &f, int64_t k) {
     return (f.words[k >> 4] >> (((~k) & 15) << 1)) & 3;
 }
 
+// -- single-class occ: count of pairs == c ("exact") and > c ("gt") up to
+// rank k inclusive.  The SMEM search only ever consumes one output class of
+// bwt_extend, whose coordinates need exactly these two counts — half the
+// popcount work of a full occ4.
+static const uint64_t OCC_M = 0x5555555555555555ULL;
+static const uint64_t OCC_MAGIC[4] = {0ULL, OCC_M, OCC_M << 1, ~0ULL};
+
+static inline int64_t occ_exact_word(uint64_t y, int c) {
+    uint64_t t = y ^ OCC_MAGIC[c];
+    return __builtin_popcountll(~((t >> 1) | t) & OCC_M);
+}
+static inline int64_t occ_gt_word(uint64_t y, int c) {
+    switch (c) {
+    case 0: return __builtin_popcountll((y | (y >> 1)) & OCC_M);
+    case 1: return __builtin_popcountll((y >> 1) & OCC_M);
+    case 2: return __builtin_popcountll((y & (y >> 1)) & OCC_M);
+    default: return 0;
+    }
+}
+
+// pre: f.ilv2 != null, 0 <= k < seq_len
+static inline void occ_cg_one(const StrandFM &f, int64_t k, int c,
+                              int64_t &e, int64_t &g) {
+    int64_t k2 = k - (k >= f.primary ? 1 : 0);
+    const uint8_t *blk = f.ilv2 + ((k2 >> 6) << 5);
+    const uint32_t *cnts = (const uint32_t *)blk;
+    const uint64_t *words = (const uint64_t *)(blk + 16);
+    int64_t e0 = cnts[c], g0 = 0;
+    for (int d = c + 1; d < 4; ++d) g0 += cnts[d];
+    int sw = (int)((k2 >> 5) & 1);
+    if (sw) {
+        uint64_t y = words[0];
+        e0 += occ_exact_word(y, c);
+        g0 += occ_gt_word(y, c);
+    }
+    uint64_t y = words[sw];
+    int zero = 31 - (int)(k2 & 31);
+    if (zero) {
+        int sh = zero << 1;
+        y = (y >> sh) << sh;
+    }
+    e = e0 + occ_exact_word(y, c) - (c == 0 ? zero : 0);
+    g = g0 + occ_gt_word(y, c);
+}
+
+static void occ_cg_pair(const StrandFM &f, int64_t k, int64_t l, int c,
+                        int64_t &ek, int64_t &gk, int64_t &el, int64_t &gl) {
+    if (f.ilv2 && k >= 0 && l < f.seq_len && k <= l) {
+        int64_t k2 = k - (k >= f.primary ? 1 : 0);
+        int64_t l2 = l - (l >= f.primary ? 1 : 0);
+        if ((k2 >> 6) == (l2 >> 6)) {
+            const uint8_t *blk = f.ilv2 + ((k2 >> 6) << 5);
+            const uint32_t *cnts = (const uint32_t *)blk;
+            const uint64_t *words = (const uint64_t *)(blk + 16);
+            int64_t e0 = cnts[c], g0 = 0;
+            for (int d = c + 1; d < 4; ++d) g0 += cnts[d];
+            int swk = (int)((k2 >> 5) & 1), swl = (int)((l2 >> 5) & 1);
+            if (swk) {
+                uint64_t y = words[0];
+                e0 += occ_exact_word(y, c);
+                g0 += occ_gt_word(y, c);
+            }
+            uint64_t yk = words[swk];
+            int zk = 31 - (int)(k2 & 31);
+            if (zk) { int sh = zk << 1; yk = (yk >> sh) << sh; }
+            ek = e0 + occ_exact_word(yk, c) - (c == 0 ? zk : 0);
+            gk = g0 + occ_gt_word(yk, c);
+            if (swl > swk) {
+                uint64_t y = words[0];
+                e0 += occ_exact_word(y, c);
+                g0 += occ_gt_word(y, c);
+            }
+            uint64_t yl = words[swl];
+            int zl = 31 - (int)(l2 & 31);
+            if (zl) { int sh = zl << 1; yl = (yl >> sh) << sh; }
+            el = e0 + occ_exact_word(yl, c) - (c == 0 ? zl : 0);
+            gl = g0 + occ_gt_word(yl, c);
+            return;
+        }
+        occ_cg_one(f, k, c, ek, gk);
+        occ_cg_one(f, l, c, el, gl);
+        return;
+    }
+    Occ4 ok4, ol4;
+    occ4_pair(f, k, l, ok4, ol4);
+    ek = ok4.c[c]; el = ol4.c[c];
+    gk = 0; gl = 0;
+    for (int d = c + 1; d < 4; ++d) { gk += ok4.c[d]; gl += ol4.c[d]; }
+}
+
+// bwt_extend for a single known output class c (all the SMEM passes need).
+static inline void fm_extend_one(const StrandFM &f, const Intv &ik, int c,
+                                 Intv &out, bool is_back) {
+    int64_t xq = is_back ? ik.x0 : ik.x1;
+    int64_t xo = is_back ? ik.x1 : ik.x0;
+    int64_t ek, gk, el, gl;
+    occ_cg_pair(f, xq - 1, xq - 1 + ik.s, c, ek, gk, el, gl);
+    int64_t crosses = (xq <= f.primary && xq + ik.s - 1 >= f.primary) ? 1 : 0;
+    int64_t nxq = f.L2[c] + 1 + ek;
+    int64_t nxo = xo + crosses + (gl - gk);
+    out.s = el - ek;
+    if (is_back) { out.x0 = nxq; out.x1 = nxo; }
+    else         { out.x0 = nxo; out.x1 = nxq; }
+    out.end = ik.end;
+}
+
+// one inverse-Psi step (k != primary): the BWT char and its rank count come
+// from the same ilv2 cache line; counts only the one needed class
+// (reference walks rank+char separately via bwt_invPsi, lib/aln/bwt.c).
+static inline int64_t invpsi_step(const StrandFM &f, int64_t k) {
+    if (!f.ilv2) {
+        int64_t x = k - (k > f.primary ? 1 : 0);
+        int c = bwt_char(f, x);
+        return f.L2[c] + occ4(f, k).c[c];
+    }
+    // k in [1, seq_len]; for k == seq_len this degenerates to the full
+    // count through the last block, same as occ4's early-out.
+    int64_t k2 = k - (k > f.primary ? 1 : 0);
+    const uint8_t *blk = f.ilv2 + ((k2 >> 6) << 5);
+    const uint32_t *cnts = (const uint32_t *)blk;
+    const uint64_t *words = (const uint64_t *)(blk + 16);
+    const uint64_t M = 0x5555555555555555ULL;
+    static const uint64_t magic[4] = {0ULL, M, M << 1, ~0ULL};
+    int sw = (int)((k2 >> 5) & 1);
+    uint64_t y = words[sw];
+    int p = (int)(k2 & 31);
+    int c = (int)((y >> (62 - 2 * p)) & 3);
+    int64_t cnt = cnts[c];
+    if (sw) {
+        uint64_t t = words[0] ^ magic[c];
+        cnt += __builtin_popcountll(~((t >> 1) | t) & M);
+    }
+    int zero = 31 - p;
+    if (zero) {
+        int sh = zero << 1;
+        y = (y >> sh) << sh;
+    }
+    uint64_t t = y ^ magic[c];
+    cnt += __builtin_popcountll(~((t >> 1) | t) & M);
+    if (c == 0) cnt -= zero;
+    return f.L2[c] + cnt;
+}
+
 static int64_t fm_sa(const StrandFM &f, int64_t k) {
     int64_t add = 0;
     while (k & 31) {
         ++add;
-        int64_t x = k - (k > f.primary ? 1 : 0);
-        int c = bwt_char(f, x);
         if (k == f.primary) k = 0;
-        else k = f.L2[c] + occ4(f, k).c[c];
+        else k = invpsi_step(f, k);
     }
     // sa[0] is -1 ('$' row): stored as the uint32 wrap in the narrow
     // layout (interpret as signed), literal int64 -1 in the wide layout
@@ -365,13 +583,15 @@ static int smem1a(const StrandFM &fm, const StrandFM &fmc, const uint8_t *q,
     int c0 = q[x];
     Intv ik{fm.L2[c0] + 1, fmc.L2[3 - c0] + 1, fm.L2[c0 + 1] - fm.L2[c0],
             (int32_t)(x + 1)};
-    std::vector<Intv> curr, prev;
+    // scratch reused across calls (the reference keeps these in smem_aux_t)
+    static thread_local std::vector<Intv> curr, prev;
+    curr.clear(); prev.clear();
     int i = x + 1;
     Intv ok[4];
     for (; i < len; ++i) {
         if (q[i] < 4) {
             int c = 3 - q[i];
-            fm_extend(fmc, ik, ok, false);
+            fm_extend_one(fmc, ik, c, ok[c], false);
             if (ok[c].s != ik.s) {
                 curr.push_back(ik);
                 if (ok[c].s < min_intv) break;
@@ -388,14 +608,15 @@ static int smem1a(const StrandFM &fm, const StrandFM &fmc, const uint8_t *q,
     int ret = curr[0].end;
     prev.swap(curr);
 
-    std::vector<std::pair<int32_t, Intv>> out;  // (start, entry)
+    static thread_local std::vector<std::pair<int32_t, Intv>> out;  // (start, entry)
+    out.clear();
     for (i = x - 1; i >= -1; --i) {
         int c = (i < 0 || q[i] > 3) ? -1 : q[i];
         curr.clear();
         for (size_t j = 0; j < prev.size(); ++j) {
             const Intv &p = prev[j];
             bool have_ok = false;
-            if (c >= 0) { fm_extend(fm, p, ok, true); have_ok = true; }
+            if (c >= 0) { fm_extend_one(fm, p, c, ok[c], true); have_ok = true; }
             if (c < 0 || ok[c].s < min_intv) {
                 if (curr.empty()) {
                     if (out.empty() || i + 1 < out.back().first)
@@ -428,7 +649,7 @@ static int seed_strategy1(const StrandFM &fm, const StrandFM &fmc,
     for (int i = x + 1; i < len; ++i) {
         if (q[i] < 4) {
             int c = 3 - q[i];
-            fm_extend(fmc, ik, ok, false);
+            fm_extend_one(fmc, ik, c, ok[c], false);
             if (ok[c].s < max_intv && i - x >= min_len) {
                 m = Seed5{(int32_t)x, (int32_t)(i + 1), ok[c].x0, ok[c].x1, ok[c].s};
                 return i + 1;
@@ -1044,12 +1265,24 @@ static void align1_core(const Ctx &cx, const uint8_t *seq, int len, int parent,
     const StrandFM &fm = cx.fm[parent];
     const StrandFM &fmc = cx.fm[1 - parent];
     std::vector<Seed5> mem;
-    collect_intv(cx.opt, fm, fmc, conv.data(), len, mem);
+    {
+        ProfScope p(0);
+        collect_intv(cx.opt, fm, fmc, conv.data(), len, mem);
+    }
     std::vector<Chain> chns;
     double frac_rep = 0.0;
-    chain_from_seeds(cx.opt, fm, cx.bns, len, parent, mem, chns, frac_rep);
-    chain_flt(cx.opt, chns);
-    chain2region(cx.opt, cx.bns, len, seq, parent, chns, regs);
+    {
+        ProfScope p(1);
+        chain_from_seeds(cx.opt, fm, cx.bns, len, parent, mem, chns, frac_rep);
+    }
+    {
+        ProfScope p(2);
+        chain_flt(cx.opt, chns);
+    }
+    {
+        ProfScope p(3);
+        chain2region(cx.opt, cx.bns, len, seq, parent, chns, regs);
+    }
 }
 
 // =====================================================================
@@ -2815,7 +3048,11 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
             s.qual = quals + qoffs[i]; s.l_qual = qlens[i];
             s.name = names + noffs[i]; s.name_len = nlens[i];
             s.clip5 = clip5[i]; s.clip3 = clip3[i];
-            merge_regions2(o, o2, cx.bns, seq, len, regs);
+            {
+                ProfScope p(4);
+                merge_regions2(o, o2, cx.bns, seq, len, regs);
+            }
+            ProfScope p(5);
             if (!worker2_se(o, o2, cx.bns, ann_names, s, regs,
                             n_processed + i, rgs, sams[i])) {
                 status[i] = -1;
@@ -2824,6 +3061,7 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
             status[i] = 0;
         }
     };
+    g_prof_on = getenv("BT_PROF") && getenv("BT_PROF")[0] == '1';
     if (n_threads <= 1) {
         run(0, n_reads);
     } else {
@@ -2839,6 +3077,7 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
         for (int t = 0; t < n_threads; ++t) ts.emplace_back(steal);
         for (auto &t : ts) t.join();
     }
+    prof_report("se_batch");
     int64_t total = 0;
     for (int i = 0; i < n_reads; ++i) {
         out_lens[i] = status[i] == 0 ? (int64_t)sams[i].size() : 0;
