@@ -221,23 +221,20 @@ class NativeAligner:
         """Pack per-read arrays for the fused C++ batch calls. Returns a dict
         whose values must stay alive for the duration of the call."""
         n = len(seqs)
+        lens = np.fromiter((s.l_seq for s in seqs), np.int32, n)
         offs = np.zeros(n, np.int64)
-        lens = np.zeros(n, np.int32)
-        offs0 = np.zeros(n, np.int64)
-        lens0 = np.zeros(n, np.int32)
-        t = t0 = 0
-        for i, s in enumerate(seqs):
-            offs[i] = t
-            lens[i] = s.l_seq
-            t += s.l_seq
-            offs0[i] = t0
-            lens0[i] = s.l_seq0
-            t0 += s.l_seq0
-        reads = np.zeros(max(t, 1), np.uint8)
-        reads0 = np.zeros(max(t0, 1), np.uint8)
-        for i, s in enumerate(seqs):
-            reads[offs[i]:offs[i] + s.l_seq] = s.seq
-            reads0[offs0[i]:offs0[i] + s.l_seq0] = s.seq0
+        np.cumsum(lens[:-1], dtype=np.int64, out=offs[1:])
+        reads = (np.concatenate([s.seq for s in seqs])
+                 if n else np.zeros(1, np.uint8))
+        if all(s.seq0 is s.seq for s in seqs):
+            # unclipped batch: full view == clipped view, share the buffer
+            reads0, offs0, lens0 = reads, offs, lens.copy()
+        else:
+            lens0 = np.fromiter((s.l_seq0 for s in seqs), np.int32, n)
+            offs0 = np.zeros(n, np.int64)
+            np.cumsum(lens0[:-1], dtype=np.int64, out=offs0[1:])
+            reads0 = (np.concatenate([s.seq0 for s in seqs])
+                      if n else np.zeros(1, np.uint8))
         quals, qoffs, qlens = _pack_strs(
             [(s.qual.encode() if s.qual is not None else b"") for s in seqs])
         names, noffs, nlens = _pack_strs(

@@ -38,25 +38,56 @@ def trim_readno(name: str) -> str:
 
 
 def _fastq_records(path: str):
+    """Yield (name, comment, seq_bytes, qual_str|None) per record.
+
+    Bulk reader: splits 8 MB chunks on newlines in one C pass instead of
+    per-line readline calls (the reference's kseq.h buffered reader plays
+    the same role, lib/aln/kseq.h). Sequences stay as bytes; read_batch
+    nt4-converts a whole batch in one vectorized pass.
+    """
     opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rt") as f:
+    with opener(path, "rb") as f:
+        tail = b""
         while True:
-            hdr = f.readline()
-            if not hdr:
-                return
-            seq = f.readline().rstrip("\n")
-            plus = f.readline()
-            qual = f.readline().rstrip("\n")
-            hdr = hdr.rstrip("\n")
-            parts = hdr[1:].split(None, 1)
-            name = parts[0]
-            comment = parts[1] if len(parts) > 1 else None
-            yield name, comment, seq, qual if qual else None
+            chunk = f.read(1 << 23)
+            if not chunk:
+                break
+            data = tail + chunk if tail else chunk
+            lines = data.split(b"\n")
+            last = lines.pop()  # partial line (or b"" on a newline boundary)
+            nfull = (len(lines) // 4) * 4
+            if nfull != len(lines):
+                rem = lines[nfull:]
+                rem.append(last)
+                tail = b"\n".join(rem)
+                del lines[nfull:]
+            else:
+                tail = last
+            for i in range(0, nfull, 4):
+                hdr = lines[i]
+                parts = hdr[1:].split(None, 1)
+                name = parts[0].decode() if parts else ""
+                comment = parts[1].decode() if len(parts) > 1 else None
+                qual = lines[i + 3]
+                yield name, comment, lines[i + 1], \
+                    (qual.decode() if qual else None)
+        # file may end without a trailing newline: flush any complete record
+        if tail:
+            lines = tail.split(b"\n")
+            for i in range(0, (len(lines) // 4) * 4, 4):
+                hdr = lines[i]
+                parts = hdr[1:].split(None, 1)
+                name = parts[0].decode() if parts else ""
+                comment = parts[1].decode() if len(parts) > 1 else None
+                qual = lines[i + 3]
+                yield name, comment, lines[i + 1], \
+                    (qual.decode() if qual else None)
 
 
-def make_bseq(name: str, comment: Optional[str], seq: str, qual: Optional[str],
+def make_bseq(name: str, comment: Optional[str], seq, qual: Optional[str],
               has_bc: bool = False) -> BSeq:
-    codes = NT4[np.frombuffer(seq.encode(), dtype=np.uint8)].copy()
+    raw = seq if isinstance(seq, (bytes, bytearray)) else seq.encode()
+    codes = NT4[np.frombuffer(raw, dtype=np.uint8)].copy()
     barcode = umi = None
     if has_bc:
         toks = name.split("_")
@@ -68,8 +99,13 @@ def make_bseq(name: str, comment: Optional[str], seq: str, qual: Optional[str],
 
 
 def read_batch(it1, it2, chunk_size: int, has_bc: bool = False) -> List[BSeq]:
-    """bis_bseq_read: read up to chunk_size bp (interleaving mates)."""
-    seqs: List[BSeq] = []
+    """bis_bseq_read: read up to chunk_size bp (interleaving mates).
+
+    Collects raw records first, then nt4-converts the whole batch in one
+    vectorized pass; each read's codes are disjoint views of the shared
+    buffer, so in-place edits stay read-local (seq0 aliases seq exactly as
+    the per-read path did)."""
+    raw = []
     size = 0
     while True:
         try:
@@ -83,19 +119,33 @@ def read_batch(it1, it2, chunk_size: int, has_bc: bool = False) -> List[BSeq]:
                 import sys
                 print("[W::bseq_read] the 2nd file has fewer sequences.", file=sys.stderr)
                 break
-        name, comment, seq, qual = rec1
-        s = make_bseq(trim_readno(name), comment, seq, qual, has_bc)
-        s.id = len(seqs)
-        seqs.append(s)
-        size += s.l_seq
+        raw.append(rec1)
+        size += len(rec1[2])
         if it2 is not None:
-            name, comment, seq, qual = rec2
-            s = make_bseq(trim_readno(name), comment, seq, qual, has_bc)
-            s.id = len(seqs)
-            seqs.append(s)
-            size += s.l_seq
-        if size >= chunk_size and len(seqs) % 2 == 0:
+            raw.append(rec2)
+            size += len(rec2[2])
+        if size >= chunk_size and len(raw) % 2 == 0:
             break
+    if not raw:
+        return []
+    seqb = [r[2] if isinstance(r[2], (bytes, bytearray)) else r[2].encode()
+            for r in raw]
+    codes = NT4[np.frombuffer(b"".join(seqb), dtype=np.uint8)]
+    seqs: List[BSeq] = []
+    pos = 0
+    for i, (name, comment, _s, qual) in enumerate(raw):
+        ln = len(seqb[i])
+        v = codes[pos:pos + ln]
+        pos += ln
+        name = trim_readno(name)
+        barcode = umi = None
+        if has_bc:
+            toks = name.split("_")
+            if len(toks) >= 3:
+                barcode, umi = toks[-2], toks[-1]
+        seqs.append(BSeq(name=name, seq=v, l_seq=ln, qual=qual,
+                         comment=comment, barcode=barcode, umi=umi,
+                         seq0=v, l_seq0=ln, id=i))
     return seqs
 
 
