@@ -19,16 +19,29 @@ from .fasta import pack_genome
 from .fmindex import BisIndex, StrandIndex, build_strand_index
 
 
+_CONV_CHUNK = 64 * 1024 * 1024
+
+
 def converted_doubled(codes: np.ndarray, parent: bool) -> np.ndarray:
-    """Doubled converted sequence for one strand index."""
-    fwd = codes
-    rev = (3 - codes)[::-1]
-    out = np.concatenate([fwd, rev])
-    if parent:
-        out = np.where(out == 1, 3, out)  # C -> T
-    else:
-        out = np.where(out == 2, 0, out)  # G -> A
-    return out.astype(np.uint8)
+    """Doubled converted sequence for one strand index.
+
+    Assembled chunk-by-chunk into one preallocated buffer so peak transient
+    memory stays ~2n+eps bytes (a human 3.1 Gbp genome would otherwise burn
+    ~25 GB in concatenate/where temporaries)."""
+    n = len(codes)
+    out = np.empty(2 * n, dtype=np.uint8)
+    src, dst = (1, 3) if parent else (2, 0)  # C->T | G->A
+    for lo in range(0, n, _CONV_CHUNK):
+        hi = min(lo + _CONV_CHUNK, n)
+        c = codes[lo:hi].astype(np.uint8, copy=True)
+        c[c == src] = dst
+        out[lo:hi] = c
+        # reverse complement lands mirrored at the tail: rev[i] = 3 - fwd[n-1-i],
+        # so source chunk [lo, hi) maps to [2n-hi, 2n-lo)
+        r = (3 - codes[lo:hi][::-1]).astype(np.uint8)
+        r[r == src] = dst
+        out[2 * n - hi:2 * n - lo] = r
+    return out
 
 
 def build_strand(codes: np.ndarray, parent: bool) -> StrandIndex:

@@ -172,16 +172,28 @@ class BisIndex:
         )
 
 
+# chunk size for the streaming packers below: bounds transient memory at
+# ~24 bytes/char over 64M chars (~1.5 GB) regardless of strand length, so
+# human-scale strands (6.2 G chars) assemble without O(16n) temporaries.
+_PACK_CHUNK = 64 * 1024 * 1024  # chars; multiple of 16 and OCC_INTERVAL
+
+
 def pack_words(bwt_codes: np.ndarray) -> np.ndarray:
     """Pack uint8 BWT codes into uint32 words, base i at shift (15-(i&15))*2
     (same in-word layout as the reference so occ popcount tricks match)."""
     n = len(bwt_codes)
     n_words = (n + 15) // 16
-    padded = np.zeros(n_words * 16, dtype=np.uint32)
-    padded[:n] = bwt_codes
-    lanes = padded.reshape(-1, 16)
+    out = np.zeros(n_words, dtype=np.uint32)
     shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
-    return (lanes << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+    for lo in range(0, n, _PACK_CHUNK):
+        hi = min(lo + _PACK_CHUNK, n)
+        m = hi - lo
+        padded = np.zeros((m + 15) // 16 * 16, dtype=np.uint32)
+        padded[:m] = bwt_codes[lo:hi]
+        lanes = padded.reshape(-1, 16)
+        out[lo // 16:lo // 16 + lanes.shape[0]] = \
+            (lanes << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+    return out
 
 
 def occ_checkpoints(bwt_codes: np.ndarray) -> np.ndarray:
@@ -190,11 +202,22 @@ def occ_checkpoints(bwt_codes: np.ndarray) -> np.ndarray:
     n = len(bwt_codes)
     n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
     cp = np.zeros((n_blocks + 1, 4), dtype=np.uint64)
-    onehot = np.zeros((n_blocks * OCC_INTERVAL, 4), dtype=np.uint32)
-    onehot[np.arange(n), bwt_codes] = 1
-    per_block = onehot.reshape(n_blocks, OCC_INTERVAL, 4).sum(axis=1)
-    cp[1:] = per_block.cumsum(axis=0)
-    return cp.astype(np.uint32)
+    for lo in range(0, n, _PACK_CHUNK):
+        hi = min(lo + _PACK_CHUNK, n)
+        chunk = bwt_codes[lo:hi]
+        nb = (len(chunk) + OCC_INTERVAL - 1) // OCC_INTERVAL
+        padded = np.full(nb * OCC_INTERVAL, 4, dtype=np.uint8)
+        padded[:len(chunk)] = chunk
+        blocks = padded.reshape(nb, OCC_INTERVAL)
+        per_block = np.stack(
+            [(blocks == c).sum(axis=1, dtype=np.uint64) for c in range(4)],
+            axis=1)
+        b0 = lo // OCC_INTERVAL
+        cp[b0 + 1:b0 + 1 + nb] = per_block
+    np.cumsum(cp, axis=0, out=cp)
+    # counts of a >=2^32-char strand overflow uint32; wide strands store
+    # int64 checkpoints (readers keep the stored dtype, ops widen on use)
+    return cp.astype(np.uint32 if n < (1 << 32) else np.int64)
 
 
 def index_is_wide(seq_len: int) -> bool:

@@ -119,20 +119,40 @@ def _declare(L: ctypes.CDLL) -> None:
     L.sais_u8_i64.restype = ctypes.c_int
     L.bwt_from_sa_i64.argtypes = [u8p, i64p, u8p, ctypes.c_int64]
     L.bwt_from_sa_i64.restype = ctypes.c_int64
+    L.bwt_from_sa_i32.argtypes = [u8p, i32p, u8p, ctypes.c_int64]
+    L.bwt_from_sa_i32.restype = ctypes.c_int64
+
+
+def _sa_alloc(n: int, dtype) -> np.ndarray:
+    """Allocate the SA working array. With BISCUIT_TPU_SA_TMP=dir set, back
+    it with a disk file (np.memmap) so human-scale builds (int64 SA of a
+    6.2 G-char strand = ~50 GB) keep bounded resident memory: SA-IS touches
+    the SA mostly through sequential bucket scans, which the page cache
+    handles; the file is deleted as soon as the array is mapped."""
+    d = os.environ.get("BISCUIT_TPU_SA_TMP")
+    if not d:
+        return np.empty(n, dtype=dtype)
+    import tempfile
+    fd, path = tempfile.mkstemp(prefix="btsa_", suffix=".bin", dir=d)
+    os.close(fd)
+    mm = np.memmap(path, dtype=dtype, mode="w+", shape=(n,))
+    os.unlink(path)  # space reclaimed when the mapping closes
+    return mm
 
 
 def suffix_array(text: np.ndarray, alphabet_size: int = 4) -> np.ndarray:
     """Suffix array of a uint8 text (no sentinel; virtual $ is smallest).
-    Uses the int32 SA-IS when the text fits (half the memory traffic)."""
+    Uses the int32 SA-IS when the text fits (half the memory traffic) and
+    returns the narrow dtype as-is — consumers accept either width."""
     text = np.ascontiguousarray(text, dtype=np.uint8)
     n = len(text)
     if n < (1 << 31) - 16:
-        sa32 = np.empty(n, dtype=np.int32)
+        sa32 = _sa_alloc(n, np.int32)
         rc = lib().sais_u8_i32(text, sa32, n, alphabet_size)
         if rc != 0:
             raise RuntimeError(f"sais failed rc={rc}")
-        return sa32.astype(np.int64)
-    sa = np.empty(n, dtype=np.int64)
+        return sa32
+    sa = _sa_alloc(n, np.int64)
     rc = lib().sais_u8_i64(text, sa, n, alphabet_size)
     if rc != 0:
         raise RuntimeError(f"sais failed rc={rc}")
@@ -143,9 +163,13 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray):
     """Return (bwt_codes uint8[n], primary) in the reference bwt_t convention
     (the '$' row removed; primary = rank of the row starting at position 0)."""
     text = np.ascontiguousarray(text, dtype=np.uint8)
-    sa = np.ascontiguousarray(sa, dtype=np.int64)
     bwt = np.empty(len(text), dtype=np.uint8)
-    primary = lib().bwt_from_sa_i64(text, sa, bwt, len(text))
+    if sa.dtype == np.int32:
+        sa = np.ascontiguousarray(sa, dtype=np.int32)
+        primary = lib().bwt_from_sa_i32(text, sa, bwt, len(text))
+    else:
+        sa = np.ascontiguousarray(sa, dtype=np.int64)
+        primary = lib().bwt_from_sa_i64(text, sa, bwt, len(text))
     if primary < 0:
         raise RuntimeError("bwt_from_sa: SA does not contain 0")
     return bwt, int(primary)

@@ -172,4 +172,20 @@ int64_t bwt_from_sa_i64(const uint8_t *T, const int64_t *SA, uint8_t *bwt, int64
     return primary;
 }
 
+// int32 SA variant (strands < 2^31 chars): avoids widening the SA to int64
+// just to derive the BWT, halving peak memory for 250 Mbp - 1 Gbp genomes.
+int64_t bwt_from_sa_i32(const uint8_t *T, const int32_t *SA, uint8_t *bwt, int64_t n) {
+    int64_t primary = -1;
+    int64_t w = 0;
+    bwt[w++] = T[n - 1];
+    for (int64_t r = 0; r < n; ++r) {
+        if (SA[r] == 0) {
+            primary = r + 1;
+        } else {
+            bwt[w++] = T[SA[r] - 1];
+        }
+    }
+    return primary;
+}
+
 } // extern "C"
