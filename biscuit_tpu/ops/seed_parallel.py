@@ -33,22 +33,12 @@ import jax.numpy as jnp
 from .seed_batch import FMPair, occ4_sel
 
 
-@partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv", "max_iters"))
-def forward_extend_all(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
-                       parents: jnp.ndarray, starts: jnp.ndarray,
-                       read_of: jnp.ndarray, min_intv: jnp.ndarray,
-                       min_seed_len: int, max_mem_intv: int,
-                       max_iters: int = 512):
-    """Forward-extend every lane (read_of[l], starts[l]) until the interval
-    drops below min_intv[l] (and, when max_mem_intv > 0, until the pass-3
-    first-hit is recorded).
-
-    q [B, L] int32; lens/parents [B]; starts/read_of/min_intv [N] lanes.
-    Returns per-lane arrays:
-      best_end, best_x0, best_x1, best_s : longest >=min_intv match from p
-      f3_end, f3_x0, f3_x1, f3_s, f3_done: pass-3 first hit (end=i+1)
-      ret3: seed_strategy1 return value (restart position)
-    """
+def _forward_extend_core(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
+                         parents: jnp.ndarray, starts: jnp.ndarray,
+                         read_of: jnp.ndarray, min_intv: jnp.ndarray,
+                         min_seed_len: int, max_mem_intv: int,
+                         max_iters: int):
+    """Traced body shared by forward_extend_all and seed_collect_device."""
     B, L = q.shape
     N = starts.shape[0]
     lens_l = lens[read_of]
@@ -168,6 +158,126 @@ def forward_extend_all(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
                       out["f3_done"].astype(jnp.int32), out["ret3"]])
 
 
+@partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv", "max_iters"))
+def forward_extend_all(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
+                       parents: jnp.ndarray, starts: jnp.ndarray,
+                       read_of: jnp.ndarray, min_intv: jnp.ndarray,
+                       min_seed_len: int, max_mem_intv: int,
+                       max_iters: int = 512):
+    """Forward-extend every lane (read_of[l], starts[l]) until the interval
+    drops below min_intv[l] (and, when max_mem_intv > 0, until the pass-3
+    first-hit is recorded).
+
+    q [B, L] int32; lens/parents [B]; starts/read_of/min_intv [N] lanes.
+    Returns per-lane arrays:
+      best_end, best_x0, best_x1, best_s : longest >=min_intv match from p
+      f3_end, f3_x0, f3_x1, f3_s, f3_done: pass-3 first hit (end=i+1)
+      ret3: seed_strategy1 return value (restart position)
+    """
+    return _forward_extend_core(fm, q, lens, parents, starts, read_of,
+                                min_intv, min_seed_len, max_mem_intv,
+                                max_iters)
+
+
+@partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv", "S1", "S3"))
+def seed_collect_device(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
+                        parents: jnp.ndarray,
+                        min_seed_len: int, max_mem_intv: int,
+                        S1: int = 48, S3: int = 16):
+    """Pass 1 (+3) of mem_collect_intv entirely on device, with on-device
+    compaction so the host transfer is O(B * S) instead of O(B * L).
+
+    Runs the per-position forward extension over every (read, p) lane, then:
+      * pass 1: prefix-max filter (an SMEM starts at p iff its end exceeds
+        every earlier end) + min_seed_len filter, compacted to [B, S1, 5]
+        rows (start, end, x0, x1, s) in ascending-start order;
+      * pass 3 (bwt_seed_strategy1): resolves the sequential restart chain
+        with one [B]-frontier while_loop, compacted to [B, S3, 5].
+    Returns (seeds1 [B,S1,5], n1 [B], ovf1 [B], seeds3 [B,S3,5], n3 [B],
+    ovf3 [B]) — all int32.  Pass 2 re-seeding runs as a separate
+    forward_extend_all call (the task set is data-dependent).
+    """
+    B, L = q.shape
+    starts = jnp.tile(jnp.arange(L, dtype=jnp.int32), B)
+    read_of = jnp.repeat(jnp.arange(B, dtype=jnp.int32), L)
+    packed = _forward_extend_core(
+        fm, q, lens, parents, starts, read_of,
+        jnp.ones((B * L,), jnp.int32), min_seed_len, max_mem_intv,
+        max_iters=L + 2)
+    o = packed.reshape(10, B, L)
+    e = o[0]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    prior = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32),
+         jax.lax.cummax(e, axis=1)[:, :-1]], axis=1)
+    valid = pos < lens[:, None]
+    is_max = (e > prior) & (e > pos) & valid
+    keep1 = is_max & (e - pos >= min_seed_len)
+    # stable compaction to the first S1 kept columns (ascending p)
+    order = jnp.argsort(jnp.where(keep1, pos, jnp.int32(L)), axis=1)[:, :S1]
+    take = jnp.take_along_axis
+    m1 = take(keep1, order, axis=1)
+    rows1 = jnp.stack([
+        jnp.where(m1, order, 0),
+        jnp.where(m1, take(e, order, axis=1), 0),
+        jnp.where(m1, take(o[1], order, axis=1), 0),
+        jnp.where(m1, take(o[2], order, axis=1), 0),
+        jnp.where(m1, take(o[3], order, axis=1), 0),
+    ], axis=-1)
+    n1 = keep1.sum(axis=1).astype(jnp.int32)
+    ovf1 = n1 > S1
+
+    # ---- pass 3: frontier walk of the restart chain (host loop equivalent:
+    # p advances by ret3 jumps, ambiguous bases advance by 1). Scatter-free:
+    # S3 unrolled "advance to next hit" while_loops, one [B,5] select each —
+    # TPU scatters are serialized, so per-slot stacking beats .at[] updates.
+    if max_mem_intv > 0:
+        f3_end, f3_x0, f3_x1, f3_s = o[4], o[5], o[6], o[7]
+        f3_done = o[8] != 0
+        ret3 = o[9]
+        lane = jnp.arange(B)
+
+        def at_hit(p):
+            pc = jnp.clip(p, 0, L - 1)
+            return ((p < lens) & (q[lane, pc] < 4) & f3_done[lane, pc]
+                    & (f3_s[lane, pc] > 0))
+
+        def advance_to_hit(p):
+            def cond(p):
+                return ((p < lens) & ~at_hit(p)).any()
+
+            def body(p):
+                pc = jnp.clip(p, 0, L - 1)
+                amb = q[lane, pc] >= 4
+                stay = at_hit(p) | (p >= lens)
+                nxt = jnp.where(amb, p + 1, ret3[lane, pc])
+                return jnp.where(stay, p, nxt)
+            return jax.lax.while_loop(cond, body, p)
+
+        p = jnp.zeros(B, jnp.int32)
+        slot_rows = []
+        founds = []
+        for _slot in range(S3):
+            p = advance_to_hit(p)
+            pc = jnp.clip(p, 0, L - 1)
+            found = p < lens
+            row = jnp.stack([p, f3_end[lane, pc], f3_x0[lane, pc],
+                             f3_x1[lane, pc], f3_s[lane, pc]], axis=-1)
+            slot_rows.append(jnp.where(found[:, None], row, 0))
+            founds.append(found)
+            p = jnp.where(found, ret3[lane, pc], p)
+        seeds3 = jnp.stack(slot_rows, axis=1)           # [B, S3, 5]
+        n3 = jnp.stack(founds, axis=1).sum(axis=1).astype(jnp.int32)
+        p = advance_to_hit(p)
+        ovf3 = p < lens                                 # hits beyond S3
+    else:
+        seeds3 = jnp.zeros((B, S3, 5), jnp.int32)
+        n3 = jnp.zeros(B, jnp.int32)
+        ovf3 = jnp.zeros(B, bool)
+
+    return rows1, n1, ovf1, seeds3, n3, ovf3
+
+
 _PACK_KEYS = ("best_end", "best_x0", "best_x1", "best_s", "f3_end", "f3_x0",
               "f3_x1", "f3_s", "f3_done", "ret3")
 
@@ -176,115 +286,96 @@ def _unpack(packed: np.ndarray):
     return {k: packed[i] for i, k in enumerate(_PACK_KEYS)}
 
 
-def collect_intv_parallel(fm: FMPair, reads, lens, parents, opt) -> Tuple[List[List[Tuple]], np.ndarray]:
-    """Device-parallel mem_collect_intv. Returns per-lane seed lists
-    (start, end, x0, x1, s), sorted like the reference, plus an overflow mask
-    (always False; kept for interface compatibility)."""
+def collect_intv_flat(fm: FMPair, reads, lens, parents, opt,
+                      S1: int = 48, S3: int = 16):
+    """Device-parallel mem_collect_intv with no per-read host loops.
+
+    Pass 1+3 run in one device kernel with on-device compaction
+    (seed_collect_device); pass 2 is a second kernel whose lane set and
+    postprocess are vectorized numpy. Returns flat arrays sorted by
+    (lane, start<<32|end, pass-insertion-order) — the host collect_intv's
+    stable ks_introsort-key order:
+      lane_of [M] int32, rows [M, 5] int32 (start, end, x0, x1, s),
+      overflow [B] bool (lanes needing the host fallback; rare cap spill).
+    """
     B, L = reads.shape
     q = jnp.asarray(reads, dtype=jnp.int32)
     lens_j = jnp.asarray(lens, dtype=jnp.int32)
     par_j = jnp.asarray(parents, dtype=jnp.int32)
 
-    # pass 1 + 3: all (read, p) lanes
-    starts = np.tile(np.arange(L, dtype=np.int32), B)
-    read_of = np.repeat(np.arange(B, dtype=np.int32), L)
-    out = forward_extend_all(fm, q, lens_j, par_j, jnp.asarray(starts),
-                             jnp.asarray(read_of),
-                             jnp.ones((B * L,), jnp.int32),
-                             int(opt.min_seed_len), int(opt.max_mem_intv),
-                             max_iters=L + 2)
-    o = {k: v.reshape(B, L) for k, v in _unpack(np.asarray(out)).items()}
+    s1, n1, ovf1, s3, n3, ovf3 = seed_collect_device(
+        fm, q, lens_j, par_j, int(opt.min_seed_len), int(opt.max_mem_intv),
+        S1=S1, S3=S3)
+    s1 = np.asarray(s1); n1 = np.asarray(n1)
+    s3 = np.asarray(s3); n3 = np.asarray(n3)
+    overflow = np.asarray(ovf1) | np.asarray(ovf3)
 
+    m1 = np.arange(S1)[None, :] < np.minimum(n1, S1)[:, None]
+    lane1, slot1 = np.nonzero(m1)
+    rows1 = s1[lane1, slot1]
+
+    # ---- pass 2 lanes: fixed P2W-wide window per task (negative starts are
+    # born-dead in the kernel and can never pass the end>mid filter)
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    seeds_all: List[List[Tuple]] = []
-    p2_tasks = []  # (lane, mid, min_intv)
-    for b in range(B):
-        n = int(lens[b])
-        e = o["best_end"][b, :n]
-        # maximal matches: e(p) strictly above the running prefix max
-        prior = np.concatenate([[-1], np.maximum.accumulate(e)[:-1]])
-        is_max = (e > prior) & (e > np.arange(n))  # nonempty match
-        mem = []
-        for p in np.nonzero(is_max)[0]:
-            end = int(e[p])
-            if end - p >= opt.min_seed_len:
-                mem.append((int(p), end, int(o["best_x0"][b, p]),
-                            int(o["best_x1"][b, p]), int(o["best_s"][b, p])))
-        seeds_all.append(mem)
-        for (sb, se, _x0, _x1, size) in mem:
-            if se - sb >= split_len and size <= opt.split_width:
-                p2_tasks.append((b, (sb + se) >> 1, size + 1))
-
-    # pass 2: lanes = (task, p) for p in [mid - P2W + 1, mid]
-    if p2_tasks:
+    t_mask = m1 & ((s1[:, :, 1] - s1[:, :, 0]) >= split_len) \
+        & (s1[:, :, 4] <= opt.split_width)
+    tb, ts = np.nonzero(t_mask)
+    rows2 = np.zeros((0, 5), np.int32)
+    lane2 = np.zeros(0, np.int32)
+    if len(tb):
         P2W = min(L, 192)
-        t_read = []
-        t_start = []
-        t_minintv = []
-        for (b, mid, mi) in p2_tasks:
-            lo = max(0, mid - P2W + 1)
-            for p in range(lo, mid + 1):
-                t_read.append(b)
-                t_start.append(p)
-                t_minintv.append(mi)
-        # pad the lane count to a bucket so the kernel compiles once per
-        # bucket, not once per batch (padding lanes start past the read end
-        # and are born inactive)
-        n2 = len(t_start)
+        mids = (s1[tb, ts, 0] + s1[tb, ts, 1]) >> 1
+        mins = (s1[tb, ts, 4] + 1).astype(np.int32)
+        T = len(tb)
+        t_start = (mids[:, None] - P2W + 1
+                   + np.arange(P2W, dtype=np.int32)[None, :]).ravel()
+        t_read = np.repeat(tb.astype(np.int32), P2W)
+        t_minintv = np.repeat(mins, P2W)
+        n2 = T * P2W
         bucket = 256
         while bucket < n2:
             bucket <<= 1
-        pad = bucket - n2
-        t_read += [0] * pad
-        t_start += [int(lens[0])] * pad
-        t_minintv += [1] * pad
-        out2 = forward_extend_all(fm, q, lens_j, par_j,
-                                  jnp.asarray(np.array(t_start, np.int32)),
-                                  jnp.asarray(np.array(t_read, np.int32)),
-                                  jnp.asarray(np.array(t_minintv, np.int32)),
-                                  0, 0, max_iters=L + 2)
-        o2 = _unpack(np.asarray(out2))
-        off = 0
-        for (b, mid, mi) in p2_tasks:
-            lo = max(0, mid - P2W + 1)
-            width = mid + 1 - lo
-            e2 = o2["best_end"][off:off + width]
-            x0_2 = o2["best_x0"][off:off + width]
-            x1_2 = o2["best_x1"][off:off + width]
-            s_2 = o2["best_s"][off:off + width]
-            off += width
-            run_max = -1
-            for j in range(width):
-                p = lo + j
-                end = int(e2[j])
-                if end <= mid:      # must cover mid
-                    continue
-                if end <= run_max:  # contained in an earlier candidate
-                    continue
-                run_max = max(run_max, end)
-                if end - p >= opt.min_seed_len:
-                    seeds_all[b].append((p, end, int(x0_2[j]), int(x1_2[j]),
-                                         int(s_2[j])))
+        t_start = np.concatenate([t_start, np.full(bucket - n2, L, np.int32)])
+        t_read = np.concatenate([t_read, np.zeros(bucket - n2, np.int32)])
+        t_minintv = np.concatenate([t_minintv, np.ones(bucket - n2, np.int32)])
+        out2 = np.asarray(forward_extend_all(
+            fm, q, lens_j, par_j, jnp.asarray(t_start), jnp.asarray(t_read),
+            jnp.asarray(t_minintv), 0, 0, max_iters=L + 2))
+        e2 = out2[0][:n2].reshape(T, P2W)
+        # candidates cover mid and beat the running (masked) prefix max;
+        # run_max updates regardless of the min_seed_len emission filter
+        me = np.where(e2 > mids[:, None], e2, -1)
+        prior = np.concatenate(
+            [np.full((T, 1), -1, me.dtype),
+             np.maximum.accumulate(me, axis=1)[:, :-1]], axis=1)
+        p_arr = mids[:, None] - P2W + 1 + np.arange(P2W, dtype=np.int32)[None, :]
+        keep2 = (e2 > mids[:, None]) & (e2 > prior) \
+            & (e2 - p_arr >= opt.min_seed_len)
+        ti, tj = np.nonzero(keep2)
+        flat = ti * P2W + tj
+        rows2 = np.stack([p_arr[ti, tj], e2[ti, tj], out2[1][flat],
+                          out2[2][flat], out2[3][flat]], axis=-1).astype(np.int32)
+        lane2 = tb[ti].astype(np.int32)
 
-    # pass 3: resolve the sequential restart chain from the per-start data
-    if opt.max_mem_intv > 0:
-        for b in range(B):
-            n = int(lens[b])
-            p = 0
-            while p < n:
-                if reads[b, p] >= 4:
-                    p += 1
-                    continue
-                if o["f3_done"][b, p]:
-                    if o["f3_s"][b, p] > 0:
-                        seeds_all[b].append((int(p), int(o["f3_end"][b, p]),
-                                             int(o["f3_x0"][b, p]),
-                                             int(o["f3_x1"][b, p]),
-                                             int(o["f3_s"][b, p])))
-                    p = int(o["ret3"][b, p])
-                else:
-                    p = int(o["ret3"][b, p])
+    m3 = np.arange(S3)[None, :] < np.minimum(n3, S3)[:, None]
+    lane3, slot3 = np.nonzero(m3)
+    rows3 = s3[lane3, slot3]
 
-    for mem in seeds_all:
-        mem.sort(key=lambda s: (s[0] << 32) | s[1])
-    return seeds_all, np.zeros(B, bool)
+    lane_of = np.concatenate([lane1.astype(np.int32), lane2,
+                              lane3.astype(np.int32)])
+    rows = np.concatenate([rows1, rows2, rows3]).astype(np.int32, copy=False)
+    # stable (lane, start, end) order == host's stable sort on start<<32|end
+    order = np.lexsort((rows[:, 1], rows[:, 0], lane_of))
+    return lane_of[order], rows[order], overflow
+
+
+def collect_intv_parallel(fm: FMPair, reads, lens, parents, opt) -> Tuple[List[List[Tuple]], np.ndarray]:
+    """Device-parallel mem_collect_intv. Returns per-lane seed lists
+    (start, end, x0, x1, s), sorted like the reference, plus an overflow mask
+    (lanes that spilled the device seed caps and need the host fallback)."""
+    B, L = reads.shape
+    lane_of, rows, overflow = collect_intv_flat(fm, reads, lens, parents, opt)
+    seeds_all: List[List[Tuple]] = [[] for _ in range(B)]
+    for b, row in zip(lane_of, rows):
+        seeds_all[b].append(tuple(int(v) for v in row))
+    return seeds_all, overflow
