@@ -23,7 +23,7 @@ from ..config import MemOpt, MEM_F_PE, MEM_F_NO_RESCUE
 from ..index.fmindex import BisIndex
 from ..ops import sw
 from ..ops.seed_batch import FMPair, sa_batch
-from ..ops.seed_parallel import collect_intv_parallel
+from ..ops.seed_parallel import collect_intv_flat, collect_intv_parallel
 from ..ops.sw_batch import sw_extend_batch
 from ..ops.pallas_sw import sw_extend_batch_pallas
 from .chain import mem_chain, mem_chain_flt, mem_flt_chained_seeds
@@ -279,6 +279,156 @@ def _chain_generators(gen_parent_list):
                 req = gen.send(result)
             except StopIteration:
                 break
+
+
+class DeviceSeeder:
+    """TPU seed provider for the hybrid device engine.
+
+    Runs the whole of mem_collect_intv (memchain.c:50-106) on the
+    accelerator — per-position forward extension with on-device compaction
+    (ops/seed_parallel.seed_collect_device) — plus batched SA walks for the
+    leading occurrences of every seed, and packages the result as a
+    zero-copy seed injection for the C++ batch entries (align_host.cpp
+    SeedInj). The branchy stages (chaining, extension, SAM) stay in C++.
+
+    Injection is purely an offload: lanes the device cannot cover (seed-cap
+    overflow, unsupported flags) keep `has=0` and self-seed in C++, so
+    output is byte-identical with or without a seeder.
+    """
+
+    SA_CAP = 64          # occurrences prefetched per seed; tail walks in C++
+    SWEEP = 4096         # lanes per device sweep (bounds kernel buffers)
+    JOB_CAP = 1 << 20    # SA jobs per sa_batch call
+
+    def __init__(self, st: AlignerState):
+        self.st = st
+        self.fmpair = FMPair.from_index(st.idx)
+
+    def lane_keys(self, opt: MemOpt, n: int, pe: bool):
+        """Lane keys (read*2+parent) matching the C++ batch lane policy
+        (bwamem.c:311-375; align_host.cpp bt_align_*_batch)."""
+        pp = opt.parent
+        keys = []
+        for i in range(n):
+            if not pe:
+                if not (pp & 1) or (pp >> 1):
+                    keys.append(i * 2)
+                if not (pp & 1) or not (pp >> 1):
+                    keys.append(i * 2 + 1)
+            else:
+                first = 1 if i % 2 == 0 else 0
+                keys.append(i * 2 + first)
+                if not pp:
+                    keys.append(i * 2 + (1 - first))
+        return np.asarray(keys, np.int64)
+
+    def build_injection(self, opt: MemOpt, seqs, pe: bool):
+        """Returns (SeedInjC, keepalive) or None (seeder not applicable)."""
+        from ..config import MEM_F_SELF_OVLP
+        from .native_engine import SeedInjC, _ptr
+        import ctypes as Ct
+        if opt.flag & MEM_F_SELF_OVLP:  # start_width=2 seeding: C++ path
+            return None
+        n = len(seqs)
+        if n == 0:
+            return None
+        keys = self.lane_keys(opt, n, pe)
+        B = len(keys)
+        maxlen = max(s.l_seq for s in seqs)
+        L = max((maxlen + 31) // 32 * 32, 32)
+
+        rows_parts, keyrow_parts = [], []
+        ovf_by_lane = np.zeros(B, bool)
+        for lo in range(0, B, self.SWEEP):
+            sub = keys[lo:lo + self.SWEEP]
+            nb = len(sub)
+            Bb = _pow2(nb)
+            q = np.full((Bb, L), 4, dtype=np.int32)
+            lens = np.zeros(Bb, np.int32)
+            parents = np.zeros(Bb, np.int32)
+            for j, key in enumerate(sub):
+                s = seqs[key >> 1]
+                p = int(key & 1)
+                q[j, :s.l_seq] = bsconvert(s, p)
+                lens[j] = s.l_seq
+                parents[j] = p
+            lane_of, rows, overflow = collect_intv_flat(
+                self.fmpair, q, lens, parents, opt)
+            keep = lane_of < nb
+            lane_of, rows = lane_of[keep], rows[keep]
+            ovf_by_lane[lo:lo + nb] = overflow[:nb]
+            rows_parts.append(rows)
+            keyrow_parts.append(sub[lane_of])
+
+        rows = np.concatenate(rows_parts) if rows_parts else \
+            np.zeros((0, 5), np.int32)
+        keys_of_row = np.concatenate(keyrow_parts) if keyrow_parts else \
+            np.zeros(0, np.int64)
+        # drop rows of overflowed lanes (they self-seed in C++)
+        has = np.zeros(2 * n, np.uint8)
+        ok_keys = keys[~ovf_by_lane]
+        has[ok_keys] = 1
+        rk = has[keys_of_row] == 1
+        rows, keys_of_row = rows[rk], keys_of_row[rk]
+        # group rows by lane key (stable: preserves in-lane seed order)
+        order = np.argsort(keys_of_row, kind="stable")
+        rows = np.ascontiguousarray(rows[order])
+        keys_of_row = keys_of_row[order]
+        M = len(rows)
+        lane_off = np.zeros(2 * n + 1, np.int64)
+        lane_off[1:] = np.cumsum(np.bincount(keys_of_row.astype(np.int64),
+                                             minlength=2 * n))
+
+        # batched SA prefetch: first min(s, SA_CAP) occurrences per seed
+        sizes = rows[:, 4].astype(np.int64)
+        kmax = np.minimum(sizes, self.SA_CAP)
+        sa_off = np.zeros(M + 1, np.int64)
+        sa_off[1:] = np.cumsum(kmax)
+        total = int(sa_off[-1])
+        sa_pos = np.zeros(max(total, 1), np.int64)
+        if total:
+            which_all = np.repeat((keys_of_row & 1).astype(np.int32), kmax)
+            base = np.repeat(rows[:, 2].astype(np.int64), kmax)
+            within = np.arange(total, dtype=np.int64) - \
+                np.repeat(sa_off[:-1], kmax)
+            ranks_all = (base + within).astype(np.int32)
+            for lo in range(0, total, self.JOB_CAP):
+                hi = min(lo + self.JOB_CAP, total)
+                nj = hi - lo
+                njb = _pow2(nj)
+                jw = np.zeros(njb, np.int32)
+                jr = np.ones(njb, np.int32)
+                jw[:nj] = which_all[lo:hi]
+                jr[:nj] = ranks_all[lo:hi]
+                pos = np.asarray(sa_batch(self.fmpair, jnp.asarray(jw),
+                                          jnp.asarray(jr)))[:nj]
+                sa_pos[lo:hi] = pos.astype(np.int64)
+
+        rows_se = np.ascontiguousarray(rows[:, :2]) if M else \
+            np.zeros((1, 2), np.int32)
+        rows_xs = np.ascontiguousarray(rows[:, 2:5].astype(np.int64)) if M \
+            else np.zeros((1, 3), np.int64)
+        inj = SeedInjC()
+        inj.has = Ct.cast(_ptr(has), Ct.c_void_p)
+        inj.lane_off = Ct.cast(_ptr(lane_off), Ct.c_void_p)
+        inj.rows_se = Ct.cast(_ptr(rows_se), Ct.c_void_p)
+        inj.rows_xs = Ct.cast(_ptr(rows_xs), Ct.c_void_p)
+        inj.sa_off = Ct.cast(_ptr(sa_off), Ct.c_void_p)
+        inj.sa_pos = Ct.cast(_ptr(sa_pos), Ct.c_void_p)
+        keep_alive = (has, lane_off, rows_se, rows_xs, sa_off, sa_pos)
+        return inj, keep_alive
+
+
+def process_seqs_hybrid(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
+                        pes0=None, rg_id: str = "",
+                        engine=None, seeder: Optional[DeviceSeeder] = None):
+    """The production TPU engine: device seeding + SA (DeviceSeeder) injected
+    into the C++ chain/extend/SAM stages (process_seqs_native)."""
+    from .native_engine import NativeAligner, process_seqs_native
+    nat = engine if isinstance(engine, NativeAligner) else NativeAligner(st)
+    sdr = seeder or DeviceSeeder(st)
+    process_seqs_native(opt, st, seqs, n_processed, pes0, rg_id, engine=nat,
+                        seeder=sdr)
 
 
 DEVICE_BATCH = 2048  # reads per device sweep (bounds SMEM machine buffers)

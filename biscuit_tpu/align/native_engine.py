@@ -75,6 +75,15 @@ class PeStatC(C.Structure):
                 ("avg", C.c_double), ("std_", C.c_double)]
 
 
+class SeedInjC(C.Structure):
+    """Device-computed seed injection (align_host.cpp SeedInj): per-lane
+    collect_intv rows + prefetched SA positions. Built by
+    device_engine.DeviceSeeder; lanes without `has` self-seed in C++."""
+    _fields_ = [("has", C.c_void_p), ("lane_off", C.c_void_p),
+                ("rows_se", C.c_void_p), ("rows_xs", C.c_void_p),
+                ("sa_off", C.c_void_p), ("sa_pos", C.c_void_p)]
+
+
 REG_CAP = 96
 
 
@@ -272,10 +281,12 @@ class NativeAligner:
         return sams
 
     def align_se_batch(self, opt: MemOpt, seqs, n_processed: int,
-                       rg_id: str, n_threads: int) -> List[Optional[str]]:
+                       rg_id: str, n_threads: int,
+                       inj=None) -> List[Optional[str]]:
         """Fused C++ worker1+worker2 for SE reads (bt_align_se_batch).
         Returns per-read SAM text, or None for reads needing the Python
-        fallback. Reads must already be clipped (read_clipping)."""
+        fallback. Reads must already be clipped (read_clipping). `inj` is an
+        optional (SeedInjC, keepalive) pair from DeviceSeeder."""
         n = len(seqs)
         L = self.lib
         L.bt_align_se_batch.restype = C.c_int
@@ -295,13 +306,14 @@ class NativeAligner:
             _ptr(m["clip5"]), _ptr(m["clip3"]), _ptr(m["py_only"]),
             m["ann_buf"], _ptr(m["ann_offs"]),
             rgb, len(rgb), C.c_int64(n_processed), n, n_threads,
+            C.byref(inj[0]) if inj is not None else None,
             C.byref(out_buf), _ptr(out_lens), _ptr(status))
         if rc != 0:
             raise RuntimeError(f"bt_align_se_batch rc={rc}")
         return self._collect_sams(out_buf, out_lens, status, n)
 
     def align_pe_batch(self, opt: MemOpt, seqs, n_processed: int,
-                       rg_id: str, n_threads: int, pes0=None):
+                       rg_id: str, n_threads: int, pes0=None, inj=None):
         """Fused C++ PE batch (bt_align_pe_batch). Returns (sams, pes):
         per-read SAM text (None = Python fallback for that pair; all-None =
         rerun the whole batch in Python) and the PeStat used."""
@@ -334,6 +346,7 @@ class NativeAligner:
             m["ann_buf"], _ptr(m["ann_offs"]),
             rgb, len(rgb), C.c_int64(n_processed), n, n_threads,
             C.byref(pc), 1 if pes0 is not None else 0,
+            C.byref(inj[0]) if inj is not None else None,
             C.byref(out_buf), _ptr(out_lens), _ptr(status))
         if rc != 0:
             raise RuntimeError(f"bt_align_pe_batch rc={rc}")
@@ -460,10 +473,13 @@ def _w2_pe_chunk(args):
 
 def process_seqs_native(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
                         pes0=None, rg_id: str = "",
-                        engine: Optional[NativeAligner] = None) -> None:
+                        engine: Optional[NativeAligner] = None,
+                        seeder=None) -> None:
     """mem_process_seqs with the native worker1 (C++ threads) and worker2
     fanned out over a fork pool (exact: PE insert-size stats still span the
-    whole chunk, as in the reference)."""
+    whole chunk, as in the reference). `seeder` is an optional
+    device_engine.DeviceSeeder: seeds + SA prefetches then come from the TPU
+    (seed injection), C++ keeps the branchy chain/extend/SAM stages."""
     nat = engine or NativeAligner(st)
     pe = bool(opt.flag & MEM_F_PE)
     if pe:
@@ -477,6 +493,7 @@ def process_seqs_native(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
     for s in seqs:
         read_clipping(s, opt.adaptor1 if (not pe or s.id % 2 == 0)
                       else opt.adaptor2, opt)
+    inj = seeder.build_injection(opt, seqs, pe) if seeder is not None else None
 
     n_workers = max(1, opt.n_threads)
     from . import pair as pairmod
@@ -484,7 +501,7 @@ def process_seqs_native(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
         # the fused C++ path computes pes internally from its own chunk; a
         # multi-host isize exchange needs the Python pestat below
         sams, pes = nat.align_pe_batch(opt, seqs, n_processed, rg_id,
-                                       n_workers, pes0)
+                                       n_workers, pes0, inj=inj)
         if any(s is not None for s in sams):
             for pi in range(len(seqs) >> 1):
                 i0 = pi << 1
@@ -511,7 +528,8 @@ def process_seqs_native(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
 
     if not pe and not (opt.flag & MEM_F_REF_HDR):
         # fused C++ worker1+worker2 (SAM text straight from the library)
-        sams = nat.align_se_batch(opt, seqs, n_processed, rg_id, n_workers)
+        sams = nat.align_se_batch(opt, seqs, n_processed, rg_id, n_workers,
+                                  inj=inj)
         for i, (s, sam) in enumerate(zip(seqs, sams)):
             if sam is not None:
                 s.sam = sam

@@ -329,8 +329,20 @@ Input/output options:
         # in the reference likewise only makes sense at -t 1)
         engine = "host"
         opt.n_threads = 1
-    dev = nat = None
+    dev = nat = sdr = None
     if engine == "device":
+        # production TPU engine: device seeding/SA injected into the C++
+        # chain/extend/SAM stages; falls back to pure C++ when the device
+        # seeder cannot run (wide index, unsupported flags)
+        from .align.native_engine import NativeAligner, process_seqs_native
+        nat = NativeAligner(st)
+        try:
+            from .align.device_engine import DeviceSeeder
+            sdr = DeviceSeeder(st)
+        except NotImplementedError as e:
+            print(f"[biscuit_tpu] device seeder unavailable ({e}); "
+                  "using the native engine", file=sys.stderr)
+    elif engine == "device-jax":
         from .align.device_engine import DeviceAligner, process_seqs_device
         dev = DeviceAligner(st)
     elif engine == "native":
@@ -343,7 +355,8 @@ Input/output options:
         if dev is not None:
             process_seqs_device(opt, st, seqs, n_processed, pes0, rg_id, engine=dev)
         elif nat is not None:
-            process_seqs_native(opt, st, seqs, n_processed, pes0, rg_id, engine=nat)
+            process_seqs_native(opt, st, seqs, n_processed, pes0, rg_id,
+                                engine=nat, seeder=sdr)
         else:
             process_seqs(opt, st, seqs, n_processed, pes0, rg_id)
         if verbose >= 3:

@@ -923,7 +923,12 @@ static bool merge_seed_to_chain(const Opt &opt, int64_t l_pac, Chain &c,
 static void chain_from_seeds(const Opt &opt, const StrandFM &fm, const Bns &bns,
                              int len, int parent,
                              const std::vector<Seed5> &mem,
-                             std::vector<Chain> &chains, double &frac_rep_out) {
+                             std::vector<Chain> &chains, double &frac_rep_out,
+                             // optional device-prefetched SA positions: seed j
+                             // occurrence k < sa_off[j+1]-sa_off[j] is
+                             // sa_pos[sa_off[j]+k]; the tail walks fm_sa
+                             const int64_t *sa_pos = nullptr,
+                             const int64_t *sa_off = nullptr) {
     chains.clear();
     int64_t l_pac = bns.l_pac;
     // l_rep
@@ -938,12 +943,16 @@ static void chain_from_seeds(const Opt &opt, const StrandFM &fm, const Bns &bns,
 
     std::vector<int64_t> keys;  // chain pos, sorted
     std::vector<Chain> tree;
-    for (auto &iv : mem) {
+    for (size_t si = 0; si < mem.size(); ++si) {
+        const Seed5 &iv = mem[si];
         int32_t slen = iv.end - iv.start;
+        int64_t pre_base = sa_off ? sa_off[si] : 0;
+        int64_t pre_n = sa_off ? sa_off[si + 1] - sa_off[si] : 0;
         int64_t k = 0, count = 0;
         while (k < iv.s && count < opt.max_occ &&
                ((count > 5 && k < opt.max_occ) || count <= 5)) {
-            int64_t rbeg = fm_sa(fm, iv.x0 + k);
+            int64_t rbeg = k < pre_n ? sa_pos[pre_base + k]
+                                     : fm_sa(fm, iv.x0 + k);
             ++k;
             SeedHit s{rbeg, iv.start, slen, slen};
             int rid = intv2rid(bns, rbeg, rbeg + slen);
@@ -1247,9 +1256,25 @@ struct Ctx {
     Opt opt;
 };
 
+// Device-computed seed injection for a batch (see bt_align_*_batch): when a
+// lane (read, parent) has `has[read*2+parent]` set, the TPU already ran
+// mem_collect_intv (ops/seed_parallel.seed_collect_device) and prefetched SA
+// positions for the leading occurrences of each seed; the C++ path then
+// skips collect_intv and most fm_sa walks. Lanes without the flag self-seed
+// (identical output either way — injection is purely an offload).
+struct SeedInj {
+    const uint8_t *has;       // [n_reads*2] lane key = read_idx*2 + parent
+    const int64_t *lane_off;  // [n_reads*2 + 1] row ranges per lane
+    const int32_t *rows_se;   // [M*2] start, end
+    const int64_t *rows_xs;   // [M*3] x0, x1, s
+    const int64_t *sa_off;    // [M+1] absolute offsets into sa_pos
+    const int64_t *sa_pos;    // prefetched SA positions
+};
+
 // align one read against one strand: convert, seed, chain, filter, extend
 static void align1_core(const Ctx &cx, const uint8_t *seq, int len, int parent,
-                        std::vector<Region> &regs, bool &needs_fallback) {
+                        std::vector<Region> &regs, bool &needs_fallback,
+                        const SeedInj *inj = nullptr, int read_idx = -1) {
     if (len < cx.opt.min_seed_len) return;  // mem_chain early-out
     // mem_flt_chained_seeds gate: active only for long reads / explicit
     // min_chain_weight — fall back to the Python engine in that case
@@ -1265,7 +1290,23 @@ static void align1_core(const Ctx &cx, const uint8_t *seq, int len, int parent,
     const StrandFM &fm = cx.fm[parent];
     const StrandFM &fmc = cx.fm[1 - parent];
     std::vector<Seed5> mem;
-    {
+    const int64_t *sa_pos = nullptr;
+    const int64_t *sa_off = nullptr;
+    int lane = read_idx >= 0 ? read_idx * 2 + parent : -1;
+    if (inj && lane >= 0 && inj->has[lane]) {
+        int64_t r0 = inj->lane_off[lane], r1 = inj->lane_off[lane + 1];
+        mem.resize(r1 - r0);
+        for (int64_t r = r0; r < r1; ++r) {
+            Seed5 &s = mem[r - r0];
+            s.start = inj->rows_se[r * 2];
+            s.end = inj->rows_se[r * 2 + 1];
+            s.x0 = inj->rows_xs[r * 3];
+            s.x1 = inj->rows_xs[r * 3 + 1];
+            s.s = inj->rows_xs[r * 3 + 2];
+        }
+        sa_pos = inj->sa_pos;
+        sa_off = inj->sa_off + r0;
+    } else {
         ProfScope p(0);
         collect_intv(cx.opt, fm, fmc, conv.data(), len, mem);
     }
@@ -1273,7 +1314,8 @@ static void align1_core(const Ctx &cx, const uint8_t *seq, int len, int parent,
     double frac_rep = 0.0;
     {
         ProfScope p(1);
-        chain_from_seeds(cx.opt, fm, cx.bns, len, parent, mem, chns, frac_rep);
+        chain_from_seeds(cx.opt, fm, cx.bns, len, parent, mem, chns, frac_rep,
+                         sa_pos, sa_off);
     }
     {
         ProfScope p(2);
@@ -2971,6 +3013,7 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
                       const char *ann_names_cat, const int64_t *ann_name_offs,
                       const char *rg, int32_t rg_len,
                       int64_t n_processed, int32_t n_reads, int32_t n_threads,
+                      const SeedInj *inj,
                       void **out_buf, int64_t *out_lens, int32_t *status) {
     Ctx cx;
     for (int i = 0; i < 2; ++i) {
@@ -3028,9 +3071,9 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
             int len = lens[i];
             int pp = o.parent_policy;
             if (!(pp & 1) || (pp >> 1))
-                align1_core(cx, seq, len, 0, regs1, fallback);
+                align1_core(cx, seq, len, 0, regs1, fallback, inj, i);
             if (!(pp & 1) || !(pp >> 1))
-                align1_core(cx, seq, len, 1, regs1, fallback);
+                align1_core(cx, seq, len, 1, regs1, fallback, inj, i);
             if (fallback) { status[i] = -1; continue; }
             std::vector<Reg2> regs(regs1.size());
             for (size_t j = 0; j < regs1.size(); ++j) {
@@ -3128,6 +3171,7 @@ int bt_align_pe_batch(const StrandFMC *dau, const StrandFMC *par,
                       const char *rg, int32_t rg_len,
                       int64_t n_processed, int32_t n_reads, int32_t n_threads,
                       PeStatC *pes_io, int32_t pes_given,
+                      const SeedInj *inj,
                       void **out_buf, int64_t *out_lens, int32_t *status) {
     Ctx cx;
     for (int i = 0; i < 2; ++i) {
@@ -3190,9 +3234,9 @@ int bt_align_pe_batch(const StrandFMC *dau, const StrandFMC *par,
             int len = lens[i];
             bool r1 = (i % 2) == 0;
             int first = r1 ? 1 : 0;
-            align1_core(cx, seq, len, first, regs1, fallback);
+            align1_core(cx, seq, len, first, regs1, fallback, inj, i);
             if (!o.parent_policy)
-                align1_core(cx, seq, len, 1 - first, regs1, fallback);
+                align1_core(cx, seq, len, 1 - first, regs1, fallback, inj, i);
             if (fallback) { fb[i] = 1; continue; }
             std::vector<Reg2> &regs = all_regs[i];
             regs.resize(regs1.size());
