@@ -20,19 +20,60 @@ import jax
 import jax.numpy as jnp
 
 from ..index.fmindex import BisIndex
-from .fm import FMArrays, OCC_SHIFT, WORDS_PER_BLOCK
+from .fm import FMArrays
 
 BIG = jnp.int32(0x7FFFFFFF)
 
 PH_SCAN, PH_FWD, PH_BACK, PH_DONE = 0, 1, 2, 3
 
 
+def _popcount32_np(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount of a uint32 numpy array."""
+    x = x.astype(np.uint32)
+    x = x - ((x >> np.uint32(1)) & np.uint32(0x55555555))
+    x = (x & np.uint32(0x33333333)) + ((x >> np.uint32(2)) & np.uint32(0x33333333))
+    x = (x + (x >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    return ((x * np.uint32(0x01010101)) >> np.uint32(24)).astype(np.int64)
+
+
+def _fused_tab(words: np.ndarray, occ_cp: np.ndarray, seq_len: int) -> np.ndarray:
+    """Fused occ+BWT table: one 32-byte row per 64 BWT bases —
+    [c0, c1, c2, c3, w0, w1, w2, w3] as 8 uint32 — so every occ4 query is a
+    SINGLE row gather (XLA TPU gathers cost per row, not per byte; the
+    separate words/checkpoint layout spent ~3 gather-rows per query).
+    Same idea as the C++ runtime's ilv2 blocks (align_host.cpp)."""
+    words = np.asarray(words, np.uint32)
+    cp = np.asarray(occ_cp).astype(np.int64)  # [n128+1, 4]
+    n64 = (int(seq_len) + 63) >> 6
+    wpad = np.zeros(n64 * 4, np.uint32)
+    wpad[:len(words)] = words
+    w4 = wpad.reshape(n64, 4)
+    M = np.uint32(0x55555555)
+    inv = ~wpad
+    pc = np.stack([
+        _popcount32_np(((inv >> np.uint32(1)) & inv) & M),
+        _popcount32_np(((inv >> np.uint32(1)) & wpad) & M),
+        _popcount32_np(((wpad >> np.uint32(1)) & inv) & M),
+        _popcount32_np(((wpad >> np.uint32(1)) & wpad) & M),
+    ], axis=1)                                   # [n64*4, 4] per-word counts
+    blk_counts = pc.reshape(n64, 4, 4).sum(axis=1)  # [n64, 4] per-64-block
+    b = np.arange(n64)
+    base = cp[b >> 1]                            # 128-base checkpoints
+    odd_add = np.where((b & 1)[:, None] == 1,
+                       blk_counts[(b >> 1) << 1], 0)
+    tab = np.empty((n64, 8), np.uint32)
+    tab[:, :4] = (base + odd_add).astype(np.uint32)
+    tab[:, 4:] = w4
+    return tab
+
+
 @dataclass(frozen=True)
 class FMPair:
     """Parent+daughter FM arrays fused for per-lane index selection.
-    Index id 0 = daughter, 1 = parent (reference bwt_t bwt[2], bwa.h:42-50)."""
-    words: jnp.ndarray     # [2, n_words] uint32
-    occ_cp: jnp.ndarray    # [2, n_blocks+1, 4] int32
+    Index id 0 = daughter, 1 = parent (reference bwt_t bwt[2], bwa.h:42-50).
+    The occ+BWT state lives in `tab` (see _fused_tab): one 32-byte row per
+    64 bases, so occ4 / bwt_char / invPsi are single-row gathers."""
+    tab: jnp.ndarray       # [2, n64, 8] uint32 fused occ+BWT rows
     L2: jnp.ndarray        # [2, 5] int32
     primary: jnp.ndarray   # [2] int32
     seq_len: jnp.ndarray   # int32 (same for both strands)
@@ -44,11 +85,13 @@ class FMPair:
             raise NotImplementedError(
                 "device seeding uses int32 ranks; wide (>=2^31) indexes run "
                 "on the native engine (BISCUIT_TPU_ENGINE=native)")
+        n = int(idx.dau.seq_len)
+        tab = np.stack([_fused_tab(idx.dau.words, idx.dau.occ_cp, n),
+                        _fused_tab(idx.par.words, idx.par.occ_cp, n)])
         dau = FMArrays.from_strand(idx.dau)
         par = FMArrays.from_strand(idx.par)
         return cls(
-            words=jnp.stack([dau.words, par.words]),
-            occ_cp=jnp.stack([dau.occ_cp, par.occ_cp]),
+            tab=jnp.asarray(tab),
             L2=jnp.stack([dau.L2, par.L2]),
             primary=jnp.stack([dau.primary, par.primary]),
             seq_len=dau.seq_len,
@@ -58,33 +101,22 @@ class FMPair:
 
 jax.tree_util.register_pytree_node(
     FMPair,
-    lambda f: ((f.words, f.occ_cp, f.L2, f.primary, f.seq_len, f.sa_samples), None),
+    lambda f: ((f.tab, f.L2, f.primary, f.seq_len, f.sa_samples), None),
     lambda _, ch: FMPair(*ch),
 )
 
 
-def occ4_sel(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """occ4 with a per-lane strand-index selector `which` in {0,1}."""
-    k = k.astype(jnp.int32)
-    is_neg = k < 0
-    is_full = k == fm.seq_len
-    ksafe = jnp.clip(k, 0, fm.seq_len - 1)
-    prim = fm.primary[which]
-    kk = ksafe - (ksafe >= prim).astype(jnp.int32)
-    block = kk >> OCC_SHIFT
-    n_blocks = fm.occ_cp.shape[1]
-    acc = fm.occ_cp.reshape(-1, 4)[which * n_blocks + block]
-    w_idx = ((kk >> 4) & 7)[..., None]
+def _occ4_from_row(row: jnp.ndarray, kk: jnp.ndarray) -> jnp.ndarray:
+    """Class counts up to position kk (exclusive of positions > kk) given the
+    fused 64-base row of kk's block. row [..., 8] uint32, kk [...] int32."""
+    acc = row[..., :4].astype(jnp.int32)
+    w4 = row[..., 4:]
+    w_idx = ((kk >> 4) & 3)[..., None]
     t_low = (~kk & 15).astype(jnp.uint32)[..., None]
-    n_words = fm.words.shape[1]
-    base = which[..., None] * n_words + jnp.minimum(
-        block[..., None] * WORDS_PER_BLOCK
-        + jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32), n_words - 1)
-    w8 = fm.words.reshape(-1)[base]
-    jj = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)
+    jj = jnp.arange(4, dtype=jnp.int32)
     sel_part = jj == w_idx
     active = jj <= w_idx
-    wm = jnp.where(sel_part, (w8 >> (t_low << 1)) << (t_low << 1), w8)
+    wm = jnp.where(sel_part, (w4 >> (t_low << 1)) << (t_low << 1), w4)
     inv = ~wm
     lo1 = wm & jnp.uint32(0x55555555)
     c0 = jax.lax.population_count(((inv >> 1) & inv) & jnp.uint32(0x55555555)).astype(jnp.int32)
@@ -98,7 +130,20 @@ def occ4_sel(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
         jnp.sum(jnp.where(active, c2, 0), axis=-1),
         jnp.sum(jnp.where(active, c3, 0), axis=-1),
     ], axis=-1)
-    res = acc + counts
+    return acc + counts
+
+
+def occ4_sel(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """occ4 with a per-lane strand-index selector `which` in {0,1}.
+    One fused-table row gather per query."""
+    k = k.astype(jnp.int32)
+    is_neg = k < 0
+    is_full = k == fm.seq_len
+    ksafe = jnp.clip(k, 0, fm.seq_len - 1)
+    prim = fm.primary[which]
+    kk = ksafe - (ksafe >= prim).astype(jnp.int32)
+    row = fm.tab[which, kk >> 6]
+    res = _occ4_from_row(row, kk)
     totals = (fm.L2[:, 1:5] - fm.L2[:, 0:4])[which]
     res = jnp.where(is_full[..., None], totals, res)
     res = jnp.where(is_neg[..., None], 0, res)
@@ -359,18 +404,18 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
 
 @jax.jit
 def sa_batch(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """Batched SA lookup (bwt_sa walk) with per-lane strand selection."""
-    n_words = fm.words.shape[1]
-
-    def bwt_char(which, kk):
-        w = fm.words.reshape(-1)[which * n_words + (kk >> 4)]
-        return ((w >> (((~kk & 15) << 1).astype(jnp.uint32))) & 3).astype(jnp.int32)
+    """Batched SA lookup (bwt_sa walk) with per-lane strand selection.
+    The fused invPsi needs ONE tab-row gather per step: the BWT char and its
+    occ rank come from the same 64-base block row."""
 
     def inv_psi(which, kk):
         prim = fm.primary[which]
-        x = kk - (kk > prim).astype(jnp.int32)
-        c = bwt_char(which, x)
-        o4 = occ4_sel(fm, which, kk)
+        j = kk - (kk >= prim).astype(jnp.int32)
+        row = fm.tab[which, j >> 6]
+        w = jnp.take_along_axis(row, (4 + ((j >> 4) & 3))[..., None],
+                                axis=-1)[..., 0]
+        c = ((w >> (((~j & 15) << 1).astype(jnp.uint32))) & 3).astype(jnp.int32)
+        o4 = _occ4_from_row(row, j)
         occs = jnp.take_along_axis(o4, c[..., None], axis=-1)[..., 0]
         return jnp.where(kk == prim, 0, fm.L2[which, c] + occs)
 
