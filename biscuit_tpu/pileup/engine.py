@@ -462,11 +462,16 @@ def _pileup_window_fast(bams: List[AlignmentFile], rs: RefCache, conf: PileupCon
     passm = np.concatenate(pass_l)
 
     p = pos - beg  # 0..P-1
-    if os.environ.get("BISCUIT_TPU_PILEUP") == "device":
+    _mode = os.environ.get("BISCUIT_TPU_PILEUP")
+    if _mode == "device":
         # TPU path: count matrices via the device scatter-add kernel
-        # (parallel/mesh.py pileup_count_window; psum-merged across a mesh in
-        # the sharded variant — see dryrun_multichip / test_multichip)
+        # (parallel/mesh.py pileup_count_window)
         cm, cb, dp_arr = _device_counts(p, sid, stat, passm, P, n_bams)
+    elif _mode == "mesh":
+        # multi-chip path: datum arrays sharded over a dp mesh of every
+        # visible device, per-shard counts psum-merged (the collective analog
+        # of the reference's window-queue merge, pileup.c:1153-1204)
+        cm, cb, dp_arr = _mesh_counts(p, sid, stat, passm, P, n_bams)
     else:
         # depth per (pos, sid) over ALL data
         dp_arr = np.bincount(p * n_bams + sid,
@@ -536,6 +541,59 @@ def _device_counts(p, sid, stat, passm, P: int, n_bams: int):
     dp_arr = np.asarray(pileup_count_window(
         comp, jnp.zeros_like(comp), jnp.ones(len(p), bool), P * n_bams,
         1)).reshape(P, n_bams).astype(np.int64)
+    return cm, cb, dp_arr
+
+
+_MESH_FNS: Dict[tuple, object] = {}
+
+
+def _mesh_counts(p, sid, stat, passm, P: int, n_bams: int):
+    """Sharded _device_counts: shard the CIGAR-expanded datum arrays over a
+    "dp" mesh of all visible devices and psum-merge the per-shard window
+    counts (parallel/mesh.py sharded_pileup_counts_fn). Counts are integers,
+    so the VCF produced through an n-device mesh is byte-identical to the
+    single-device run. Shapes are bucketed to powers of two so window-to-
+    window drift does not recompile."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ..parallel.mesh import make_mesh, sharded_pileup_counts_fn
+
+    n_dev = len(jax.devices())
+    Wd = P * n_bams
+    Wpad = 1 << max(10, (Wd - 1).bit_length())
+    n = len(p)
+    per = -(-max(n, 1) // n_dev)
+    npad = n_dev * (1 << (per - 1).bit_length())
+
+    key = (n_dev, Wpad)
+    ent = _MESH_FNS.get(key)
+    if ent is None:
+        mesh = make_mesh(n_dev)
+        ent = (mesh, sharded_pileup_counts_fn(mesh, Wpad, 32),
+               sharded_pileup_counts_fn(mesh, Wpad, 1))
+        _MESH_FNS[key] = ent
+    mesh, cnt32, cnt1 = ent
+    sh = NamedSharding(mesh, PartitionSpec("dp"))
+
+    def padded(a, fill, dtype):
+        out = np.full(npad, fill, dtype)
+        out[:n] = a
+        return jax.device_put(jnp.asarray(out), sh)
+
+    comp = padded(p * n_bams + sid, 0, np.int32)
+    code = padded((stat >> 4) * NSTATUS_METH + (stat & 0xF), 0, np.int32)
+    vfilt = padded(passm, False, bool)
+    vall = padded(np.ones(n, bool), False, bool)
+
+    c = np.asarray(cnt32(comp, code, vfilt))[:Wd].reshape(
+        P, n_bams, -1)[:, :, :NSTATUS_BASE * NSTATUS_METH].reshape(
+        P, n_bams, NSTATUS_BASE, NSTATUS_METH)
+    cm = c.sum(axis=2).astype(np.int64)
+    cb = c.sum(axis=3).astype(np.int64)
+    dp_arr = np.asarray(cnt1(comp, jnp.zeros_like(comp), vall))[:Wd].reshape(
+        P, n_bams).astype(np.int64)
     return cm, cb, dp_arr
 
 

@@ -144,3 +144,38 @@ def test_pileup_device_counts_match_numpy():
                 if not l.startswith("##program")]
 
     assert pl("device") == pl("numpy")
+
+
+def test_pileup_mesh_cli_vcf_matches_single():
+    """BISCUIT_TPU_PILEUP=mesh runs the pileup CLI with datum arrays sharded
+    over every visible device and psum-merged counts; the VCF through an
+    8-device mesh must be byte-identical to the single-device numpy path
+    (reference window-merge semantics, pileup.c:1153-1204)."""
+    import os
+    import subprocess
+    import sys
+
+    from conftest import REPO
+
+    # reuse (or build) the dataset of the device-counts test above
+    d = "/tmp/_plp_devtest"
+    if not os.path.isdir(d):
+        test_pileup_device_counts_match_numpy()
+    fa = os.path.join(d, "genome.fa")
+
+    def pl(mode, ndev):
+        env = dict(os.environ, BISCUIT_TPU_PILEUP=mode,
+                   BISCUIT_TPU_PLATFORM="cpu",
+                   XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}")
+        r = subprocess.run(
+            [sys.executable, "-m", "biscuit_tpu.cli", "pileup", "-@", "1",
+             fa, os.path.join(d, "aln.bam")],
+            capture_output=True, text=True, cwd=REPO, env=env)
+        assert r.returncode == 0, r.stderr[-800:]
+        return [l for l in r.stdout.splitlines()
+                if not l.startswith("##program")]
+
+    sharded = pl("mesh", 8)
+    single = pl("numpy", 1)
+    assert len(sharded) > 100
+    assert sharded == single
