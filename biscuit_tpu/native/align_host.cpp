@@ -541,6 +541,14 @@ static inline int64_t invpsi_step(const StrandFM &f, int64_t k) {
     return f.L2[c] + cnt;
 }
 
+static inline int64_t fm_sa_sample(const StrandFM &f, int64_t k) {
+    // sa[0] is -1 ('$' row): stored as the uint32 wrap in the narrow
+    // layout (interpret as signed), literal int64 -1 in the wide layout
+    return f.sa_wide
+        ? ((const int64_t *)f.sa)[k >> 5]
+        : (int64_t)(int32_t)((const uint32_t *)f.sa)[k >> 5];
+}
+
 static int64_t fm_sa(const StrandFM &f, int64_t k) {
     int64_t add = 0;
     while (k & 31) {
@@ -548,12 +556,56 @@ static int64_t fm_sa(const StrandFM &f, int64_t k) {
         if (k == f.primary) k = 0;
         else k = invpsi_step(f, k);
     }
-    // sa[0] is -1 ('$' row): stored as the uint32 wrap in the narrow
-    // layout (interpret as signed), literal int64 -1 in the wide layout
-    int64_t v = f.sa_wide
-        ? ((const int64_t *)f.sa)[k >> 5]
-        : (int64_t)(int32_t)((const uint32_t *)f.sa)[k >> 5];
-    return add + v;
+    return add + fm_sa_sample(f, k);
+}
+
+// Batched SA resolution: the invPsi walks of different occurrences are
+// independent dependent-chains (avg 16 block reads each), so step W of them
+// round-robin with a software prefetch issued one step ahead — the chain's
+// cache-miss latency overlaps across lanes instead of serializing.
+static void fm_sa_batch(const StrandFM &f, const int64_t *ks, int n,
+                        int64_t *out) {
+    if (!f.ilv2 || n < 4) {
+        for (int i = 0; i < n; ++i) out[i] = fm_sa(f, ks[i]);
+        return;
+    }
+    auto pf = [&](int64_t k) {
+        int64_t k2 = k - (k > f.primary ? 1 : 0);
+        __builtin_prefetch(f.ilv2 + ((k2 >> 6) << 5), 0, 1);
+    };
+    constexpr int W = 16;
+    int64_t k[W], add[W];
+    int oi[W];
+    int next = 0, live = 0;
+    auto refill = [&](int i) {
+        while (next < n) {
+            int64_t kk = ks[next];
+            if ((kk & 31) == 0) { out[next++] = fm_sa_sample(f, kk); continue; }
+            k[i] = kk; add[i] = 0; oi[i] = next++;
+            pf(kk);
+            ++live;
+            return;
+        }
+        oi[i] = -1;
+    };
+    for (int i = 0; i < W; ++i) refill(i);
+    while (live) {
+        for (int i = 0; i < W; ++i) {
+            if (oi[i] < 0) continue;
+            int64_t kk = k[i];
+            ++add[i];
+            kk = (kk == f.primary) ? 0 : invpsi_step(f, kk);
+            if ((kk & 31) == 0) {
+                out[oi[i]] = add[i] + fm_sa_sample(f, kk);
+                --live;
+                oi[i] = -1;
+                refill(i);
+            } else {
+                k[i] = kk;
+                pf(kk);
+            }
+        }
+    }
 }
 
 // --------------------------------------------------------------- options
@@ -949,10 +1001,26 @@ static void chain_from_seeds(const Opt &opt, const StrandFM &fm, const Bns &bns,
         int64_t pre_base = sa_off ? sa_off[si] : 0;
         int64_t pre_n = sa_off ? sa_off[si + 1] - sa_off[si] : 0;
         int64_t k = 0, count = 0;
+        // SA positions resolved in tiles (fm_sa_batch): occurrences are
+        // consumed strictly in order, so over-resolve past the loop's
+        // data-dependent exit wastes at most SA_TILE-1 (cheap) walks
+        constexpr int64_t SA_TILE = 64;
+        int64_t tile_base = 0, tile_n = 0;
+        int64_t tbuf[SA_TILE], tks[SA_TILE];
         while (k < iv.s && count < opt.max_occ &&
                ((count > 5 && k < opt.max_occ) || count <= 5)) {
-            int64_t rbeg = k < pre_n ? sa_pos[pre_base + k]
-                                     : fm_sa(fm, iv.x0 + k);
+            int64_t rbeg;
+            if (k < pre_n) rbeg = sa_pos[pre_base + k];
+            else {
+                if (k >= tile_base + tile_n) {
+                    tile_base = k;
+                    tile_n = std::min<int64_t>(SA_TILE, iv.s - k);
+                    for (int64_t j = 0; j < tile_n; ++j)
+                        tks[j] = iv.x0 + k + j;
+                    fm_sa_batch(fm, tks, (int)tile_n, tbuf);
+                }
+                rbeg = tbuf[k - tile_base];
+            }
             ++k;
             SeedHit s{rbeg, iv.start, slen, slen};
             int rid = intv2rid(bns, rbeg, rbeg + slen);
