@@ -665,6 +665,19 @@ static int smem1a(const StrandFM &fm, const StrandFM &fmc, const uint8_t *q,
     for (i = x - 1; i >= -1; --i) {
         int c = (i < 0 || q[i] > 3) ? -1 : q[i];
         curr.clear();
+        if (c >= 0 && fm.ilv2 && prev.size() > 1) {
+            // the extensions of this step are independent lookups at
+            // addresses known upfront — prefetch every interval's occ
+            // blocks so their cache misses overlap
+            for (size_t j = 0; j < prev.size(); ++j) {
+                int64_t xq = prev[j].x0;
+                int64_t ka = xq - 1 - (xq - 1 > fm.primary ? 1 : 0);
+                int64_t kb = xq - 1 + prev[j].s;
+                kb -= (kb > fm.primary ? 1 : 0);
+                __builtin_prefetch(fm.ilv2 + ((ka >> 6) << 5), 0, 1);
+                __builtin_prefetch(fm.ilv2 + ((kb >> 6) << 5), 0, 1);
+            }
+        }
         for (size_t j = 0; j < prev.size(); ++j) {
             const Intv &p = prev[j];
             bool have_ok = false;
