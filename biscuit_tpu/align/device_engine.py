@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from ..config import MemOpt, MEM_F_PE, MEM_F_NO_RESCUE
 from ..index.fmindex import BisIndex
 from ..ops import sw
-from ..ops.seed_batch import FMPair, sa_batch
-from ..ops.seed_parallel import collect_intv_flat, collect_intv_parallel
+from ..ops.seed_batch import (FMPair, collect_intv_batch,
+                              collect_intv_flat_sm, sa_batch)
 from ..ops.sw_batch import sw_extend_batch
 from ..ops.pallas_sw import sw_extend_batch_pallas
 from .chain import mem_chain, mem_chain_flt, mem_flt_chained_seeds
@@ -85,7 +85,7 @@ class DeviceAligner:
             lens[i] = s.l_seq
             parents[i] = p
         _plog(f"seeding start B={B} bucket={Bb} L={L}")
-        seeds, overflow = collect_intv_parallel(self.fmpair, q, lens, parents, opt)
+        seeds, overflow = collect_intv_batch(self.fmpair, q, lens, parents, opt)
         seeds = seeds[:B]
         overflow = overflow[:B]
         _plog(f"seeding done ({sum(len(s) for s in seeds)} seeds)")
@@ -352,7 +352,7 @@ class DeviceSeeder:
                 q[j, :s.l_seq] = bsconvert(s, p)
                 lens[j] = s.l_seq
                 parents[j] = p
-            lane_of, rows, overflow = collect_intv_flat(
+            lane_of, rows, overflow = collect_intv_flat_sm(
                 self.fmpair, q, lens, parents, opt)
             keep = lane_of < nb
             lane_of, rows = lane_of[keep], rows[keep]

@@ -172,6 +172,17 @@ def extend_sel(fm: FMPair, which: jnp.ndarray, x_q: jnp.ndarray,
     return new_xq, new_xo, sizes
 
 
+def _onehot_write(arr: jnp.ndarray, idx: jnp.ndarray, row: jnp.ndarray,
+                  mask: jnp.ndarray) -> jnp.ndarray:
+    """arr[b, idx[b], :] = row[b] where mask[b], WITHOUT a scatter.
+    XLA TPU scatter serializes (~µs per row); a one-hot masked select is a
+    pure VPU pass over [B, C, W] — the profitable trade for small C."""
+    C = arr.shape[1]
+    oh = (jnp.arange(C, dtype=jnp.int32)[None, :] == idx[:, None]) \
+        & mask[:, None]
+    return jnp.where(oh[..., None], row[:, None, :], arr)
+
+
 @partial(jax.jit, static_argnames=("C", "S", "max_iters"))
 def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
                parent: jnp.ndarray, tasks: jnp.ndarray, n_tasks: jnp.ndarray,
@@ -196,23 +207,31 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
     fm_id = parent            # backward extensions query bwt  = bwt[parent]
     fmc_id = 1 - parent       # forward  extensions query bwtc = bwt[1-parent]
 
+    # Array layout note: every multi-component per-lane structure is stored
+    # as COMPONENT PLANES with the capacity axis last ([K, B, N], not
+    # [B, N, K]).  TPU tiles the two minor dims to (8, 128): a trailing
+    # component dim of 3-5 would pad to 128 lanes and waste ~30x bandwidth
+    # on every masked full-array select in the loop body.
     state = dict(
         phase=jnp.full((B,), PH_SCAN, jnp.int32),
         t_idx=jnp.zeros((B,), jnp.int32),
-        tasks=tasks.astype(jnp.int32),
+        tasks=tasks.astype(jnp.int32).transpose(2, 0, 1),  # [3, B, T]
         x=jnp.zeros((B,), jnp.int32),
         min_intv=jnp.ones((B,), jnp.int32),
         i=jnp.zeros((B,), jnp.int32),
         ret=jnp.zeros((B,), jnp.int32),
-        ik=jnp.zeros((B, 4), jnp.int32),          # x0, x1, s, end
-        buf=jnp.zeros((B, 2, C, 4), jnp.int32),   # two slots: prev/curr
+        ik=jnp.zeros((4, B), jnp.int32),          # x0, x1, s, end planes
+        # prev/curr interval lists: two C-slots concatenated on one axis so
+        # every update is a one-hot masked select (TPU scatters serialize)
+        buf=jnp.zeros((4, B, 2 * C), jnp.int32),
         prev_slot=jnp.zeros((B,), jnp.int32),
         n_prev=jnp.zeros((B,), jnp.int32),
         n_curr=jnp.zeros((B,), jnp.int32),
         j=jnp.zeros((B,), jnp.int32),
         call_emits=jnp.zeros((B,), jnp.int32),    # emits in current smem1a
         last_emit_start=jnp.zeros((B,), jnp.int32),
-        seeds=jnp.zeros((B, S, 5), jnp.int32),
+        rev=jnp.zeros((B,), jnp.bool_),           # first BACK row reversed
+        seeds=jnp.zeros((5, B, S), jnp.int32),    # start, end, x0, x1, s
         n_seeds=jnp.zeros((B,), jnp.int32),
         overflow=jnp.zeros((B,), jnp.bool_),
         iters=jnp.int32(0),
@@ -226,6 +245,18 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
         v = q[lane, ii]
         return jnp.where((i < 0) | (i >= lens), 4, v)
 
+    def pick(plane, idx):
+        """plane [K, B, N] -> [K, B]: element idx[b] of every component."""
+        return jnp.take_along_axis(
+            plane, idx[None, :, None], axis=2)[..., 0]
+
+    def write(plane, idx, rows, mask):
+        """plane[k, b, idx[b]] = rows[k, b] where mask[b] — scatter-free."""
+        N = plane.shape[2]
+        oh = (jnp.arange(N, dtype=jnp.int32)[None, :] == idx[:, None]) \
+            & mask[:, None]
+        return jnp.where(oh[None], rows[:, :, None], plane)
+
     def cond(st):
         return (st["phase"] != PH_DONE).any() & (st["iters"] < max_iters)
 
@@ -236,9 +267,10 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
         back = phase == PH_BACK
 
         # ---------------- SCAN ----------------
-        task = st["tasks"][lane, jnp.clip(st["t_idx"], 0, T - 1)]  # [B, 3]
+        cur_t = jnp.clip(st["t_idx"], 0, T - 1)
+        task = pick(st["tasks"], cur_t)           # [3, B]
         tasks_left = st["t_idx"] < n_tasks
-        tx, tmi = task[:, 0], task[:, 1]
+        tx, tmi = task[0], task[1]
         q_at_tx = get_q(tx)
         task_done = scan & (~tasks_left)
         task_past_end = scan & tasks_left & (tx >= lens)
@@ -252,11 +284,11 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
         # single-task smem1a early return x+1 for q[x]>3: cont tasks keep
         # scanning; non-cont tasks with q[x]>3 return immediately -> emulate
         # by bumping x when cont else skipping task)
-        cont = task[:, 2] == 1
+        cont = task[2] == 1
         bump = task_amb & cont
         skip = task_amb & (~cont)
-        tasks_upd = st["tasks"].at[lane, jnp.clip(st["t_idx"], 0, T - 1), 0].set(
-            jnp.where(bump, tx + 1, tx))
+        # the tasks[lane, t_idx, 0] rewrite is deferred to the end of the
+        # step and combined with the back_done continue-at-ret rewrite
         t_idx = jnp.where(skip, t_idx + 1, t_idx)
 
         # init: start forward phase
@@ -266,8 +298,8 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
         ik_x0 = L2f[lane, c0] + 1
         ik_x1 = L2c[lane, 3 - c0] + 1
         ik_s = L2f[lane, c0 + 1] - L2f[lane, c0]
-        ik_new = jnp.stack([ik_x0, ik_x1, ik_s, tx + 1], axis=-1)
-        ik = jnp.where(task_init[:, None], ik_new, st["ik"])
+        ik_new = jnp.stack([ik_x0, ik_x1, ik_s, tx + 1])   # [4, B]
+        ik = jnp.where(task_init[None], ik_new, st["ik"])
         x = jnp.where(task_init, tx, st["x"])
         min_intv = jnp.where(task_init, jnp.maximum(tmi, 1), st["min_intv"])
         i = jnp.where(task_init, tx + 1, st["i"])
@@ -276,16 +308,19 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
 
         # ---------------- extension (FWD or BACK lanes) ----------------
         qi = get_q(st["i"])
-        prevj = st["buf"][lane, st["prev_slot"], jnp.clip(st["j"], 0, C - 1)]  # [B,4]
+        # rev lanes read the prev row back-to-front (see fwd_finish below)
+        jidx = jnp.where(st["rev"], st["n_prev"] - 1 - st["j"], st["j"])
+        prevj = pick(st["buf"],
+                     st["prev_slot"] * C + jnp.clip(jidx, 0, C - 1))  # [4,B]
         back_c = jnp.where((st["i"] < 0) | (qi > 3), -1, qi)
         fwd_need = fwd & (st["i"] < lens) & (qi < 4)
         back_need = back & (back_c >= 0) & (st["j"] < st["n_prev"])
         need = fwd_need | back_need
 
         which = jnp.where(fwd, fmc_id, fm_id)
-        x_q = jnp.where(fwd, st["ik"][:, 1], prevj[:, 0])
-        x_o = jnp.where(fwd, st["ik"][:, 0], prevj[:, 1])
-        s_in = jnp.where(fwd, st["ik"][:, 2], prevj[:, 2])
+        x_q = jnp.where(fwd, st["ik"][1], prevj[0])
+        x_o = jnp.where(fwd, st["ik"][0], prevj[1])
+        s_in = jnp.where(fwd, st["ik"][2], prevj[2])
         # guard inactive lanes with safe ranks
         x_q = jnp.where(need, x_q, 1)
         s_in = jnp.where(need, s_in, 1)
@@ -302,104 +337,106 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
 
         # ---------------- FWD logic ----------------
         at_end = fwd & ((st["i"] >= lens) | (qi >= 4))
-        size_changed = fwd_need & (ok_s != st["ik"][:, 2])
+        size_changed = fwd_need & (ok_s != st["ik"][2])
         push_ik = at_end | size_changed
-        # push ik into curr
         curr_slot = 1 - st["prev_slot"]
-        can_push = st["n_curr"] < C
-        buf = st["buf"]
-        buf = buf.at[lane, curr_slot, jnp.clip(st["n_curr"], 0, C - 1)].set(
-            jnp.where((push_ik & can_push)[:, None], st["ik"], buf[lane, curr_slot, jnp.clip(st["n_curr"], 0, C - 1)]))
-        n_curr = jnp.where(push_ik & can_push, n_curr + 1, n_curr)
-        small = fwd_need & (ok_s < min_intv)
-        fwd_finish = at_end | (size_changed & small)
-        # continue forward
-        adv = fwd_need & (~fwd_finish)
-        ik = jnp.where(adv[:, None],
-                       jnp.stack([ok_x0, ok_x1, ok_s, st["i"] + 1], axis=-1), ik)
-        i = jnp.where(adv, st["i"] + 1, i)
 
-        # finish forward: reverse curr into prev
-        # prev[k] = curr[n_curr-1-k]; do with a full-[C] masked permute
-        def reverse_into_prev(buf, n_c, lanes_mask, curr_slot, prev_slot):
-            kidx = jnp.arange(C)
-            src = jnp.clip(n_c[:, None] - 1 - kidx[None, :], 0, C - 1)  # [B, C]
-            curr_vals = buf[lane[:, None], curr_slot[:, None], src]      # [B, C, 4]
-            valid = kidx[None, :] < n_c[:, None]
-            prev_vals = buf[lane[:, None], prev_slot[:, None], kidx[None, :]]
-            merged = jnp.where((lanes_mask[:, None] & valid)[:, :, None],
-                               curr_vals, prev_vals)
-            return buf.at[lane[:, None], prev_slot[:, None], kidx[None, :]].set(merged)
-
-        buf = reverse_into_prev(buf, n_curr, fwd_finish, curr_slot, st["prev_slot"])
-        # ret = end of longest match = last pushed entry's end = curr[n_curr-1].end
-        last_entry = buf[lane, st["prev_slot"], 0]  # after reverse, prev[0] = longest
-        ret = jnp.where(fwd_finish, last_entry[:, 3], st["ret"])
-        n_prev = jnp.where(fwd_finish, n_curr, st["n_prev"])
-        n_curr = jnp.where(fwd_finish, 0, n_curr)
-        i = jnp.where(fwd_finish, x - 1, i)
-        j = jnp.where(fwd_finish, 0, st["j"])
-        call_emits = jnp.where(fwd_finish, 0, st["call_emits"])
-        last_emit_start = jnp.where(fwd_finish, BIG, st["last_emit_start"])
-        new_phase = jnp.where(fwd_finish, PH_BACK, new_phase)
-
-        # ---------------- BACK logic ----------------
+        # ---------------- BACK decisions (emit / seed store) -------------
         back_act = back & (st["j"] < st["n_prev"])
         keep = back_act & ((back_c < 0) | (ok_s < min_intv))
         emit = keep & (n_curr == 0) & \
             ((st["call_emits"] == 0) | (st["i"] + 1 < st["last_emit_start"]))
-        # store the seed if long enough
         start = st["i"] + 1
-        end = prevj[:, 3]
+        end = prevj[3]
         store = emit & (end - start >= min_seed_len)
         can_store = st["n_seeds"] < S
-        seed_row = jnp.stack([start, end, prevj[:, 0], prevj[:, 1], prevj[:, 2]], axis=-1)
-        seeds = st["seeds"].at[lane, jnp.clip(st["n_seeds"], 0, S - 1)].set(
-            jnp.where((store & can_store)[:, None], seed_row,
-                      st["seeds"][lane, jnp.clip(st["n_seeds"], 0, S - 1)]))
+        seed_rows = jnp.stack([start, end, prevj[0], prevj[1], prevj[2]])
+        seeds = write(st["seeds"], jnp.minimum(st["n_seeds"], S - 1),
+                      seed_rows, store & can_store)
         n_seeds = jnp.where(store & can_store, st["n_seeds"] + 1, st["n_seeds"])
         overflow = st["overflow"] | (store & ~can_store)
-        call_emits = jnp.where(emit, call_emits + 1, call_emits)
-        last_emit_start = jnp.where(emit, start, last_emit_start)
+        call_emits = jnp.where(emit, st["call_emits"] + 1, st["call_emits"])
+        last_emit_start = jnp.where(emit, start, st["last_emit_start"])
 
-        # append to curr when extension keeps the interval alive
-        curr_last = buf[lane, curr_slot, jnp.clip(n_curr - 1, 0, C - 1)]
-        append = back_act & (~keep) & ((n_curr == 0) | (ok_s != curr_last[:, 2]))
-        can_append = n_curr < C
-        app_row = jnp.stack([ok_x0, ok_x1, ok_s, prevj[:, 3]], axis=-1)
-        buf = buf.at[lane, curr_slot, jnp.clip(n_curr, 0, C - 1)].set(
-            jnp.where((append & can_append)[:, None], app_row,
-                      buf[lane, curr_slot, jnp.clip(n_curr, 0, C - 1)]))
-        n_curr = jnp.where(append & can_append, n_curr + 1, n_curr)
+        # back-append decision (reads pre-write buf; fwd/back lanes disjoint)
+        curr_last_s = pick(st["buf"][2:3],
+                           curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1))[0]
+        append = back_act & (~keep) & ((n_curr == 0) | (ok_s != curr_last_s))
+        app_rows = jnp.stack([ok_x0, ok_x1, ok_s, prevj[3]])   # [4, B]
+
+        # ONE one-hot write covers both curr-list growth events — the fwd
+        # push of ik and the back append — they target the same curr[n_curr]
+        wrow = jnp.where(fwd[None], st["ik"], app_rows)
+        grow = (push_ik | append) & (n_curr < C)
+        buf = write(st["buf"], curr_slot * C + jnp.minimum(n_curr, C - 1),
+                    wrow, grow)
+        n_curr = jnp.where(grow, n_curr + 1, n_curr)
+
+        small = fwd_need & (ok_s < min_intv)
+        fwd_finish = at_end | (size_changed & small)
+        # continue forward
+        adv = fwd_need & (~fwd_finish)
+        ik = jnp.where(adv[None],
+                       jnp.stack([ok_x0, ok_x1, ok_s, st["i"] + 1]), ik)
+        i = jnp.where(adv, st["i"] + 1, i)
+
+        # finish forward: enter BACK over the curr list in REVERSED order.
+        # The host reverses curr into prev here (smem1a); a physical reverse
+        # costs a full-buffer permute+select every iteration, so instead the
+        # curr slot becomes prev in place and a per-lane `rev` flag makes
+        # the FIRST backward row read it back-to-front (later rows are
+        # appended in scan order, like the host's, and read forward).
+        ret = jnp.where(
+            fwd_finish,
+            pick(buf[3:4], curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1))[0],
+            st["ret"])
+        rev = st["rev"] | fwd_finish
+        n_prev = jnp.where(fwd_finish, n_curr, st["n_prev"])
+        n_curr = jnp.where(fwd_finish, 0, n_curr)
+        i = jnp.where(fwd_finish, x - 1, i)
+        j = jnp.where(fwd_finish, 0, st["j"])
+        call_emits = jnp.where(fwd_finish, 0, call_emits)
+        last_emit_start = jnp.where(fwd_finish, BIG, last_emit_start)
+        new_phase = jnp.where(fwd_finish, PH_BACK, new_phase)
 
         j = jnp.where(back_act, j + 1, j)
         row_done = back & (j >= st["n_prev"])
         back_done = row_done & (n_curr == 0)
         back_next = row_done & (n_curr != 0)
-        # next backward row: swap slots
-        prev_slot = jnp.where(back_next, curr_slot, st["prev_slot"])
+        # next backward row: swap slots; rows after the first read forward
+        rev = rev & ~back_next
+        prev_slot = jnp.where(back_next | fwd_finish, curr_slot,
+                              st["prev_slot"])
         n_prev = jnp.where(back_next, n_curr, n_prev)
         n_curr = jnp.where(back_next, 0, n_curr)
         i = jnp.where(back_next, st["i"] - 1, i)
         j = jnp.where(back_next, 0, j)
 
-        # smem1a finished: continue scan task or advance to next task
-        cur_t = jnp.clip(st["t_idx"], 0, T - 1)
-        cont_l = st["tasks"][lane, cur_t, 2] == 1
-        tasks_upd = tasks_upd.at[lane, cur_t, 0].set(
-            jnp.where(back_done & cont_l, ret, tasks_upd[lane, cur_t, 0]))
-        t_idx = jnp.where(back_done & (~cont_l), t_idx + 1, t_idx)
+        # smem1a finished: continue scan task or advance to next task.
+        # Both rewrites of tasks[lane, t_idx, 0] — the scan ambiguous-base
+        # bump and the continue-at-ret — land in one one-hot select
+        # (disjoint lane sets: scan vs back phase).
+        newx = jnp.where(bump, tx + 1, ret)
+        tmask = bump | (back_done & cont)
+        ohT = (jnp.arange(T, dtype=jnp.int32)[None, :] == cur_t[:, None]) \
+            & tmask[:, None]                                      # [B, T]
+        col0 = jnp.arange(3, dtype=jnp.int32) == 0
+        tasks_upd = jnp.where(col0[:, None, None] & ohT[None],
+                              newx[None, :, None], st["tasks"])
+        t_idx = jnp.where(back_done & (~cont), t_idx + 1, t_idx)
         new_phase = jnp.where(back_done, PH_SCAN, new_phase)
 
         return dict(phase=new_phase, t_idx=t_idx, tasks=tasks_upd, x=x,
                     min_intv=min_intv, i=i, ret=ret, ik=ik, buf=buf,
                     prev_slot=prev_slot, n_prev=n_prev, n_curr=n_curr, j=j,
                     call_emits=call_emits, last_emit_start=last_emit_start,
-                    seeds=seeds, n_seeds=n_seeds, overflow=overflow,
+                    rev=rev, seeds=seeds, n_seeds=n_seeds, overflow=overflow,
                     iters=st["iters"] + 1)
 
     final = jax.lax.while_loop(cond, step, state)
-    return final["seeds"], final["n_seeds"], final["overflow"], final["iters"]
+    # restore the public [B, S, 5] seed layout from the component planes
+    return (final["seeds"].transpose(1, 2, 0), final["n_seeds"],
+            final["overflow"], final["iters"])
 
 
 @jax.jit
@@ -437,75 +474,128 @@ def sa_batch(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return add + fm.sa_samples.reshape(-1)[which * n_sa + (kf >> 5)]
 
 
-def collect_intv_batch(fm: FMPair, reads, lens, parents, opt,
-                       C: int = 160, S: int = 96):
-    """Device-backed mem_collect_intv over a batch: pass 1 (SMEM scan) on
-    device, pass-2 re-seeding tasks derived on host from pass-1 output, pass 2
-    + pass 3 on device, then the reference's final sort. Returns
-    (list of per-read seed tuples (start, end, x0, x1, s), overflow mask)."""
-    import numpy as np
+def _pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length()
+
+
+@partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
+                                   "split_len", "split_width",
+                                   "C", "S", "S3", "T2"))
+def _collect_sm_fused(fm: FMPair, q, lens, parents,
+                      min_seed_len: int, max_mem_intv: int,
+                      split_len: int, split_width: int,
+                      C: int, S: int, S3: int, T2: int):
+    """All three mem_collect_intv passes in ONE device program (one dispatch
+    + one transfer round trip — dispatch latency dominates on tunneled TPU
+    rigs). Pass-2 re-seed tasks are derived from pass-1 output on device."""
+    B = q.shape[0]
+    msl = jnp.full((B,), min_seed_len, jnp.int32)
+    tasks1 = jnp.zeros((B, 1, 3), jnp.int32) \
+        .at[:, 0, 1].set(1).at[:, 0, 2].set(1)
+    s1, n1, ov1, _ = smem_batch(fm, q, lens, parents, tasks1,
+                                jnp.ones((B,), jnp.int32), msl, C=C, S=S)
+
+    # pass-2 tasks (memchain.c:76-85): midpoint re-seed of long
+    # low-occurrence pass-1 SMEMs with min_intv = occ + 1
+    slot = jnp.arange(S, dtype=jnp.int32)[None, :]
+    m2 = (slot < n1[:, None]) \
+        & (s1[:, :, 1] - s1[:, :, 0] >= split_len) \
+        & (s1[:, :, 4] <= split_width)
+    n_t2 = m2.sum(axis=1).astype(jnp.int32)
+    order2 = jnp.argsort(~m2, axis=1, stable=True)[:, :T2]
+    rows2 = jnp.take_along_axis(s1, order2[:, :, None], axis=1)  # [B, T2, 5]
+    tasks2 = jnp.stack([(rows2[:, :, 0] + rows2[:, :, 1]) >> 1,
+                        rows2[:, :, 4] + 1,
+                        jnp.zeros((B, T2), jnp.int32)], axis=-1)
+    ov2cap = n_t2 > T2
+    s2, n2, ov2, _ = smem_batch(fm, q, lens, parents, tasks2,
+                                jnp.minimum(n_t2, T2), msl, C=C, S=S)
+
+    if max_mem_intv > 0:
+        s3, n3, ov3 = seed_strategy_batch(fm, q, lens, parents,
+                                          min_seed_len, max_mem_intv, S=S3)
+    else:
+        s3 = jnp.zeros((B, S3, 5), jnp.int32)
+        n3 = jnp.zeros((B,), jnp.int32)
+        ov3 = jnp.zeros((B,), jnp.bool_)
+    ov = ov1 | ov2 | ov2cap | ov3
+
+    # device-side compaction + final reference-order sort: transfer only the
+    # valid rows (tunneled D2H costs ~100 ms/MB; the padded per-pass arrays
+    # are ~5 MB, the compacted output ~150 KB). One stable 3-key lax.sort
+    # orders by (lane, start, end) with pass-insertion tie order preserved.
+    cap = B * 24
+    allr = jnp.concatenate([s1, s2, s3], axis=1)      # [B, Stot, 5]
+    Stot = allr.shape[1]
+    slot_all = jnp.arange(Stot, dtype=jnp.int32)[None, :]
+    valid = (slot_all < n1[:, None]) \
+        | ((slot_all >= S) & (slot_all < S + n2[:, None])) \
+        | ((slot_all >= 2 * S) & (slot_all < 2 * S + n3[:, None]))
+    laneg = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                             (B, Stot))
+    lanekey = jnp.where(valid, laneg, BIG).reshape(-1)
+    cols = [allr[:, :, c].reshape(-1) for c in range(5)]
+    sorted_ = jax.lax.sort([lanekey, cols[0], cols[1], cols[2], cols[3],
+                            cols[4]], num_keys=3, is_stable=True)
+    packed = jnp.stack(sorted_[1:6], axis=-1)[:cap]   # [cap, 5]
+    n_all = n1 + n2 + n3
+    return packed, n_all, ov, s1, n1, s2, n2, s3, n3
+
+
+def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
+                         C: int = 160, S: int = 96, S3: int = 48):
+    """Device mem_collect_intv via the lockstep state machine, flat output.
+
+    All three passes run as smem_batch / seed_strategy_batch kernels; the
+    host side is fully vectorized numpy (pass-2 task derivation, lane
+    compaction, final reference-order sort) — no per-read Python loops.
+    Returns (lane_of [M] int32, rows [M, 5] int32 (start, end, x0, x1, s),
+    overflow [B] bool), ordered by (lane, start<<32|end, pass-insertion) —
+    the host collect_intv's stable ks_introsort-key order."""
     B, L = reads.shape
     q = jnp.asarray(reads, dtype=jnp.int32)
     lens_j = jnp.asarray(lens, dtype=jnp.int32)
     par_j = jnp.asarray(parents, dtype=jnp.int32)
-    msl = jnp.full((B,), opt.min_seed_len, jnp.int32)
-    start_width = 1  # MEM_F_SELF_OVLP unsupported on the device path
-
-    # pass 1: one auto-continue scan task per lane
-    tasks1 = np.zeros((B, 1, 3), np.int32)
-    tasks1[:, 0, 1] = start_width
-    tasks1[:, 0, 2] = 1
-    s1, n1, ov1, _ = smem_batch(fm, q, lens_j, par_j, jnp.asarray(tasks1),
-                                jnp.ones((B,), jnp.int32), msl, C=C, S=S)
-    s1 = np.asarray(s1)
-    n1 = np.asarray(n1)
-    ov = np.array(ov1)
-
-    # pass 2 tasks (host logic; memchain.c:76-85)
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    task_lists = [[] for _ in range(B)]
-    for b in range(B):
-        for k in range(n1[b]):
-            start, end, _x0, _x1, size = s1[b, k]
-            if end - start < split_len or size > opt.split_width:
-                continue
-            task_lists[b].append(((start + end) >> 1, size + 1, 0))
-    T = max(1, max(len(t) for t in task_lists))
-    tasks2 = np.zeros((B, T, 3), np.int32)
-    n_tasks2 = np.zeros(B, np.int32)
-    for b, tl in enumerate(task_lists):
-        for ti, t in enumerate(tl):
-            tasks2[b, ti] = t
-        n_tasks2[b] = len(tl)
-    if n_tasks2.any():
-        s2, n2, ov2, _ = smem_batch(fm, q, lens_j, par_j, jnp.asarray(tasks2),
-                                    jnp.asarray(n_tasks2), msl, C=C, S=S)
-        s2 = np.asarray(s2)
-        n2 = np.asarray(n2)
-        ov |= np.asarray(ov2)
-    else:
-        s2 = np.zeros((B, 0, 5), np.int32)
-        n2 = np.zeros(B, np.int32)
 
-    # pass 3
-    if opt.max_mem_intv > 0:
-        s3, n3, ov3 = seed_strategy_batch(fm, q, lens_j, par_j,
-                                          int(opt.min_seed_len),
-                                          int(opt.max_mem_intv), S=48)
-        s3 = np.asarray(s3)
-        n3 = np.asarray(n3)
-        ov |= np.asarray(ov3)
-    else:
-        s3 = np.zeros((B, 0, 5), np.int32)
-        n3 = np.zeros(B, np.int32)
+    out = _collect_sm_fused(fm, q, lens_j, par_j,
+                            int(opt.min_seed_len), int(opt.max_mem_intv),
+                            split_len, int(opt.split_width),
+                            C, S, S3, 16)
+    # transfers are lazy: only the compacted output is pulled unless the
+    # global cap spilled (then the padded per-pass arrays are fetched)
+    n_all = np.asarray(out[1])
+    ov = np.asarray(out[2])
+    total = int(n_all.sum())
+    if total <= out[0].shape[0]:
+        rows = np.asarray(out[0])[:total]
+        lane_of = np.repeat(np.arange(B, dtype=np.int32), n_all)
+        return lane_of, rows, ov
+    # rare spill: merge on host from the full per-pass arrays
+    s1, n1, s2, n2, s3, n3 = (np.asarray(a) for a in out[3:])
+    parts_lane, parts_rows = [], []
+    for sx, nx in ((s1, n1), (s2, n2), (s3, n3)):
+        mx = np.arange(sx.shape[1])[None, :] < nx[:, None]
+        lx, kx = np.nonzero(mx)
+        parts_lane.append(lx.astype(np.int32))
+        parts_rows.append(sx[lx, kx])
+    lane_of = np.concatenate(parts_lane)
+    rows = np.concatenate(parts_rows).astype(np.int32, copy=False)
+    order = np.lexsort((rows[:, 1], rows[:, 0], lane_of))
+    return lane_of[order], rows[order], ov
 
-    out = []
-    for b in range(B):
-        mem = [tuple(int(v) for v in s1[b, k]) for k in range(n1[b])]
-        mem += [tuple(int(v) for v in s2[b, k]) for k in range(n2[b])]
-        mem += [tuple(int(v) for v in s3[b, k]) for k in range(n3[b])]
-        mem.sort(key=lambda s: (s[0] << 32) | s[1])
-        out.append(mem)
+
+def collect_intv_batch(fm: FMPair, reads, lens, parents, opt,
+                       C: int = 160, S: int = 96):
+    """Device-backed mem_collect_intv over a batch (state-machine kernels).
+    Returns (list of per-read seed tuples (start, end, x0, x1, s) in the
+    reference's final order, overflow mask)."""
+    B, _ = reads.shape
+    lane_of, rows, ov = collect_intv_flat_sm(fm, reads, lens, parents, opt,
+                                             C=C, S=S)
+    out = [[] for _ in range(B)]
+    for b, row in zip(lane_of, rows):
+        out[b].append(tuple(int(v) for v in row))
     return out, ov
 
 
@@ -523,9 +613,9 @@ def seed_strategy_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
     state = dict(
         x=jnp.zeros((B,), jnp.int32),
         i=jnp.zeros((B,), jnp.int32),
-        ik=jnp.zeros((B, 3), jnp.int32),
+        ik=jnp.zeros((3, B), jnp.int32),
         in_run=jnp.zeros((B,), jnp.bool_),
-        seeds=jnp.zeros((B, S, 5), jnp.int32),
+        seeds=jnp.zeros((5, B, S), jnp.int32),  # component planes (tiling)
         n_seeds=jnp.zeros((B,), jnp.int32),
         overflow=jnp.zeros((B,), jnp.bool_),
         iters=jnp.int32(0),
@@ -551,8 +641,8 @@ def seed_strategy_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
         L2f = fm.L2[fm_id]
         L2c = fm.L2[fmc_id]
         ik_new = jnp.stack([L2f[lane, c0] + 1, L2c[lane, 3 - c0] + 1,
-                            L2f[lane, c0 + 1] - L2f[lane, c0]], axis=-1)
-        ik = jnp.where(start_run[:, None], ik_new, ik)
+                            L2f[lane, c0 + 1] - L2f[lane, c0]])
+        ik = jnp.where(start_run[None], ik_new, ik)
         i = jnp.where(start_run, x + 1, i)
         in_run = in_run | start_run
 
@@ -560,9 +650,9 @@ def seed_strategy_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
         run_end_len = in_run & (i >= lens)        # reached read end: x = len
         run_amb = in_run & (i < lens) & (qi >= 4)  # ambiguous: return i+1
         need = in_run & (i < lens) & (qi < 4)
-        x_q = jnp.where(need, ik[:, 1], 1)
-        s_in = jnp.where(need, ik[:, 2], 1)
-        new_xq, new_xo, sizes = extend_sel(fm, fmc_id, x_q, ik[:, 0], s_in,
+        x_q = jnp.where(need, ik[1], 1)
+        s_in = jnp.where(need, ik[2], 1)
+        new_xq, new_xo, sizes = extend_sel(fm, fmc_id, x_q, ik[0], s_in,
                                            jnp.zeros((B,), jnp.bool_))
         c = 3 - jnp.clip(qi, 0, 3)
         ok_x1 = new_xq[lane, c]
@@ -574,14 +664,16 @@ def seed_strategy_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
         # restarts at i+1 either way
         store_hit = hit & (ok_s > 0)
         can_store = st["n_seeds"] < S
-        seed_row = jnp.stack([x, i + 1, ok_x0, ok_x1, ok_s], axis=-1)
-        seeds = st["seeds"].at[lane, jnp.clip(st["n_seeds"], 0, S - 1)].set(
-            jnp.where((store_hit & can_store)[:, None], seed_row,
-                      st["seeds"][lane, jnp.clip(st["n_seeds"], 0, S - 1)]))
+        seed_rows = jnp.stack([x, i + 1, ok_x0, ok_x1, ok_s])  # [5, B]
+        N = st["seeds"].shape[2]
+        oh = (jnp.arange(N, dtype=jnp.int32)[None, :]
+              == jnp.minimum(st["n_seeds"], S - 1)[:, None]) \
+            & (store_hit & can_store)[:, None]
+        seeds = jnp.where(oh[None], seed_rows[:, :, None], st["seeds"])
         n_seeds = jnp.where(store_hit & can_store, st["n_seeds"] + 1, st["n_seeds"])
         overflow = st["overflow"] | (store_hit & ~can_store)
-        ik = jnp.where((need & ~hit)[:, None],
-                       jnp.stack([ok_x0, ok_x1, ok_s], axis=-1), ik)
+        ik = jnp.where((need & ~hit)[None],
+                       jnp.stack([ok_x0, ok_x1, ok_s]), ik)
         i = jnp.where(need & ~hit, i + 1, i)
         # run terminations
         x = jnp.where(run_end_len, lens, x)
@@ -591,4 +683,4 @@ def seed_strategy_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
                     n_seeds=n_seeds, overflow=overflow, iters=st["iters"] + 1)
 
     final = jax.lax.while_loop(cond, step, state)
-    return final["seeds"], final["n_seeds"], final["overflow"]
+    return final["seeds"].transpose(1, 2, 0), final["n_seeds"], final["overflow"]
