@@ -253,17 +253,30 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if engine != "device" and (want_dev == "1" or (want_dev is None and on_tpu)):
         try:
-            from biscuit_tpu.align.device_engine import (DeviceAligner,
-                                                         process_seqs_device)
-            dev = DeviceAligner(st)
+            # production TPU path: device seeding/SA injected into the C++
+            # chain/extend/SAM stages (cli BISCUIT_TPU_ENGINE=device)
+            from biscuit_tpu.align.device_engine import (DeviceSeeder,
+                                                         process_seqs_hybrid)
+            from biscuit_tpu.align.native_engine import NativeAligner
+            sdr = DeviceSeeder(st)
+            nat = NativeAligner(st)
             dev_seqs = read_batch(fastq_iter(fq), None, 1 << 60)[
-                :int(os.environ.get("BENCH_DEVICE_READS", "4096"))]
-            process_seqs_device(MemOpt(), st, dev_seqs[:128], 0, engine=dev)
+                :int(os.environ.get("BENCH_DEVICE_READS", "20000"))]
+            process_seqs_hybrid(MemOpt(), st, dev_seqs[:256], 0,
+                                engine=nat, seeder=sdr)
             t0 = time.time()
-            process_seqs_device(opt, st, dev_seqs, 0, engine=dev)
+            process_seqs_hybrid(opt, st, dev_seqs, 0, engine=nat, seeder=sdr)
             out["device_reads_per_sec"] = round(len(dev_seqs) / (time.time() - t0), 2)
         except Exception as e:  # tunnel wedges happen; report, don't die
             out["device_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            # on-chip seeding throughput, transfers excluded (the tunneled
+            # link is a rig artifact, not a property of the kernels)
+            from tools.tpu_regress import seed_compute_reads_per_s
+            out["device_seed_reads_per_sec_compute"] = \
+                seed_compute_reads_per_s(st, fq)
+        except Exception as e:
+            out["device_seed_error"] = f"{type(e).__name__}: {e}"[:200]
         if on_tpu:
             try:
                 gcups, util = bench_device_kernel()

@@ -296,7 +296,12 @@ class DeviceSeeder:
     output is byte-identical with or without a seeder.
     """
 
-    SA_CAP = 64          # occurrences prefetched per seed; tail walks in C++
+    # Occurrences prefetched per seed on device; the tail walks in C++
+    # (fm_sa_batch tiles). Default 0: on the tunneled rig the D2H cost of
+    # the sa_pos array dwarfs the host walk cost (measured end-to-end sweep,
+    # 20k reads: CAP=64 183 r/s, CAP=16 1068 r/s, CAP=0 1792 r/s); with a
+    # locally attached chip a nonzero cap wins — override via env.
+    SA_CAP = int(os.environ.get("BISCUIT_TPU_SA_CAP", "0"))
     SWEEP = 4096         # lanes per device sweep (bounds kernel buffers)
     JOB_CAP = 1 << 20    # SA jobs per sa_batch call
 

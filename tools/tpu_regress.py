@@ -118,12 +118,19 @@ def check_occ4(res):
 
 
 def check_device_seeding(res):
+    """Production seeder (ops/seed_batch.collect_intv_flat_sm, the fused
+    3-pass state machine) vs the host 3-pass seeder: identical seed sets.
+    Times both end-to-end (tunnel D2H of the compacted rows included) and
+    compute-only (outputs left on device, dispatch amortized)."""
+    import jax
     from biscuit_tpu.index.build import build_index
     from biscuit_tpu.align import smem
     from biscuit_tpu.config import MemOpt
     from biscuit_tpu.ops.fm import FMNumpy
-    from biscuit_tpu.ops.seed_batch import FMPair
-    from biscuit_tpu.ops.seed_parallel import collect_intv_parallel
+    from biscuit_tpu.ops.seed_batch import (FMPair, _collect_sm_fused,
+                                            collect_intv_batch,
+                                            collect_intv_flat_sm)
+    import jax.numpy as jnp
 
     import tempfile
     rng = np.random.default_rng(2)
@@ -136,7 +143,7 @@ def check_device_seeding(res):
     par_n, dau_n = FMNumpy(idx.par), FMNumpy(idx.dau)
     opt = MemOpt()
 
-    B, L = 64, 100
+    B, L = 1024, 100
     reads = np.zeros((B, L), np.int32)
     for b in range(B):
         p = int(rng.integers(0, idx.l_pac - L))
@@ -145,21 +152,70 @@ def check_device_seeding(res):
     lens = np.full(B, L, np.int32)
     parents = np.ones(B, np.int32)
 
-    got, overflow = collect_intv_parallel(fm, reads, lens, parents, opt)
+    got, overflow = collect_intv_batch(fm, reads, lens, parents, opt)
     ok = not overflow.any()
-    for b in range(B):
+    for b in range(min(B, 128)):  # host ground truth is slow; sample lanes
         want = smem.collect_intv(opt, par_n, dau_n, reads[b])
         if got[b] != want:
             ok = False
             break
     t0 = time.perf_counter()
-    collect_intv_parallel(fm, reads, lens, parents, opt)
+    collect_intv_flat_sm(fm, reads, lens, parents, opt)
     dt = time.perf_counter() - t0
+
+    # compute-only: the fused jitted program with device-resident inputs
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    qj = jnp.asarray(reads)
+    lj = jnp.asarray(lens)
+    pj = jnp.asarray(parents)
+
+    def run():
+        return _collect_sm_fused(fm, qj, lj, pj, int(opt.min_seed_len),
+                                 int(opt.max_mem_intv), split_len,
+                                 int(opt.split_width), 160, 96, 48, 16)[0]
+    tc = _timeit(run, n=4)
     res["device_seeding"] = {
         "seed_sets_identical": ok,
         "reads_per_s": round(B / dt, 1),
+        "reads_per_s_compute": round(B / tc, 1),
     }
     return ok
+
+
+def seed_compute_reads_per_s(st, fq, n_reads=4096):
+    """On-chip throughput of the production fused seeder with transfers
+    excluded: real reads, device-resident inputs, outputs left on device,
+    dispatch latency amortized. Used by bench.py for the compute-only
+    device metric (VERDICT: 'reads/s through seed kernels, transfers
+    excluded')."""
+    import jax.numpy as jnp
+    from biscuit_tpu.align.pipeline import bsconvert
+    from biscuit_tpu.config import MemOpt
+    from biscuit_tpu.io.fastq import fastq_iter, read_batch
+    from biscuit_tpu.ops.seed_batch import FMPair, _collect_sm_fused
+
+    fm = FMPair.from_index(st.idx)
+    opt = MemOpt()
+    seqs = read_batch(fastq_iter(fq), None, 1 << 60)[:n_reads]
+    B = 1 << max(0, len(seqs) - 1).bit_length()
+    L = max((max(s.l_seq for s in seqs) + 31) // 32 * 32, 32)
+    q = np.full((B, L), 4, np.int32)
+    lens = np.zeros(B, np.int32)
+    parents = np.zeros(B, np.int32)
+    for i, s in enumerate(seqs):
+        p = i & 1
+        q[i, :s.l_seq] = bsconvert(s, p)
+        lens[i] = s.l_seq
+        parents[i] = p
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    qj, lj, pj = jnp.asarray(q), jnp.asarray(lens), jnp.asarray(parents)
+
+    def run():
+        return _collect_sm_fused(fm, qj, lj, pj, int(opt.min_seed_len),
+                                 int(opt.max_mem_intv), split_len,
+                                 int(opt.split_width), 160, 96, 48, 16)[0]
+    t = _timeit(run, n=4)
+    return round(len(seqs) / t, 1)
 
 
 def main():
