@@ -23,7 +23,7 @@ from ..config import MemOpt, MEM_F_PE, MEM_F_NO_RESCUE
 from ..index.fmindex import BisIndex
 from ..ops import sw
 from ..ops.seed_batch import (FMPair, collect_intv_batch,
-                              collect_intv_flat_sm, sa_batch)
+                              collect_intv_flat_sm, sa_batch_np)
 from ..ops.sw_batch import sw_extend_batch
 from ..ops.pallas_sw import sw_extend_batch_pallas
 from .chain import mem_chain, mem_chain_flt, mem_flt_chained_seeds
@@ -114,13 +114,13 @@ class DeviceAligner:
         if jobs_rank:
             nj = len(jobs_rank)
             njb = _pow2(nj)
+            rdt = np.int64 if self.fmpair.wide else np.int32
             jw = np.zeros(njb, np.int32)
-            jr = np.ones(njb, np.int32)  # rank 1 pads: cheap short walks
+            jr = np.ones(njb, rdt)  # rank 1 pads: cheap short walks
             jw[:nj] = jobs_which
             jr[:nj] = jobs_rank
             _plog(f"sa_batch start n={nj} bucket={njb}")
-            pos = np.asarray(sa_batch(self.fmpair, jnp.asarray(jw),
-                                      jnp.asarray(jr)))[:nj]
+            pos = sa_batch_np(self.fmpair, jw, jr)[:nj]
             _plog("sa_batch done")
         else:
             pos = np.zeros(0, np.int32)
@@ -392,25 +392,25 @@ class DeviceSeeder:
         total = int(sa_off[-1])
         sa_pos = np.zeros(max(total, 1), np.int64)
         if total:
+            rdt = np.int64 if self.fmpair.wide else np.int32
             which_all = np.repeat((keys_of_row & 1).astype(np.int32), kmax)
             base = np.repeat(rows[:, 2].astype(np.int64), kmax)
             within = np.arange(total, dtype=np.int64) - \
                 np.repeat(sa_off[:-1], kmax)
-            ranks_all = (base + within).astype(np.int32)
+            ranks_all = (base + within).astype(rdt)
             for lo in range(0, total, self.JOB_CAP):
                 hi = min(lo + self.JOB_CAP, total)
                 nj = hi - lo
                 njb = _pow2(nj)
                 jw = np.zeros(njb, np.int32)
-                jr = np.ones(njb, np.int32)
+                jr = np.ones(njb, rdt)
                 jw[:nj] = which_all[lo:hi]
                 jr[:nj] = ranks_all[lo:hi]
-                pos = np.asarray(sa_batch(self.fmpair, jnp.asarray(jw),
-                                          jnp.asarray(jr)))[:nj]
+                pos = sa_batch_np(self.fmpair, jw, jr)[:nj]
                 sa_pos[lo:hi] = pos.astype(np.int64)
 
-        rows_se = np.ascontiguousarray(rows[:, :2]) if M else \
-            np.zeros((1, 2), np.int32)
+        rows_se = np.ascontiguousarray(rows[:, :2].astype(np.int32)) if M \
+            else np.zeros((1, 2), np.int32)
         rows_xs = np.ascontiguousarray(rows[:, 2:5].astype(np.int64)) if M \
             else np.zeros((1, 3), np.int64)
         inj = SeedInjC()

@@ -332,8 +332,8 @@ Input/output options:
     dev = nat = sdr = None
     if engine == "device":
         # production TPU engine: device seeding/SA injected into the C++
-        # chain/extend/SAM stages; falls back to pure C++ when the device
-        # seeder cannot run (wide index, unsupported flags)
+        # chain/extend/SAM stages (wide/int64 indexes included); falls back
+        # to pure C++ when the device seeder cannot run (unsupported flags)
         from .align.native_engine import NativeAligner, process_seqs_native
         nat = NativeAligner(st)
         try:

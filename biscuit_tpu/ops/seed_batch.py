@@ -36,12 +36,18 @@ def _popcount32_np(x: np.ndarray) -> np.ndarray:
     return ((x * np.uint32(0x01010101)) >> np.uint32(24)).astype(np.int64)
 
 
-def _fused_tab(words: np.ndarray, occ_cp: np.ndarray, seq_len: int) -> np.ndarray:
+def _fused_tab(words: np.ndarray, occ_cp: np.ndarray, seq_len: int,
+               wide: bool = False) -> np.ndarray:
     """Fused occ+BWT table: one 32-byte row per 64 BWT bases —
     [c0, c1, c2, c3, w0, w1, w2, w3] as 8 uint32 — so every occ4 query is a
     SINGLE row gather (XLA TPU gathers cost per row, not per byte; the
     separate words/checkpoint layout spent ~3 gather-rows per query).
-    Same idea as the C++ runtime's ilv2 blocks (align_host.cpp)."""
+    Same idea as the C++ runtime's ilv2 blocks (align_host.cpp).
+
+    wide=True (strands >= 2^31 chars, e.g. human): counts no longer fit a
+    uint32, so the row becomes 12 uint32 — [lo0..lo3, hi0..hi3, w0..w3] —
+    still ONE row gather per query (gathers are row-rate-bound, not
+    byte-bound, so the 48-byte row costs the same as the 32-byte one)."""
     words = np.asarray(words, np.uint32)
     cp = np.asarray(occ_cp).astype(np.int64)  # [n128+1, 4]
     n64 = (int(seq_len) + 63) >> 6
@@ -61,9 +67,16 @@ def _fused_tab(words: np.ndarray, occ_cp: np.ndarray, seq_len: int) -> np.ndarra
     base = cp[b >> 1]                            # 128-base checkpoints
     odd_add = np.where((b & 1)[:, None] == 1,
                        blk_counts[(b >> 1) << 1], 0)
-    tab = np.empty((n64, 8), np.uint32)
-    tab[:, :4] = (base + odd_add).astype(np.uint32)
-    tab[:, 4:] = w4
+    tot = (base + odd_add).astype(np.uint64)
+    if wide:
+        tab = np.empty((n64, 12), np.uint32)
+        tab[:, 0:4] = (tot & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        tab[:, 4:8] = (tot >> np.uint64(32)).astype(np.uint32)
+        tab[:, 8:] = w4
+    else:
+        tab = np.empty((n64, 8), np.uint32)
+        tab[:, :4] = tot.astype(np.uint32)
+        tab[:, 4:] = w4
     return tab
 
 
@@ -72,22 +85,42 @@ class FMPair:
     """Parent+daughter FM arrays fused for per-lane index selection.
     Index id 0 = daughter, 1 = parent (reference bwt_t bwt[2], bwa.h:42-50).
     The occ+BWT state lives in `tab` (see _fused_tab): one 32-byte row per
-    64 bases, so occ4 / bwt_char / invPsi are single-row gathers."""
-    tab: jnp.ndarray       # [2, n64, 8] uint32 fused occ+BWT rows
-    L2: jnp.ndarray        # [2, 5] int32
-    primary: jnp.ndarray   # [2] int32
-    seq_len: jnp.ndarray   # int32 (same for both strands)
-    sa_samples: jnp.ndarray  # [2, n_sa] int32
+    64 bases, so occ4 / bwt_char / invPsi are single-row gathers.
+
+    wide=True: ranks/SA are int64 (strands >= 2^31 chars, reference
+    bwtint_t semantics) and tab rows carry split 64-bit counts. All kernels
+    must then run under jax.experimental.enable_x64 (the public wrappers
+    below do this) so int64 survives tracing."""
+    tab: jnp.ndarray       # [2, n64, 8|12] uint32 fused occ+BWT rows
+    L2: jnp.ndarray        # [2, 5] int32|int64
+    primary: jnp.ndarray   # [2] int32|int64
+    seq_len: jnp.ndarray   # int32|int64 (same for both strands)
+    sa_samples: jnp.ndarray  # [2, n_sa] int32|int64
+    wide: bool = False     # static (pytree aux): selects the rank dtype
+
+    @property
+    def rdt(self):
+        """Rank dtype: int64 on wide indexes, int32 otherwise."""
+        return jnp.int64 if self.wide else jnp.int32
 
     @classmethod
     def from_index(cls, idx: BisIndex) -> "FMPair":
-        if idx.dau.sa_samples.dtype.itemsize == 8:
-            raise NotImplementedError(
-                "device seeding uses int32 ranks; wide (>=2^31) indexes run "
-                "on the native engine (BISCUIT_TPU_ENGINE=native)")
+        wide = idx.dau.sa_samples.dtype.itemsize == 8
         n = int(idx.dau.seq_len)
-        tab = np.stack([_fused_tab(idx.dau.words, idx.dau.occ_cp, n),
-                        _fused_tab(idx.par.words, idx.par.occ_cp, n)])
+        tab = np.stack([_fused_tab(idx.dau.words, idx.dau.occ_cp, n, wide),
+                        _fused_tab(idx.par.words, idx.par.occ_cp, n, wide)])
+        if wide:
+            with jax.enable_x64(True):
+                L2 = np.stack([idx.dau.L2, idx.par.L2]).astype(np.int64)
+                prim = np.asarray([idx.dau.primary, idx.par.primary],
+                                  np.int64)
+                sa = np.stack([idx.dau.sa_samples,
+                               idx.par.sa_samples]).astype(np.int64)
+                sa[:, 0] = -1  # '$' row sentinel (bwt.c:84,94-96 wrap)
+                return cls(tab=jnp.asarray(tab), L2=jnp.asarray(L2),
+                           primary=jnp.asarray(prim),
+                           seq_len=jnp.int64(idx.dau.seq_len),
+                           sa_samples=jnp.asarray(sa), wide=True)
         dau = FMArrays.from_strand(idx.dau)
         par = FMArrays.from_strand(idx.par)
         return cls(
@@ -101,17 +134,45 @@ class FMPair:
 
 jax.tree_util.register_pytree_node(
     FMPair,
-    lambda f: ((f.tab, f.L2, f.primary, f.seq_len, f.sa_samples), None),
-    lambda _, ch: FMPair(*ch),
+    lambda f: ((f.tab, f.L2, f.primary, f.seq_len, f.sa_samples), f.wide),
+    lambda wide, ch: FMPair(*ch, wide=wide),
 )
+
+
+def _sel2(pair: jnp.ndarray, which: jnp.ndarray) -> jnp.ndarray:
+    """pair[which] for a [2, ...] array and per-lane `which` in {0,1} as a
+    where-select instead of a gather.  XLA TPU per-lane gathers are
+    row-rate-bound (~50 us per 4k rows regardless of operand size, measured
+    on v5e); a 2-way select is a free VPU op."""
+    a0, a1 = pair[0], pair[1]
+    if a0.ndim == 0:
+        return jnp.where(which == 1, a1, a0)
+    w = (which == 1).reshape(which.shape + (1,) * a0.ndim)
+    return jnp.where(w, a1, a0)
+
+
+def _pick_oh(plane: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """plane [..., B, N] -> [..., B]: element idx[b] of the minor axis via a
+    one-hot multiply-reduce (pure VPU) instead of take_along_axis (gather).
+    Out-of-range idx yields 0 (callers clip, matching take_along_axis)."""
+    N = plane.shape[-1]
+    oh = jnp.arange(N, dtype=jnp.int32) == idx[..., None]
+    return jnp.sum(jnp.where(oh, plane, 0), axis=-1)
 
 
 def _occ4_from_row(row: jnp.ndarray, kk: jnp.ndarray) -> jnp.ndarray:
     """Class counts up to position kk (exclusive of positions > kk) given the
-    fused 64-base row of kk's block. row [..., 8] uint32, kk [...] int32."""
-    acc = row[..., :4].astype(jnp.int32)
-    w4 = row[..., 4:]
-    w_idx = ((kk >> 4) & 3)[..., None]
+    fused 64-base row of kk's block. row [..., 8] uint32, kk [...] int32.
+    Wide rows ([..., 12], split 64-bit counts) yield int64 counts; kk may be
+    int64 then (only its low bits matter within a 64-base block)."""
+    if row.shape[-1] == 12:
+        acc = (row[..., 0:4].astype(jnp.int64)
+               | (row[..., 4:8].astype(jnp.int64) << 32))
+        w4 = row[..., 8:]
+    else:
+        acc = row[..., :4].astype(jnp.int32)
+        w4 = row[..., 4:]
+    w_idx = ((kk >> 4) & 3).astype(jnp.int32)[..., None]
     t_low = (~kk & 15).astype(jnp.uint32)[..., None]
     jj = jnp.arange(4, dtype=jnp.int32)
     sel_part = jj == w_idx
@@ -136,15 +197,16 @@ def _occ4_from_row(row: jnp.ndarray, kk: jnp.ndarray) -> jnp.ndarray:
 def occ4_sel(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """occ4 with a per-lane strand-index selector `which` in {0,1}.
     One fused-table row gather per query."""
-    k = k.astype(jnp.int32)
+    k = k.astype(fm.rdt)
     is_neg = k < 0
     is_full = k == fm.seq_len
     ksafe = jnp.clip(k, 0, fm.seq_len - 1)
-    prim = fm.primary[which]
-    kk = ksafe - (ksafe >= prim).astype(jnp.int32)
-    row = fm.tab[which, kk >> 6]
+    prim = _sel2(fm.primary, which)
+    kk = ksafe - (ksafe >= prim).astype(fm.rdt)
+    n64 = fm.tab.shape[1]
+    row = fm.tab.reshape(2 * n64, fm.tab.shape[-1])[which * n64 + (kk >> 6)]
     res = _occ4_from_row(row, kk)
-    totals = (fm.L2[:, 1:5] - fm.L2[:, 0:4])[which]
+    totals = _sel2(fm.L2[:, 1:5] - fm.L2[:, 0:4], which)
     res = jnp.where(is_full[..., None], totals, res)
     res = jnp.where(is_neg[..., None], 0, res)
     return res
@@ -159,9 +221,9 @@ def extend_sel(fm: FMPair, which: jnp.ndarray, x_q: jnp.ndarray,
     tk = occ4_sel(fm, which, x_q - 1)
     tl = occ4_sel(fm, which, x_q - 1 + s)
     sizes = tl - tk
-    L2w = fm.L2[which]
+    L2w = _sel2(fm.L2, which)
     new_xq = L2w[..., :4] + 1 + tk
-    prim = fm.primary[which]
+    prim = _sel2(fm.primary, which)
     crosses = ((x_q <= prim) & (x_q + s - 1 >= prim)).astype(jnp.int32)
     b3 = x_o + crosses
     b2 = b3 + sizes[..., 3]
@@ -206,49 +268,54 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
     T = tasks.shape[1]
     fm_id = parent            # backward extensions query bwt  = bwt[parent]
     fmc_id = 1 - parent       # forward  extensions query bwtc = bwt[1-parent]
+    rdt = fm.rdt              # rank dtype: int64 on wide indexes
 
     # Array layout note: every multi-component per-lane structure is stored
     # as COMPONENT PLANES with the capacity axis last ([K, B, N], not
     # [B, N, K]).  TPU tiles the two minor dims to (8, 128): a trailing
     # component dim of 3-5 would pad to 128 lanes and waste ~30x bandwidth
     # on every masked full-array select in the loop body.
+    # On wide indexes every rank-or-position plane is rdt=int64 (positions
+    # too: they mix with ranks in the ik/buf/seed stacks, and a uniform
+    # dtype keeps the while-loop carry stable).
     state = dict(
         phase=jnp.full((B,), PH_SCAN, jnp.int32),
         t_idx=jnp.zeros((B,), jnp.int32),
-        tasks=tasks.astype(jnp.int32).transpose(2, 0, 1),  # [3, B, T]
-        x=jnp.zeros((B,), jnp.int32),
-        min_intv=jnp.ones((B,), jnp.int32),
-        i=jnp.zeros((B,), jnp.int32),
-        ret=jnp.zeros((B,), jnp.int32),
-        ik=jnp.zeros((4, B), jnp.int32),          # x0, x1, s, end planes
+        tasks=tasks.astype(rdt).transpose(2, 0, 1),  # [3, B, T]
+        x=jnp.zeros((B,), rdt),
+        min_intv=jnp.ones((B,), rdt),
+        i=jnp.zeros((B,), rdt),
+        ret=jnp.zeros((B,), rdt),
+        ik=jnp.zeros((4, B), rdt),                # x0, x1, s, end planes
         # prev/curr interval lists: two C-slots concatenated on one axis so
         # every update is a one-hot masked select (TPU scatters serialize)
-        buf=jnp.zeros((4, B, 2 * C), jnp.int32),
+        buf=jnp.zeros((4, B, 2 * C), rdt),
         prev_slot=jnp.zeros((B,), jnp.int32),
         n_prev=jnp.zeros((B,), jnp.int32),
         n_curr=jnp.zeros((B,), jnp.int32),
         j=jnp.zeros((B,), jnp.int32),
         call_emits=jnp.zeros((B,), jnp.int32),    # emits in current smem1a
-        last_emit_start=jnp.zeros((B,), jnp.int32),
+        last_emit_start=jnp.zeros((B,), rdt),
         rev=jnp.zeros((B,), jnp.bool_),           # first BACK row reversed
-        seeds=jnp.zeros((5, B, S), jnp.int32),    # start, end, x0, x1, s
+        seeds=jnp.zeros((5, B, S), rdt),          # start, end, x0, x1, s
         n_seeds=jnp.zeros((B,), jnp.int32),
         overflow=jnp.zeros((B,), jnp.bool_),
         iters=jnp.int32(0),
     )
 
-    lane = jnp.arange(B)
+    # loop-invariant per-lane L2 rows, hoisted out of the while body
+    L2f = _sel2(fm.L2, fm_id)     # [B, 5]
+    L2c = _sel2(fm.L2, fmc_id)
 
     def get_q(i):
-        """q[lane, i] with out-of-range -> 4."""
+        """q[lane, i] with out-of-range -> 4 (one-hot, not gather)."""
         ii = jnp.clip(i, 0, L - 1)
-        v = q[lane, ii]
+        v = _pick_oh(q, ii)
         return jnp.where((i < 0) | (i >= lens), 4, v)
 
     def pick(plane, idx):
         """plane [K, B, N] -> [K, B]: element idx[b] of every component."""
-        return jnp.take_along_axis(
-            plane, idx[None, :, None], axis=2)[..., 0]
+        return _pick_oh(plane, idx)
 
     def write(plane, idx, rows, mask):
         """plane[k, b, idx[b]] = rows[k, b] where mask[b] — scatter-free."""
@@ -293,11 +360,10 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
 
         # init: start forward phase
         c0 = jnp.clip(q_at_tx, 0, 3)
-        L2f = fm.L2[fm_id]
-        L2c = fm.L2[fmc_id]
-        ik_x0 = L2f[lane, c0] + 1
-        ik_x1 = L2c[lane, 3 - c0] + 1
-        ik_s = L2f[lane, c0 + 1] - L2f[lane, c0]
+        l2f_c0 = _pick_oh(L2f, c0)
+        ik_x0 = l2f_c0 + 1
+        ik_x1 = _pick_oh(L2c, 3 - c0) + 1
+        ik_s = _pick_oh(L2f, c0 + 1) - l2f_c0
         ik_new = jnp.stack([ik_x0, ik_x1, ik_s, tx + 1])   # [4, B]
         ik = jnp.where(task_init[None], ik_new, st["ik"])
         x = jnp.where(task_init, tx, st["x"])
@@ -328,9 +394,9 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
         # ok[c] for the relevant c
         fwd_c = 3 - jnp.clip(qi, 0, 3)
         c_sel = jnp.where(fwd, fwd_c, jnp.clip(back_c, 0, 3))
-        ok_q = new_xq[lane, c_sel]   # queried-axis rank
-        ok_o = new_xo[lane, c_sel]
-        ok_s = sizes[lane, c_sel]
+        ok_q = _pick_oh(new_xq, c_sel)   # queried-axis rank
+        ok_o = _pick_oh(new_xo, c_sel)
+        ok_s = _pick_oh(sizes, c_sel)
         # map back to (x0, x1): FWD queried axis = x1; BACK queried axis = x0
         ok_x0 = jnp.where(fwd, ok_o, ok_q)
         ok_x1 = jnp.where(fwd, ok_q, ok_o)
@@ -439,6 +505,25 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
             final["overflow"], final["iters"])
 
 
+def _rank_ctx(fm: FMPair):
+    """x64 tracing context for wide indexes (int64 ranks survive jit);
+    a no-op for narrow ones."""
+    if fm.wide:
+        return jax.enable_x64(True)
+    import contextlib
+    return contextlib.nullcontext()
+
+
+def sa_batch_np(fm: FMPair, which: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Host-facing batched SA lookup: handles the wide x64 context and rank
+    dtype so callers stay dtype-agnostic. Returns a numpy array."""
+    with _rank_ctx(fm):
+        kj = jnp.asarray(np.asarray(k).astype(
+            np.int64 if fm.wide else np.int32))
+        wj = jnp.asarray(np.asarray(which, np.int32))
+        return np.asarray(sa_batch(fm, wj, kj))
+
+
 @jax.jit
 def sa_batch(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """Batched SA lookup (bwt_sa walk) with per-lane strand selection.
@@ -446,15 +531,17 @@ def sa_batch(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     occ rank come from the same 64-base block row."""
 
     def inv_psi(which, kk):
-        prim = fm.primary[which]
+        prim = _sel2(fm.primary, which)
         j = kk - (kk >= prim).astype(jnp.int32)
-        row = fm.tab[which, j >> 6]
-        w = jnp.take_along_axis(row, (4 + ((j >> 4) & 3))[..., None],
-                                axis=-1)[..., 0]
+        n64 = fm.tab.shape[1]
+        row = fm.tab.reshape(2 * n64, fm.tab.shape[-1])[which * n64 + (j >> 6)]
+        wbase = fm.tab.shape[-1] - 4  # BWT words: cols 4.. (8.. on wide rows)
+        w = _pick_oh(row, wbase + ((j >> 4) & 3).astype(jnp.int32))
         c = ((w >> (((~j & 15) << 1).astype(jnp.uint32))) & 3).astype(jnp.int32)
         o4 = _occ4_from_row(row, j)
-        occs = jnp.take_along_axis(o4, c[..., None], axis=-1)[..., 0]
-        return jnp.where(kk == prim, 0, fm.L2[which, c] + occs)
+        occs = _pick_oh(o4, c)
+        L2w = _sel2(fm.L2, which)
+        return jnp.where(kk == prim, 0, _pick_oh(L2w, c) + occs)
 
     def body(state):
         kk, add, act = state
@@ -515,7 +602,7 @@ def _collect_sm_fused(fm: FMPair, q, lens, parents,
         s3, n3, ov3 = seed_strategy_batch(fm, q, lens, parents,
                                           min_seed_len, max_mem_intv, S=S3)
     else:
-        s3 = jnp.zeros((B, S3, 5), jnp.int32)
+        s3 = jnp.zeros((B, S3, 5), fm.rdt)
         n3 = jnp.zeros((B,), jnp.int32)
         ov3 = jnp.zeros((B,), jnp.bool_)
     ov = ov1 | ov2 | ov2cap | ov3
@@ -553,15 +640,16 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
     overflow [B] bool), ordered by (lane, start<<32|end, pass-insertion) —
     the host collect_intv's stable ks_introsort-key order."""
     B, L = reads.shape
-    q = jnp.asarray(reads, dtype=jnp.int32)
-    lens_j = jnp.asarray(lens, dtype=jnp.int32)
-    par_j = jnp.asarray(parents, dtype=jnp.int32)
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
 
-    out = _collect_sm_fused(fm, q, lens_j, par_j,
-                            int(opt.min_seed_len), int(opt.max_mem_intv),
-                            split_len, int(opt.split_width),
-                            C, S, S3, 16)
+    with _rank_ctx(fm):
+        q = jnp.asarray(reads, dtype=jnp.int32)
+        lens_j = jnp.asarray(lens, dtype=jnp.int32)
+        par_j = jnp.asarray(parents, dtype=jnp.int32)
+        out = _collect_sm_fused(fm, q, lens_j, par_j,
+                                int(opt.min_seed_len), int(opt.max_mem_intv),
+                                split_len, int(opt.split_width),
+                                C, S, S3, 16)
     # transfers are lazy: only the compacted output is pulled unless the
     # global cap spilled (then the padded per-pass arrays are fetched)
     n_all = np.asarray(out[1])
@@ -608,14 +696,16 @@ def seed_strategy_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
     B, L = q.shape
     fm_id = parent
     fmc_id = 1 - parent
-    lane = jnp.arange(B)
+    rdt = fm.rdt
+    L2f = _sel2(fm.L2, fm_id)     # [B, 5] loop-invariant
+    L2c = _sel2(fm.L2, fmc_id)
 
     state = dict(
-        x=jnp.zeros((B,), jnp.int32),
-        i=jnp.zeros((B,), jnp.int32),
-        ik=jnp.zeros((3, B), jnp.int32),
+        x=jnp.zeros((B,), rdt),
+        i=jnp.zeros((B,), rdt),
+        ik=jnp.zeros((3, B), rdt),
         in_run=jnp.zeros((B,), jnp.bool_),
-        seeds=jnp.zeros((5, B, S), jnp.int32),  # component planes (tiling)
+        seeds=jnp.zeros((5, B, S), rdt),        # component planes (tiling)
         n_seeds=jnp.zeros((B,), jnp.int32),
         overflow=jnp.zeros((B,), jnp.bool_),
         iters=jnp.int32(0),
@@ -623,7 +713,7 @@ def seed_strategy_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
 
     def get_q(i):
         ii = jnp.clip(i, 0, L - 1)
-        v = q[lane, ii]
+        v = _pick_oh(q, ii)
         return jnp.where((i < 0) | (i >= lens), 4, v)
 
     def cond(st):
@@ -638,10 +728,9 @@ def seed_strategy_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
         x = jnp.where(skip, x + 1, x)
 
         c0 = jnp.clip(qx, 0, 3)
-        L2f = fm.L2[fm_id]
-        L2c = fm.L2[fmc_id]
-        ik_new = jnp.stack([L2f[lane, c0] + 1, L2c[lane, 3 - c0] + 1,
-                            L2f[lane, c0 + 1] - L2f[lane, c0]])
+        l2f_c0 = _pick_oh(L2f, c0)
+        ik_new = jnp.stack([l2f_c0 + 1, _pick_oh(L2c, 3 - c0) + 1,
+                            _pick_oh(L2f, c0 + 1) - l2f_c0])
         ik = jnp.where(start_run[None], ik_new, ik)
         i = jnp.where(start_run, x + 1, i)
         in_run = in_run | start_run
@@ -655,9 +744,9 @@ def seed_strategy_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
         new_xq, new_xo, sizes = extend_sel(fm, fmc_id, x_q, ik[0], s_in,
                                            jnp.zeros((B,), jnp.bool_))
         c = 3 - jnp.clip(qi, 0, 3)
-        ok_x1 = new_xq[lane, c]
-        ok_x0 = new_xo[lane, c]
-        ok_s = sizes[lane, c]
+        ok_x1 = _pick_oh(new_xq, c)
+        ok_x0 = _pick_oh(new_xo, c)
+        ok_s = _pick_oh(sizes, c)
         hit = need & (ok_s < max_intv) & (i - x >= min_seed_len)
         # the reference only pushes hits with a nonzero interval
         # (mem_collect_intv: `if (m.x[2] > 0) kv_push`), but the scan still

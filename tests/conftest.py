@@ -39,6 +39,15 @@ def oracle():
     return ensure_oracle()
 
 
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    """Module-scoped monkeypatch (the builtin fixture is function-scoped)."""
+    from _pytest.monkeypatch import MonkeyPatch
+    mp = MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
 @pytest.fixture(scope="session")
 def small_dataset(tmp_path_factory, oracle):
     """Small genome + SE reads with reference index + SAM already built."""

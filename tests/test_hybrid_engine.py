@@ -61,6 +61,27 @@ def test_injection_covers_lanes(setup):
     assert lane_off[-1] > 0
 
 
+def test_se_hybrid_wide_index(small_dataset, monkeypatch_module):
+    """Wide (int64-rank) device seeding end-to-end: same SAM bytes as the
+    host path on a forced-wide index (the human-genome layout)."""
+    monkeypatch_module.setenv("BISCUIT_TPU_WIDE_INDEX", "1")
+    idx = build_index(str(small_dataset / "genome.fa"))
+    assert idx.dau.sa_samples.dtype.itemsize == 8
+    st = AlignerState(idx)
+    opt = MemOpt()
+    opt.flag |= MEM_F_NO_MULTI
+    host_seqs = _load(small_dataset / "reads.fq", 60)
+    process_seqs(opt, st, host_seqs, 0)
+    opt2 = MemOpt()
+    opt2.flag |= MEM_F_NO_MULTI
+    hyb_seqs = _load(small_dataset / "reads.fq", 60)
+    sdr = DeviceSeeder(st)
+    assert sdr.fmpair.wide
+    process_seqs_hybrid(opt2, st, hyb_seqs, 0, seeder=sdr)
+    for h, v in zip(host_seqs, hyb_seqs):
+        assert h.sam == v.sam, f"{h.name}\nhost: {h.sam}\nhyb : {v.sam}"
+
+
 def test_pe_hybrid_matches_host(tmp_path_factory):
     import subprocess
     import sys

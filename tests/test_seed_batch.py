@@ -46,6 +46,54 @@ def pad_batch(seqs):
     return q, lens
 
 
+@pytest.fixture(scope="module")
+def wide_setup(small_dataset, monkeypatch_module):
+    """Same genome forced onto the wide (int64 SA / split-count) layout —
+    the big-genome path (reference bwtint_t semantics) on a testable size."""
+    monkeypatch_module.setenv("BISCUIT_TPU_WIDE_INDEX", "1")
+    fa = str(small_dataset / "genome.fa")
+    idx = build_index(fa)
+    assert idx.dau.sa_samples.dtype.itemsize == 8
+    fmpair = seed_batch.FMPair.from_index(idx)
+    assert fmpair.wide and fmpair.tab.shape[-1] == 12
+    return idx, fmpair, small_dataset
+
+
+def test_collect_intv_wide_parity(wide_setup):
+    """Wide (int64-rank) device seeding matches the host ground truth."""
+    idx, fmpair, d = wide_setup
+    opt = MemOpt()
+    par_n = FMNumpy(idx.par)
+    dau_n = FMNumpy(idx.dau)
+    raw = read_seqs(d / "reads.fq", 24)
+    seqs = raw + [raw[1][:25]]
+    parents = [i % 2 for i in range(len(seqs))]
+    conv = [bsconvert(s, p) for s, p in zip(seqs, parents)]
+    q, lens = pad_batch(conv)
+    got, overflow = seed_batch.collect_intv_batch(
+        fmpair, q, lens, np.array(parents, np.int32), opt)
+    assert not overflow.any()
+    for b, (s, p) in enumerate(zip(conv, parents)):
+        fm, fmc = (par_n, dau_n) if p else (dau_n, par_n)
+        want = smem.collect_intv(opt, fm, fmc, s)
+        assert got[b] == want, f"lane {b} parent={p}"
+
+
+def test_sa_batch_wide_parity(wide_setup):
+    """Wide batched SA walk matches the scalar host sa() for every rank."""
+    idx, fmpair, _d = wide_setup
+    par_n = FMNumpy(idx.par)
+    dau_n = FMNumpy(idx.dau)
+    n = int(idx.dau.seq_len)
+    rng = np.random.default_rng(7)
+    ranks = rng.integers(1, n, 256).astype(np.int64)
+    which = rng.integers(0, 2, 256).astype(np.int32)
+    got = seed_batch.sa_batch_np(fmpair, which, ranks)
+    for w, k, g in zip(which, ranks, got):
+        fm = par_n if w else dau_n
+        assert int(g) == int(fm.sa_s(int(k))), (w, k)
+
+
 def test_collect_intv_batch_parity(setup):
     idx, fmpair, d = setup
     opt = MemOpt()
