@@ -143,8 +143,15 @@ class NativeAligner:
             cache = (os.path.join(mmap_dir, f"{tag}_ilv2.npy")
                      if mmap_dir else None)
             if cache and os.path.exists(cache):
-                arr = np.load(cache, mmap_mode="r")
-                if arr.nbytes == nb2 * 32:
+                # staleness guard: the blocks derive from {tag}_words.npy, so
+                # a cache older than its source (e.g. left behind by a tool
+                # that rewrote the arrays without save_mmap's cleanup) must
+                # not be trusted on byte-length alone
+                src = os.path.join(mmap_dir, f"{tag}_words.npy")
+                fresh = (not os.path.exists(src) or
+                         os.path.getmtime(cache) >= os.path.getmtime(src))
+                arr = np.load(cache, mmap_mode="r") if fresh else None
+                if arr is not None and arr.nbytes == nb2 * 32:
                     self._bufs.append(arr)
                     fm.ilv2 = arr.ctypes.data  # read-only pages; C++ reads only
                     return fm

@@ -76,3 +76,46 @@ def test_native_threads_deterministic(setup):
     process_seqs_native(opt4, st, seqs4, 0, engine=nat)
     for a, b in zip(seqs1, seqs4):
         assert a.sam == b.sam
+
+
+def test_ilv2_cache_staleness_guard(tmp_path_factory, small_dataset):
+    """A stale same-size ilv2 cache (older than its source words.npy) must be
+    rebuilt, not trusted — rebuilding an index over an existing .btidx dir
+    must never serve alignments from the previous genome's occ blocks."""
+    import os
+    import shutil
+    from biscuit_tpu.index.fmindex import BisIndex
+
+    d = tmp_path_factory.mktemp("ilv2guard")
+    fa = str(d / "genome.fa")
+    shutil.copy(small_dataset / "genome.fa", fa)
+    idx = build_index(fa)
+    idx.save_mmap(fa)
+    mdir = fa + ".btidx"
+
+    def align_all():
+        st = AlignerState(BisIndex.load(fa))
+        seqs = read_batch(fastq_iter(str(small_dataset / "reads.fq")),
+                          None, 1 << 60)
+        opt = MemOpt()
+        opt.flag |= MEM_F_NO_MULTI
+        process_seqs_native(opt, st, seqs, 0)
+        return [s.sam for s in seqs]
+
+    want = align_all()  # first run writes {par,dau}_ilv2.npy caches
+    caches = [os.path.join(mdir, f"{t}_ilv2.npy") for t in ("par", "dau")]
+    assert all(os.path.exists(c) for c in caches)
+
+    # corrupt the cache payloads in place (same byte length) and backdate
+    # them behind their source arrays — the guard must reject + rebuild
+    for c in caches:
+        a = np.load(c)
+        np.save(c, a ^ np.uint8(0xA5))
+        src = c.replace("_ilv2.npy", "_words.npy")
+        os.utime(c, (os.path.getmtime(src) - 100,
+                     os.path.getmtime(src) - 100))
+    assert align_all() == want
+    # ...and the rebuild must have refreshed the cache (now fresh + valid)
+    for c in caches:
+        src = c.replace("_ilv2.npy", "_words.npy")
+        assert os.path.getmtime(c) >= os.path.getmtime(src)
