@@ -217,9 +217,17 @@ def extend_sel(fm: FMPair, which: jnp.ndarray, x_q: jnp.ndarray,
     """Batched bwt_extend against a per-lane-selected strand index.
     x_q: the rank on the QUERIED index (x[!is_back]); x_o: the other rank.
     Returns (new_xq [B,4], new_xo [B,4], sizes [B,4]) where new_xq is the
-    queried-axis update (L2+1+tk) and new_xo the cumulative other axis."""
-    tk = occ4_sel(fm, which, x_q - 1)
-    tl = occ4_sel(fm, which, x_q - 1 + s)
+    queried-axis update (L2+1+tk) and new_xo the cumulative other axis.
+
+    The two occ4 lookups (tk at x_q-1, tl at x_q-1+s) ride ONE fused-table
+    gather of 2B concatenated rows: TPU gathers are near-fixed-cost below
+    ~4k rows (see _sel2), so one 2B-row gather per extension step costs
+    about half of two B-row gathers."""
+    wb = jnp.broadcast_to(which, x_q.shape)
+    occ2 = occ4_sel(fm, jnp.concatenate([wb, wb]),
+                    jnp.concatenate([x_q - 1, x_q - 1 + s]))
+    B = x_q.shape[0]
+    tk, tl = occ2[:B], occ2[B:]
     sizes = tl - tk
     L2w = _sel2(fm.L2, which)
     new_xq = L2w[..., :4] + 1 + tk
@@ -433,10 +441,14 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
         # ONE one-hot write covers both curr-list growth events — the fwd
         # push of ik and the back append — they target the same curr[n_curr]
         wrow = jnp.where(fwd[None], st["ik"], app_rows)
-        grow = (push_ik | append) & (n_curr < C)
+        want_grow = push_ik | append
+        grow = want_grow & (n_curr < C)
         buf = write(st["buf"], curr_slot * C + jnp.minimum(n_curr, C - 1),
                     wrow, grow)
         n_curr = jnp.where(grow, n_curr + 1, n_curr)
+        # interval-list capacity spill: flag the lane so the caller reruns
+        # it on the host path instead of silently dropping the entry
+        overflow = overflow | (want_grow & ~grow)
 
         small = fwd_need & (ok_s < min_intv)
         fwd_finish = at_end | (size_changed & small)

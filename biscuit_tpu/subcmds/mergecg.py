@@ -1,8 +1,13 @@
 """biscuit mergecg port (/root/reference/src/mergecg.c): merge
 strand-symmetric C/G beta rows of a CpG into one record (count-space merge).
+
+Runs through the native C++ chunk engine (native/streams_native.cpp) by
+default; BISCUIT_TPU_STREAMS=python keeps the pure-Python line walk. Both
+byte-diffed vs the compiled reference (tests/test_downstream_oracle.py).
 """
 import getopt
 import gzip
+import os
 import sys
 
 from ..pileup.common import RefCache
@@ -81,6 +86,86 @@ def _format_output(p: _Bed1, base_before, base_after, min_depth, show_mu, out):
     out.write("".join(parts) + "\n")
 
 
+def mergecg_native(ref_fa: str, bed_path: str, min_depth: int,
+                   nome_mode: bool, show_mu: bool, out) -> int:
+    """Stream the sorted bed through the stateful C++ merge engine.
+    Chromosome switches surface as early returns from feed(); Python fetches
+    the new sequence from RefCache and re-feeds the remaining bytes."""
+    import ctypes as C
+    from .. import native
+
+    L = native.lib()
+    L.bt_mergecg_new.argtypes = [C.c_int32, C.c_int32, C.c_int32]
+    L.bt_mergecg_new.restype = C.c_void_p
+    L.bt_mergecg_set_ref.argtypes = [C.c_void_p, C.c_char_p, C.c_char_p,
+                                     C.c_int64]
+    L.bt_mergecg_feed.argtypes = [C.c_void_p, C.c_char_p, C.c_int64]
+    L.bt_mergecg_feed.restype = C.c_int64
+    L.bt_mergecg_need_chrom.argtypes = [C.c_void_p]
+    L.bt_mergecg_need_chrom.restype = C.c_char_p
+    L.bt_mergecg_error.argtypes = [C.c_void_p]
+    L.bt_mergecg_error.restype = C.c_int32
+    L.bt_mergecg_errmsg.argtypes = [C.c_void_p]
+    L.bt_mergecg_errmsg.restype = C.c_char_p
+    L.bt_mergecg_take_output.argtypes = [C.c_void_p, C.POINTER(C.c_int64)]
+    L.bt_mergecg_take_output.restype = C.c_void_p
+    L.bt_mergecg_finish.argtypes = [C.c_void_p]
+    L.bt_mergecg_free.argtypes = [C.c_void_p]
+    L.bt_stream_free.argtypes = [C.c_void_p]
+
+    rc = RefCache(ref_fa)
+    h = L.bt_mergecg_new(min_depth, int(nome_mode), int(show_mu))
+    seq_keep = b""  # C++ borrows the sequence pointer: keep it alive
+    ob = out.buffer if hasattr(out, "buffer") else out
+    olen = C.c_int64(0)
+
+    def drain():
+        p = L.bt_mergecg_take_output(h, C.byref(olen))
+        if olen.value:
+            ob.write(C.string_at(p, olen.value))
+        L.bt_stream_free(p)
+
+    def feed(buf):
+        nonlocal seq_keep
+        off = 0
+        while off < len(buf):
+            done = L.bt_mergecg_feed(h, buf[off:], len(buf) - off)
+            if L.bt_mergecg_error(h):
+                drain()
+                raise SystemExit(L.bt_mergecg_errmsg(h).decode())
+            off += done
+            if off < len(buf):
+                chrom = L.bt_mergecg_need_chrom(h).decode()
+                if chrom not in rc.chroms:
+                    drain()
+                    raise SystemExit(f"Unknown chromosome {chrom}")
+                seq_keep = rc.chroms[chrom].encode()
+                L.bt_mergecg_set_ref(h, chrom.encode(), seq_keep,
+                                     len(seq_keep))
+        drain()
+
+    try:
+        opener = gzip.open if bed_path.endswith(".gz") else open
+        with opener(bed_path, "rb") as f:
+            rem = b""
+            while True:
+                chunk = f.read(4 << 20)
+                if not chunk:
+                    break
+                buf = rem + chunk
+                cut = buf.rfind(b"\n") + 1
+                rem = buf[cut:]
+                feed(buf[:cut])
+            if rem:
+                feed(rem if rem.endswith(b"\n") else rem + b"\n")
+        L.bt_mergecg_finish(h)
+        drain()
+        ob.flush()
+    finally:
+        L.bt_mergecg_free(h)
+    return 0
+
+
 def main(argv):
     nome_mode = False
     min_depth = 0
@@ -99,6 +184,9 @@ def main(argv):
     if len(args) < 2:
         print("Please supply reference file and sorted bed file.", file=sys.stderr)
         return 1
+    if os.environ.get("BISCUIT_TPU_STREAMS", "native") != "python":
+        return mergecg_native(args[0], args[1], min_depth, nome_mode,
+                              show_mu, sys.stdout)
     rc = RefCache(args[0])
     name2tid = {}
     out = sys.stdout

@@ -1,6 +1,14 @@
 """biscuit vcf2bed port (/root/reference/src/vcf2bed.c): BISCUIT VCF ->
-beta/coverage bed tracks or SNP bed."""
+beta/coverage bed tracks or SNP bed.
+
+The context-track mode (the GB-scale path: one VCF row per genomic C) runs
+through the native C++ chunk filter (native/streams_native.cpp) by default;
+BISCUIT_TPU_STREAMS=python keeps the pure-Python line walk. Both are
+byte-diffed against the compiled reference (tests/test_downstream_oracle.py).
+"""
 import getopt
+import gzip
+import os
 import sys
 
 from ..io.vcf import VcfFile
@@ -81,6 +89,54 @@ def vcf2bed_ctxt(vcf: VcfFile, mincov: int, showctxt: bool, showmu: bool,
         out.write("".join(parts) + "\n")
 
 
+def vcf2bed_ctxt_native(path: str, target_idx, mincov: int, showctxt: bool,
+                        showmu: bool, cx_target: str, out) -> None:
+    """Chunked C++ filter: Python decodes (b)gzip and streams 4 MB slabs of
+    complete lines; the parse/filter/format runs in streams_native.cpp."""
+    import ctypes as C
+    import numpy as np
+    from .. import native
+
+    L = native.lib()
+    L.bt_vcf2bed_ctxt.argtypes = [
+        C.c_char_p, C.c_int64, C.c_int32, C.c_int32, C.c_int32, C.c_char_p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"), C.c_int32,
+        C.POINTER(C.c_int64)]
+    L.bt_vcf2bed_ctxt.restype = C.c_void_p
+    L.bt_stream_free.argtypes = [C.c_void_p]
+
+    sidx = np.asarray(target_idx, np.int32)
+    ob = out.buffer if hasattr(out, "buffer") else out
+    opener = gzip.open if path.endswith(".gz") else open
+    olen = C.c_int64(0)
+    with opener(path, "rb") as f:
+        rem = b""
+        while True:
+            chunk = f.read(4 << 20)
+            if not chunk:
+                break
+            buf = rem + chunk
+            cut = buf.rfind(b"\n") + 1
+            rem = buf[cut:]
+            buf = buf[:cut]
+            if not buf:
+                continue
+            p = L.bt_vcf2bed_ctxt(buf, len(buf), mincov, int(showctxt),
+                                  int(showmu), cx_target.encode(), sidx,
+                                  len(sidx), C.byref(olen))
+            if olen.value:
+                ob.write(C.string_at(p, olen.value))
+            L.bt_stream_free(p)
+        if rem:
+            p = L.bt_vcf2bed_ctxt(rem, len(rem), mincov, int(showctxt),
+                                  int(showmu), cx_target.encode(), sidx,
+                                  len(sidx), C.byref(olen))
+            if olen.value:
+                ob.write(C.string_at(p, olen.value))
+            L.bt_stream_free(p)
+    ob.flush()
+
+
 def vcf2bed_snp(vcf: VcfFile, mincov: int, out) -> None:
     idx = vcf.target_idx
     for rec in vcf:
@@ -149,7 +205,10 @@ def main(argv):
         return 1
     if target == "SNP":
         vcf2bed_snp(vcf, mincov, sys.stdout)
-    else:
+    elif os.environ.get("BISCUIT_TPU_STREAMS", "native") == "python":
         vcf2bed_ctxt(vcf, mincov, showctxt, showmu, target, sys.stdout)
+    else:
+        vcf2bed_ctxt_native(args[0], vcf.target_idx, mincov, showctxt,
+                            showmu, target, sys.stdout)
     vcf.close()
     return 0
