@@ -7,6 +7,10 @@ import sys
 # at interpreter start, so overriding the env var is not enough — update the
 # config before any backend is initialized.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CLI subprocesses spawned by tests inherit this and apply the same config
+# update in biscuit_tpu/__init__ — without it a device-engine subprocess
+# would reach for the real (tunneled, occasionally wedging) TPU.
+os.environ["BISCUIT_TPU_PLATFORM"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -134,7 +134,10 @@ def test_pileup_device_counts_match_numpy():
     fa = os.path.join(d, "genome.fa")
 
     def pl(mode):
-        env = dict(os.environ, BISCUIT_TPU_PILEUP=mode)
+        # hermetic: the device-counts kernel path is identical code on the
+        # CPU backend, and the real-TPU tunnel on this rig can wedge
+        env = dict(os.environ, BISCUIT_TPU_PILEUP=mode,
+                   BISCUIT_TPU_PLATFORM="cpu")
         r = subprocess.run(
             [sys.executable, "-m", "biscuit_tpu.cli", "pileup", "-@", "1",
              fa, os.path.join(d, "aln.bam")],
