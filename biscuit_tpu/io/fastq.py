@@ -37,6 +37,33 @@ def trim_readno(name: str) -> str:
     return name
 
 
+def _open_source(path: str):
+    """kopen-equivalent input flexibility (lib/aln/kopen.c): plain files,
+    '-' for stdin, 'cmd |' shell pipes, and http://... URLs all work as
+    FASTQ sources. Compression is sniffed from the gzip magic (piped data
+    has no extension), so .gz handling works on every source kind."""
+    import io
+    import subprocess
+    import sys
+
+    if path == "-":
+        raw = sys.stdin.buffer
+    elif path.endswith("|"):
+        proc = subprocess.Popen(path[:-1], shell=True,
+                                stdout=subprocess.PIPE)
+        raw = proc.stdout
+    elif path.startswith(("http://", "https://", "ftp://")):
+        import urllib.request
+        raw = urllib.request.urlopen(path)
+    else:
+        raw = open(path, "rb")
+    buf = io.BufferedReader(raw) if not isinstance(raw, io.BufferedReader) \
+        else raw
+    if buf.peek(2)[:2] == b"\x1f\x8b":
+        return gzip.open(buf, "rb")
+    return buf
+
+
 def _fastq_records(path: str):
     """Yield (name, comment, seq_bytes, qual_str|None) per record.
 
@@ -45,8 +72,7 @@ def _fastq_records(path: str):
     the same role, lib/aln/kseq.h). Sequences stay as bytes; read_batch
     nt4-converts a whole batch in one vectorized pass.
     """
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rb") as f:
+    with _open_source(path) as f:
         tail = b""
         while True:
             chunk = f.read(1 << 23)

@@ -188,3 +188,30 @@ def test_shard_align_pe_matches_single_process(tmp_path):
     assert sh.returncode == 0, sh.stderr[-500:]
     strip = lambda s: [l for l in s.splitlines() if not l.startswith("@")]
     assert strip(sh.stdout) == strip(single.stdout)
+
+
+def test_fastq_kopen_sources(tmp_path):
+    """kopen-style inputs (lib/aln/kopen.c): stdin '-', shell pipes, and
+    magic-sniffed gzip (no extension) all feed the FASTQ reader."""
+    import gzip as _gzip
+    import subprocess
+    import sys
+    from biscuit_tpu.io.fastq import fastq_iter
+
+    fq = tmp_path / "r.fastq"
+    fq.write_text("@r1 c1\nACGT\n+\nIIII\n@r2\nGGTT\n+\nJJJJ\n")
+    gz = tmp_path / "noext"  # gzip WITHOUT the .gz extension
+    gz.write_bytes(_gzip.compress(fq.read_bytes()))
+
+    want = list(fastq_iter(str(fq)))
+    assert [w[0] for w in want] == ["r1", "r2"]
+    assert list(fastq_iter(str(gz))) == want          # magic sniffing
+    assert list(fastq_iter(f"cat {fq} |")) == want    # shell pipe
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from biscuit_tpu.io.fastq import fastq_iter; "
+         "print(list(fastq_iter('-')))" % str(REPO)],
+        input=fq.read_bytes(), capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()
+    assert str(want) in r.stdout.decode()             # stdin '-'
