@@ -103,6 +103,21 @@ def time_oracle(oracle, fa, fq, threads):
     return n / secs if secs > 0 else None
 
 
+def tpu_alive(timeout=90):
+    """True if a TPU backend initializes in a throwaway subprocess within
+    `timeout` seconds. The tunneled chip on this rig occasionally wedges in
+    a way that makes backend init HANG (not fail) — probing in-process
+    would hang the whole bench, so probe in a killable child."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout)
+        return r.returncode == 0 and r.stdout.strip() == "tpu"
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def bench_device_kernel():
     """On-chip Pallas SW kernel metrics with transfers excluded: everything
     device-resident, block_until_ready timing, best of 3."""
@@ -250,7 +265,9 @@ def main():
 
     # device-engine + on-chip kernel numbers when a TPU is reachable
     want_dev = os.environ.get("BENCH_DEVICE")
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = tpu_alive()  # subprocess probe: a wedged tunnel hangs, not fails
+    if not on_tpu and want_dev is None:
+        out["device_note"] = "tpu backend not reachable (tunnel probe timed out)"
     if engine != "device" and (want_dev == "1" or (want_dev is None and on_tpu)):
         try:
             # production TPU path: device seeding/SA injected into the C++
