@@ -11,6 +11,7 @@ Output seed sets are bit-identical to the host smem.collect_intv (ground
 truth; tested in tests/test_seed_batch.py). Lanes that overflow the seed
 capacity are flagged so the caller can re-run them on the host path.
 """
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -517,6 +518,324 @@ def smem_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
             final["overflow"], final["iters"])
 
 
+@partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
+                                   "split_len", "split_width",
+                                   "C", "S", "T2", "max_iters"))
+def smem3_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
+                parent: jnp.ndarray, min_seed_len: int, max_mem_intv: int,
+                split_len: int, split_width: int,
+                C: int = 160, S: int = 192, T2: int = 16,
+                max_iters: int = 200000):
+    """All three mem_collect_intv passes in ONE lockstep while_loop.
+
+    The fused-3-dispatch formulation (_collect_sm_fused) runs pass 1 to the
+    slowest lane, then pass 2 to ITS slowest lane, then pass 3 — the batch
+    pays sum-of-per-pass-maxes iterations while the mean lane is idle ~70%
+    of them (measured: 584+292+95 iterations vs a 287-mean per-lane total
+    on 1%-error reads). Here each lane advances through its OWN pass
+    schedule — p1 scan task, p2 re-seed tasks derived on demand from its
+    own pass-1 seeds, p3 forward-only seed_strategy — so the batch runs
+    max-of-per-lane-totals iterations (~1.7x fewer extension steps).
+
+    Pass-2 task derivation is scatter-free and happens inside the loop: a
+    stage-2 lane's t-th task is the t-th pass-1 seed (slot < its n1
+    snapshot, insertion order) with end-start >= split_len and
+    occ <= split_width, picked by a cumsum-rank one-hot over the seed
+    planes (memchain.c:76-85 semantics). Lanes that spill S seeds, C
+    intervals, or T2 pass-2 tasks flag `overflow` and rerun on the host.
+
+    Returns (seeds [B, S, 5] (start, end, x0, x1, size) in the reference's
+    p1,p2,p3 insertion order, n_seeds [B], overflow [B], iters)."""
+    B, L = q.shape
+    fm_id = parent
+    fmc_id = 1 - parent
+    rdt = fm.rdt
+    msl = jnp.asarray(min_seed_len, jnp.int32)
+    PH_P3 = 4
+
+    state = dict(
+        phase=jnp.full((B,), PH_SCAN, jnp.int32),
+        stage=jnp.ones((B,), jnp.int32),          # 1, 2, 3
+        t_idx=jnp.zeros((B,), jnp.int32),
+        x1next=jnp.zeros((B,), rdt),              # stage-1 scan restart x
+        n1s=jnp.zeros((B,), jnp.int32),           # n_seeds snapshot at p1 end
+        x=jnp.zeros((B,), rdt),
+        min_intv=jnp.ones((B,), rdt),
+        i=jnp.zeros((B,), rdt),
+        ret=jnp.zeros((B,), rdt),
+        ik=jnp.zeros((4, B), rdt),
+        buf=jnp.zeros((4, B, 2 * C), rdt),
+        prev_slot=jnp.zeros((B,), jnp.int32),
+        n_prev=jnp.zeros((B,), jnp.int32),
+        n_curr=jnp.zeros((B,), jnp.int32),
+        j=jnp.zeros((B,), jnp.int32),
+        call_emits=jnp.zeros((B,), jnp.int32),
+        last_emit_start=jnp.zeros((B,), rdt),
+        rev=jnp.zeros((B,), jnp.bool_),
+        seeds=jnp.zeros((5, B, S), rdt),
+        n_seeds=jnp.zeros((B,), jnp.int32),
+        overflow=jnp.zeros((B,), jnp.bool_),
+        iters=jnp.int32(0),
+    )
+
+    L2f = _sel2(fm.L2, fm_id)     # [B, 5] loop-invariant
+    L2c = _sel2(fm.L2, fmc_id)
+    slot_r = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    def get_q(i):
+        ii = jnp.clip(i, 0, L - 1)
+        v = _pick_oh(q, ii)
+        return jnp.where((i < 0) | (i >= lens), 4, v)
+
+    def pick(plane, idx):
+        return _pick_oh(plane, idx)
+
+    def write(plane, idx, rows, mask):
+        N = plane.shape[2]
+        oh = (jnp.arange(N, dtype=jnp.int32)[None, :] == idx[:, None]) \
+            & mask[:, None]
+        return jnp.where(oh[None], rows[:, :, None], plane)
+
+    def cond(st):
+        return (st["phase"] != PH_DONE).any() & (st["iters"] < max_iters)
+
+    def step(st):
+        phase, stage = st["phase"], st["stage"]
+        scan12 = (phase == PH_SCAN) & (stage < 3)
+        scan3 = (phase == PH_SCAN) & (stage == 3)
+        fwd = phase == PH_FWD
+        back = phase == PH_BACK
+        p3e = phase == PH_P3
+
+        # ------------- stage-1/2 SCAN: on-demand task derivation ---------
+        # stage-2 task t = t-th qualifying pass-1 seed (cumsum rank pick)
+        sst, sen, ssz = st["seeds"][0], st["seeds"][1], st["seeds"][4]
+        m2 = (slot_r < st["n1s"][:, None]) \
+            & (sen - sst >= split_len) & (ssz <= split_width)
+        n_t2 = m2.sum(axis=1).astype(jnp.int32)
+        oh2 = m2 & ((jnp.cumsum(m2, axis=1) - 1) == st["t_idx"][:, None])
+        t2mid = jnp.sum(jnp.where(oh2, (sst + sen) >> 1, 0), axis=1)
+        t2mi = jnp.sum(jnp.where(oh2, ssz + 1, 0), axis=1)
+
+        is1 = stage == 1
+        n_tasks_cur = jnp.where(is1, 1, jnp.minimum(n_t2, T2))
+        tx = jnp.where(is1, st["x1next"], t2mid)
+        tmi = jnp.where(is1, jnp.ones((B,), rdt), t2mi)
+        cont = is1                                 # stage-1 task is cont=1
+        tasks_left = st["t_idx"] < n_tasks_cur
+        q_at_tx = get_q(tx)
+        task_done = scan12 & (~tasks_left)
+        task_past_end = scan12 & tasks_left & (tx >= lens)
+        task_amb = scan12 & tasks_left & (tx < lens) & (q_at_tx >= 4)
+        task_init = scan12 & tasks_left & (tx < lens) & (q_at_tx < 4)
+
+        # stage transitions on task exhaustion (one iteration each)
+        go2 = task_done & is1
+        go3 = task_done & (stage == 2)
+        n1snap = jnp.where(go2, st["n_seeds"], st["n1s"])
+        t_idx = jnp.where(go2, 0, st["t_idx"])
+        overflow = st["overflow"] | (go3 & (n_t2 > T2))  # >T2 tasks: spill
+        if max_mem_intv > 0:
+            stage_n = jnp.where(go2, 2, jnp.where(go3, 3, stage))
+            x = jnp.where(go3, 0, st["x"])
+            new_phase = phase
+        else:
+            stage_n = jnp.where(go2, 2, stage)
+            x = st["x"]
+            new_phase = jnp.where(go3, PH_DONE, phase)
+
+        bump = task_amb & cont
+        skip = task_amb & (~cont)
+        t_idx = jnp.where(skip | task_past_end, t_idx + 1, t_idx)
+
+        c0 = jnp.clip(q_at_tx, 0, 3)
+        l2f_c0 = _pick_oh(L2f, c0)
+        ik_x0 = l2f_c0 + 1
+        ik_x1 = _pick_oh(L2c, 3 - c0) + 1
+        ik_s = _pick_oh(L2f, c0 + 1) - l2f_c0
+        ik_new12 = jnp.stack([ik_x0, ik_x1, ik_s, tx + 1])
+        ik = jnp.where(task_init[None], ik_new12, st["ik"])
+        x = jnp.where(task_init, tx, x)
+        min_intv = jnp.where(task_init, jnp.maximum(tmi, 1), st["min_intv"])
+        i = jnp.where(task_init, tx + 1, st["i"])
+        n_curr = jnp.where(task_init, 0, st["n_curr"])
+        new_phase = jnp.where(task_init, PH_FWD, new_phase)
+
+        # ------------- stage-3 SCAN (bwt_seed_strategy1 outer loop) ------
+        qx3 = get_q(st["x"])  # stage-3 scans x itself, not a task x
+        p3_end = scan3 & (st["x"] >= lens)
+        p3_start = scan3 & (st["x"] < lens) & (qx3 < 4)
+        p3_skip = scan3 & (st["x"] < lens) & (qx3 >= 4)
+        new_phase = jnp.where(p3_end, PH_DONE, new_phase)
+        x = jnp.where(p3_skip, st["x"] + 1, x)
+        c03 = jnp.clip(qx3, 0, 3)
+        l2f_c03 = _pick_oh(L2f, c03)
+        ik_new3 = jnp.stack([l2f_c03 + 1, _pick_oh(L2c, 3 - c03) + 1,
+                             _pick_oh(L2f, c03 + 1) - l2f_c03,
+                             jnp.zeros((B,), rdt)])
+        ik = jnp.where(p3_start[None], ik_new3, ik)
+        i = jnp.where(p3_start, st["x"] + 1, i)
+        new_phase = jnp.where(p3_start, PH_P3, new_phase)
+
+        # ------------- extension (FWD, BACK, or P3 lanes) ----------------
+        qi = get_q(st["i"])
+        jidx = jnp.where(st["rev"], st["n_prev"] - 1 - st["j"], st["j"])
+        prevj = pick(st["buf"],
+                     st["prev_slot"] * C + jnp.clip(jidx, 0, C - 1))
+        back_c = jnp.where((st["i"] < 0) | (qi > 3), -1, qi)
+        fwdlike = fwd | p3e          # both extend ik on the fmc strand
+        fwd_need = fwdlike & (st["i"] < lens) & (qi < 4)
+        back_need = back & (back_c >= 0) & (st["j"] < st["n_prev"])
+        need = fwd_need | back_need
+
+        which = jnp.where(fwdlike, fmc_id, fm_id)
+        x_q = jnp.where(fwdlike, st["ik"][1], prevj[0])
+        x_o = jnp.where(fwdlike, st["ik"][0], prevj[1])
+        s_in = jnp.where(fwdlike, st["ik"][2], prevj[2])
+        x_q = jnp.where(need, x_q, 1)
+        s_in = jnp.where(need, s_in, 1)
+        new_xq, new_xo, sizes = extend_sel(fm, which, x_q, x_o, s_in, back)
+        fwd_c = 3 - jnp.clip(qi, 0, 3)
+        c_sel = jnp.where(fwdlike, fwd_c, jnp.clip(back_c, 0, 3))
+        ok_q = _pick_oh(new_xq, c_sel)
+        ok_o = _pick_oh(new_xo, c_sel)
+        ok_s = _pick_oh(sizes, c_sel)
+        ok_x0 = jnp.where(fwdlike, ok_o, ok_q)
+        ok_x1 = jnp.where(fwdlike, ok_q, ok_o)
+
+        # ------------- FWD logic (stages 1-2) -----------------------------
+        at_end = fwd & ((st["i"] >= lens) | (qi >= 4))
+        size_changed = fwd & (st["i"] < lens) & (qi < 4) \
+            & (ok_s != st["ik"][2])
+        push_ik = at_end | size_changed
+        curr_slot = 1 - st["prev_slot"]
+
+        # ------------- BACK decisions (emit / store) ----------------------
+        back_act = back & (st["j"] < st["n_prev"])
+        keep = back_act & ((back_c < 0) | (ok_s < min_intv))
+        emit = keep & (n_curr == 0) & \
+            ((st["call_emits"] == 0) | (st["i"] + 1 < st["last_emit_start"]))
+        start = st["i"] + 1
+        end = prevj[3]
+        store = emit & (end - start >= msl)
+
+        # ------------- P3 decisions ---------------------------------------
+        p3_need = p3e & (st["i"] < lens) & (qi < 4)
+        p3_endlen = p3e & (st["i"] >= lens)
+        p3_amb = p3e & (st["i"] < lens) & (qi >= 4)
+        p3_hit = p3_need & (ok_s < max_mem_intv) & (st["i"] - st["x"] >= msl)
+        p3_store = p3_hit & (ok_s > 0)
+
+        # ------------- ONE seed write for BACK-emit and P3-hit ------------
+        can_store = st["n_seeds"] < S
+        do_store = (store | p3_store) & can_store
+        seed_rows = jnp.where(
+            p3e[None],
+            jnp.stack([st["x"], st["i"] + 1, ok_x0, ok_x1, ok_s]),
+            jnp.stack([start, end, prevj[0], prevj[1], prevj[2]]))
+        seeds = write(st["seeds"], jnp.minimum(st["n_seeds"], S - 1),
+                      seed_rows, do_store)
+        n_seeds = jnp.where(do_store, st["n_seeds"] + 1, st["n_seeds"])
+        overflow = overflow | ((store | p3_store) & ~can_store)
+        call_emits = jnp.where(emit, st["call_emits"] + 1, st["call_emits"])
+        last_emit_start = jnp.where(emit, start, st["last_emit_start"])
+
+        # back-append / fwd-push of the interval list (stages 1-2 only)
+        curr_last_s = pick(st["buf"][2:3],
+                           curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1))[0]
+        append = back_act & (~keep) & ((n_curr == 0) | (ok_s != curr_last_s))
+        app_rows = jnp.stack([ok_x0, ok_x1, ok_s, prevj[3]])
+        wrow = jnp.where(fwd[None], st["ik"], app_rows)
+        want_grow = push_ik | append
+        grow = want_grow & (n_curr < C)
+        buf = write(st["buf"], curr_slot * C + jnp.minimum(n_curr, C - 1),
+                    wrow, grow)
+        n_curr = jnp.where(grow, n_curr + 1, n_curr)
+        overflow = overflow | (want_grow & ~grow)
+
+        small = fwd & (st["i"] < lens) & (qi < 4) & (ok_s < min_intv)
+        fwd_finish = at_end | (size_changed & small)
+        adv = (fwd & (st["i"] < lens) & (qi < 4) & (~fwd_finish)) \
+            | (p3_need & (~p3_hit))                 # p3 continue-forward
+        ik = jnp.where(adv[None],
+                       jnp.stack([ok_x0, ok_x1, ok_s, st["i"] + 1]), ik)
+        i = jnp.where(adv, st["i"] + 1, i)
+
+        ret = jnp.where(
+            fwd_finish,
+            pick(buf[3:4], curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1))[0],
+            st["ret"])
+        rev = st["rev"] | fwd_finish
+        n_prev = jnp.where(fwd_finish, n_curr, st["n_prev"])
+        n_curr = jnp.where(fwd_finish, 0, n_curr)
+        i = jnp.where(fwd_finish, x - 1, i)
+        j = jnp.where(fwd_finish, 0, st["j"])
+        call_emits = jnp.where(fwd_finish, 0, call_emits)
+        last_emit_start = jnp.where(fwd_finish, BIG, last_emit_start)
+        new_phase = jnp.where(fwd_finish, PH_BACK, new_phase)
+
+        j = jnp.where(back_act, j + 1, j)
+        row_done = back & (j >= st["n_prev"])
+        back_done = row_done & (n_curr == 0)
+        back_next = row_done & (n_curr != 0)
+        rev = rev & ~back_next
+        prev_slot = jnp.where(back_next | fwd_finish, curr_slot,
+                              st["prev_slot"])
+        n_prev = jnp.where(back_next, n_curr, n_prev)
+        n_curr = jnp.where(back_next, 0, n_curr)
+        i = jnp.where(back_next, st["i"] - 1, i)
+        j = jnp.where(back_next, 0, j)
+
+        # smem1a finished: stage 1 continues its scan task at ret; stage 2
+        # advances to its next derived task
+        x1next = jnp.where(bump, tx + 1,
+                           jnp.where(back_done & cont, ret, st["x1next"]))
+        t_idx = jnp.where(back_done & (~cont), t_idx + 1, t_idx)
+        new_phase = jnp.where(back_done, PH_SCAN, new_phase)
+
+        # p3 run terminations → back to stage-3 scan
+        x = jnp.where(p3_endlen, lens.astype(rdt), x)
+        x = jnp.where(p3_amb | p3_hit, st["i"] + 1, x)
+        new_phase = jnp.where(p3_endlen | p3_amb | p3_hit, PH_SCAN, new_phase)
+
+        return dict(phase=new_phase, stage=stage_n, t_idx=t_idx,
+                    x1next=x1next, n1s=n1snap, x=x, min_intv=min_intv, i=i,
+                    ret=ret, ik=ik, buf=buf, prev_slot=prev_slot,
+                    n_prev=n_prev, n_curr=n_curr, j=j, call_emits=call_emits,
+                    last_emit_start=last_emit_start, rev=rev, seeds=seeds,
+                    n_seeds=n_seeds, overflow=overflow,
+                    iters=st["iters"] + 1)
+
+    final = jax.lax.while_loop(cond, step, state)
+    return (final["seeds"].transpose(1, 2, 0), final["n_seeds"],
+            final["overflow"], final["iters"])
+
+
+@partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
+                                   "split_len", "split_width",
+                                   "C", "S", "T2"))
+def _collect_sm_merged(fm: FMPair, q, lens, parents,
+                       min_seed_len: int, max_mem_intv: int,
+                       split_len: int, split_width: int,
+                       C: int, S: int, T2: int):
+    """Merged-machine mem_collect_intv: ONE while_loop, then the device-side
+    compaction + reference-order stable sort (see _collect_sm_fused)."""
+    B = q.shape[0]
+    seeds, n_seeds, ov, _ = smem3_batch(
+        fm, q, lens, parents, min_seed_len, max_mem_intv,
+        split_len, split_width, C=C, S=S, T2=T2)
+    cap = B * 24
+    slot_all = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = slot_all < n_seeds[:, None]
+    laneg = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, S))
+    lanekey = jnp.where(valid, laneg, BIG).reshape(-1)
+    cols = [seeds[:, :, c].reshape(-1) for c in range(5)]
+    sorted_ = jax.lax.sort([lanekey, cols[0], cols[1], cols[2], cols[3],
+                            cols[4]], num_keys=3, is_stable=True)
+    packed = jnp.stack(sorted_[1:6], axis=-1)[:cap]
+    return packed, n_seeds, ov, seeds
+
+
 def _rank_ctx(fm: FMPair):
     """x64 tracing context for wide indexes (int64 ranks survive jit);
     a no-op for narrow ones."""
@@ -653,17 +972,33 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
     the host collect_intv's stable ks_introsort-key order."""
     B, L = reads.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    merged = os.environ.get("BISCUIT_TPU_SEEDER", "merged") != "fused"
 
     with _rank_ctx(fm):
         q = jnp.asarray(reads, dtype=jnp.int32)
         lens_j = jnp.asarray(lens, dtype=jnp.int32)
         par_j = jnp.asarray(parents, dtype=jnp.int32)
-        out = _collect_sm_fused(fm, q, lens_j, par_j,
-                                int(opt.min_seed_len), int(opt.max_mem_intv),
-                                split_len, int(opt.split_width),
-                                C, S, S3, 16)
+        if merged:
+            # tight capacities: the interval list and seed buffer planes are
+            # rewritten every iteration, so their width is pure HBM traffic.
+            # Measured on 0-30% error reads: max 8 seeds, C=32 never spills;
+            # both scale with read length for long-read safety, and any
+            # spill flags `overflow` -> host rerun (never silent).
+            C_m = max(32, min(160, L // 4))
+            S_m = max(64, min(240, L))
+            out = _collect_sm_merged(fm, q, lens_j, par_j,
+                                     int(opt.min_seed_len),
+                                     int(opt.max_mem_intv),
+                                     split_len, int(opt.split_width),
+                                     C_m, S_m, 16)
+        else:
+            out = _collect_sm_fused(fm, q, lens_j, par_j,
+                                    int(opt.min_seed_len),
+                                    int(opt.max_mem_intv),
+                                    split_len, int(opt.split_width),
+                                    C, S, S3, 16)
     # transfers are lazy: only the compacted output is pulled unless the
-    # global cap spilled (then the padded per-pass arrays are fetched)
+    # global cap spilled (then the padded per-lane arrays are fetched)
     n_all = np.asarray(out[1])
     ov = np.asarray(out[2])
     total = int(n_all.sum())
@@ -671,10 +1006,14 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
         rows = np.asarray(out[0])[:total]
         lane_of = np.repeat(np.arange(B, dtype=np.int32), n_all)
         return lane_of, rows, ov
-    # rare spill: merge on host from the full per-pass arrays
-    s1, n1, s2, n2, s3, n3 = (np.asarray(a) for a in out[3:])
+    # rare spill: merge on host from the full per-lane arrays
+    if merged:
+        parts = ((np.asarray(out[3]), n_all),)
+    else:
+        s1, n1, s2, n2, s3, n3 = (np.asarray(a) for a in out[3:])
+        parts = ((s1, n1), (s2, n2), (s3, n3))
     parts_lane, parts_rows = [], []
-    for sx, nx in ((s1, n1), (s2, n2), (s3, n3)):
+    for sx, nx in parts:
         mx = np.arange(sx.shape[1])[None, :] < nx[:, None]
         lx, kx = np.nonzero(mx)
         parts_lane.append(lx.astype(np.int32))
