@@ -812,6 +812,386 @@ def smem3_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
+                                   "split_len", "split_width", "lanes",
+                                   "C", "S", "T2", "max_iters"))
+def smem3_pool_batch(fm: FMPair, pool: jnp.ndarray,
+                     min_seed_len: int, max_mem_intv: int,
+                     split_len: int, split_width: int, lanes: int = 1024,
+                     C: int = 32, S: int = 128, T2: int = 16,
+                     max_iters: int = 500000):
+    """smem3_batch with LANE REFILL: B persistent lanes drain an N-read
+    pool, each lane claiming the next read the moment it finishes its own.
+
+    Why: in the per-read-per-lane machine the batch runs to the SLOWEST
+    lane — measured mean/max per-lane work is ~290/777 iterations on
+    1%-error reads, i.e. ~63% of every iteration's gather rows are spent
+    on idle lanes. With refill the straggler tail only appears once at
+    pool exhaustion, so iteration count approaches total-work/B.
+
+    The claim is scatter-free and costs ONE extra B-row gather on
+    iterations where any lane claims: read metadata (len, parent) is
+    packed into two trailing columns of the pool row, so q/len/parent
+    arrive in a single row gather; the claimed read index is
+    next_ctr + cumsum(claim_mask) (pure VPU).
+
+    Seeds carry a read-id plane; output order is restored by the stable
+    (read, start, end) sort exactly as in the per-lane machine. A lane
+    whose seed buffer fills stops claiming (healthy lanes absorb the
+    rest) and flags its current read id in `ov_rd`; the caller reruns
+    flagged reads on the host. Reads with len 0 (padding) terminate in a
+    few iterations and emit nothing.
+
+    pool  [N, L+2] int32/rdt rows: [codes..., len, parent]
+    Returns (seeds [B, S, 6] (start, end, x0, x1, size, read_id),
+             n_seeds [B], ov_rd [B, 8] read ids (-1 empty), ov_spill bool,
+             iters)."""
+    N, Lp2 = pool.shape
+    L = Lp2 - 2
+    B = lanes
+    rdt = fm.rdt
+    msl = jnp.asarray(min_seed_len, jnp.int32)
+    PH_P3, PH_CLAIM = 4, 5
+    OVCAP = 8
+
+    state = dict(
+        phase=jnp.full((B,), PH_CLAIM, jnp.int32),
+        stage=jnp.ones((B,), jnp.int32),
+        rd=jnp.full((B,), -1, jnp.int32),         # current read id
+        q_cur=jnp.full((B, L), 4, rdt),
+        len_cur=jnp.zeros((B,), rdt),
+        par_cur=jnp.zeros((B,), jnp.int32),
+        rbase=jnp.zeros((B,), jnp.int32),         # n_seeds at claim time
+        next_ctr=jnp.int32(0),
+        t_idx=jnp.zeros((B,), jnp.int32),
+        x1next=jnp.zeros((B,), rdt),
+        n1s=jnp.zeros((B,), jnp.int32),
+        x=jnp.zeros((B,), rdt),
+        min_intv=jnp.ones((B,), rdt),
+        i=jnp.zeros((B,), rdt),
+        ret=jnp.zeros((B,), rdt),
+        ik=jnp.zeros((4, B), rdt),
+        buf=jnp.zeros((4, B, 2 * C), rdt),
+        prev_slot=jnp.zeros((B,), jnp.int32),
+        n_prev=jnp.zeros((B,), jnp.int32),
+        n_curr=jnp.zeros((B,), jnp.int32),
+        j=jnp.zeros((B,), jnp.int32),
+        call_emits=jnp.zeros((B,), jnp.int32),
+        last_emit_start=jnp.zeros((B,), rdt),
+        rev=jnp.zeros((B,), jnp.bool_),
+        seeds=jnp.zeros((6, B, S), rdt),          # + read-id plane
+        n_seeds=jnp.zeros((B,), jnp.int32),
+        ov_rd=jnp.full((B, OVCAP), -1, jnp.int32),
+        ov_n=jnp.zeros((B,), jnp.int32),
+        ov_spill=jnp.bool_(False),
+        iters=jnp.int32(0),
+    )
+
+    slot_r = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    def pick(plane, idx):
+        return _pick_oh(plane, idx)
+
+    def write(plane, idx, rows, mask):
+        Np = plane.shape[2]
+        oh = (jnp.arange(Np, dtype=jnp.int32)[None, :] == idx[:, None]) \
+            & mask[:, None]
+        return jnp.where(oh[None], rows[:, :, None], plane)
+
+    def cond(st):
+        # pool reads only matter while some lane can still claim them; if
+        # every lane's seed buffer filled, stop (the host reruns the
+        # unclaimed tail — see next_ctr in the return value)
+        claimable = (st["n_seeds"] <= S - 48).any()
+        live = (st["phase"] != PH_DONE).any() \
+            | ((st["next_ctr"] < N) & claimable)
+        return live & (st["iters"] < max_iters)
+
+    def step(st):
+        # ------------- CLAIM: idle lanes pull the next pool read ----------
+        idle = (st["phase"] == PH_DONE) | (st["phase"] == PH_CLAIM)
+        # a lane with a full-ish seed buffer stops claiming: a new read
+        # could not store seeds, so healthy lanes absorb the remainder
+        lane_ok = st["n_seeds"] <= S - 48
+        claim_try = idle & lane_ok
+        order = jnp.cumsum(claim_try.astype(jnp.int32)) - 1
+        ridx = st["next_ctr"] + order
+        claim = claim_try & (ridx < N)
+        next_ctr = jnp.minimum(st["next_ctr"]
+                               + claim_try.astype(jnp.int32).sum(),
+                               N).astype(jnp.int32)
+        rows_cl = pool[jnp.where(claim, ridx, 0)]          # ONE B-row gather
+        q_cur = jnp.where(claim[:, None], rows_cl[:, :L], st["q_cur"])
+        len_cur = jnp.where(claim, rows_cl[:, L], st["len_cur"])
+        par_cur = jnp.where(claim, rows_cl[:, L + 1].astype(jnp.int32),
+                            st["par_cur"])
+        rd = jnp.where(claim, ridx, st["rd"])
+        rbase = jnp.where(claim, st["n_seeds"], st["rbase"])
+        phase = jnp.where(claim, PH_SCAN,
+                          jnp.where(idle, PH_DONE, st["phase"]))
+        stage = jnp.where(claim, 1, st["stage"])
+        t_idx = jnp.where(claim, 0, st["t_idx"])
+        x1next = jnp.where(claim, 0, st["x1next"])
+
+        lens = len_cur
+        fm_id = par_cur
+        fmc_id = 1 - par_cur
+        L2f = _sel2(fm.L2, fm_id)
+        L2c = _sel2(fm.L2, fmc_id)
+
+        def get_q(i):
+            ii = jnp.clip(i, 0, L - 1)
+            v = _pick_oh(q_cur, ii)
+            return jnp.where((i < 0) | (i >= lens), 4, v)
+
+        scan12 = (phase == PH_SCAN) & (stage < 3)
+        scan3 = (phase == PH_SCAN) & (stage == 3)
+        fwd = phase == PH_FWD
+        back = phase == PH_BACK
+        p3e = phase == PH_P3
+
+        # ------------- stage-1/2 SCAN: on-demand task derivation ----------
+        sst, sen, ssz = st["seeds"][0], st["seeds"][1], st["seeds"][4]
+        m2 = (slot_r >= rbase[:, None]) & (slot_r < st["n1s"][:, None]) \
+            & (sen - sst >= split_len) & (ssz <= split_width)
+        n_t2 = m2.sum(axis=1).astype(jnp.int32)
+        oh2 = m2 & ((jnp.cumsum(m2, axis=1) - 1) == t_idx[:, None])
+        t2mid = jnp.sum(jnp.where(oh2, (sst + sen) >> 1, 0), axis=1)
+        t2mi = jnp.sum(jnp.where(oh2, ssz + 1, 0), axis=1)
+
+        is1 = stage == 1
+        n_tasks_cur = jnp.where(is1, 1, jnp.minimum(n_t2, T2))
+        tx = jnp.where(is1, x1next, t2mid)
+        tmi = jnp.where(is1, jnp.ones((B,), rdt), t2mi)
+        cont = is1
+        tasks_left = t_idx < n_tasks_cur
+        q_at_tx = get_q(tx)
+        task_done = scan12 & (~tasks_left)
+        task_past_end = scan12 & tasks_left & (tx >= lens)
+        task_amb = scan12 & tasks_left & (tx < lens) & (q_at_tx >= 4)
+        task_init = scan12 & tasks_left & (tx < lens) & (q_at_tx < 4)
+
+        go2 = task_done & is1
+        go3 = task_done & (stage == 2)
+        n1snap = jnp.where(go2, st["n_seeds"], st["n1s"])
+        t_idx = jnp.where(go2, 0, t_idx)
+        ovcap_now = go3 & (n_t2 > T2)
+        if max_mem_intv > 0:
+            stage_n = jnp.where(go2, 2, jnp.where(go3, 3, stage))
+            x = jnp.where(go3, 0, st["x"])
+            new_phase = phase
+        else:
+            stage_n = jnp.where(go2, 2, stage)
+            x = st["x"]
+            new_phase = jnp.where(go3, PH_CLAIM, phase)
+
+        bump = task_amb & cont
+        skip = task_amb & (~cont)
+        t_idx = jnp.where(skip | task_past_end, t_idx + 1, t_idx)
+
+        c0 = jnp.clip(q_at_tx, 0, 3)
+        l2f_c0 = _pick_oh(L2f, c0)
+        ik_new12 = jnp.stack([l2f_c0 + 1, _pick_oh(L2c, 3 - c0) + 1,
+                              _pick_oh(L2f, c0 + 1) - l2f_c0, tx + 1])
+        ik = jnp.where(task_init[None], ik_new12, st["ik"])
+        x = jnp.where(task_init, tx, x)
+        min_intv = jnp.where(task_init, jnp.maximum(tmi, 1), st["min_intv"])
+        i = jnp.where(task_init, tx + 1, st["i"])
+        n_curr = jnp.where(task_init, 0, st["n_curr"])
+        new_phase = jnp.where(task_init, PH_FWD, new_phase)
+
+        # ------------- stage-3 SCAN --------------------------------------
+        qx3 = get_q(st["x"])
+        p3_end = scan3 & (st["x"] >= lens)
+        p3_start = scan3 & (st["x"] < lens) & (qx3 < 4)
+        p3_skip = scan3 & (st["x"] < lens) & (qx3 >= 4)
+        new_phase = jnp.where(p3_end, PH_CLAIM, new_phase)
+        x = jnp.where(p3_skip, st["x"] + 1, x)
+        c03 = jnp.clip(qx3, 0, 3)
+        l2f_c03 = _pick_oh(L2f, c03)
+        ik_new3 = jnp.stack([l2f_c03 + 1, _pick_oh(L2c, 3 - c03) + 1,
+                             _pick_oh(L2f, c03 + 1) - l2f_c03,
+                             jnp.zeros((B,), rdt)])
+        ik = jnp.where(p3_start[None], ik_new3, ik)
+        i = jnp.where(p3_start, st["x"] + 1, i)
+        new_phase = jnp.where(p3_start, PH_P3, new_phase)
+
+        # ------------- extension (FWD, BACK, or P3 lanes) -----------------
+        qi = get_q(st["i"])
+        jidx = jnp.where(st["rev"], st["n_prev"] - 1 - st["j"], st["j"])
+        prevj = pick(st["buf"],
+                     st["prev_slot"] * C + jnp.clip(jidx, 0, C - 1))
+        back_c = jnp.where((st["i"] < 0) | (qi > 3), -1, qi)
+        fwdlike = fwd | p3e
+        fwd_need = fwdlike & (st["i"] < lens) & (qi < 4)
+        back_need = back & (back_c >= 0) & (st["j"] < st["n_prev"])
+        need = fwd_need | back_need
+
+        which = jnp.where(fwdlike, fmc_id, fm_id)
+        x_q = jnp.where(fwdlike, st["ik"][1], prevj[0])
+        x_o = jnp.where(fwdlike, st["ik"][0], prevj[1])
+        s_in = jnp.where(fwdlike, st["ik"][2], prevj[2])
+        x_q = jnp.where(need, x_q, 1)
+        s_in = jnp.where(need, s_in, 1)
+        new_xq, new_xo, sizes = extend_sel(fm, which, x_q, x_o, s_in, back)
+        fwd_c = 3 - jnp.clip(qi, 0, 3)
+        c_sel = jnp.where(fwdlike, fwd_c, jnp.clip(back_c, 0, 3))
+        ok_q = _pick_oh(new_xq, c_sel)
+        ok_o = _pick_oh(new_xo, c_sel)
+        ok_s = _pick_oh(sizes, c_sel)
+        ok_x0 = jnp.where(fwdlike, ok_o, ok_q)
+        ok_x1 = jnp.where(fwdlike, ok_q, ok_o)
+
+        # ------------- FWD logic ------------------------------------------
+        at_end = fwd & ((st["i"] >= lens) | (qi >= 4))
+        size_changed = fwd & (st["i"] < lens) & (qi < 4) \
+            & (ok_s != st["ik"][2])
+        push_ik = at_end | size_changed
+        curr_slot = 1 - st["prev_slot"]
+
+        # ------------- BACK decisions -------------------------------------
+        back_act = back & (st["j"] < st["n_prev"])
+        keep = back_act & ((back_c < 0) | (ok_s < min_intv))
+        emit = keep & (n_curr == 0) & \
+            ((st["call_emits"] == 0) | (st["i"] + 1 < st["last_emit_start"]))
+        start = st["i"] + 1
+        end = prevj[3]
+        store = emit & (end - start >= msl)
+
+        # ------------- P3 decisions ---------------------------------------
+        p3_need = p3e & (st["i"] < lens) & (qi < 4)
+        p3_endlen = p3e & (st["i"] >= lens)
+        p3_amb = p3e & (st["i"] < lens) & (qi >= 4)
+        p3_hit = p3_need & (ok_s < max_mem_intv) & (st["i"] - st["x"] >= msl)
+        p3_store = p3_hit & (ok_s > 0)
+
+        # ------------- seed write (BACK-emit | P3-hit), + read-id plane ---
+        can_store = st["n_seeds"] < S
+        do_store = (store | p3_store) & can_store
+        seed_rows = jnp.where(
+            p3e[None],
+            jnp.stack([st["x"], st["i"] + 1, ok_x0, ok_x1, ok_s,
+                       rd.astype(rdt)]),
+            jnp.stack([start, end, prevj[0], prevj[1], prevj[2],
+                       rd.astype(rdt)]))
+        seeds = write(st["seeds"], jnp.minimum(st["n_seeds"], S - 1),
+                      seed_rows, do_store)
+        n_seeds = jnp.where(do_store, st["n_seeds"] + 1, st["n_seeds"])
+        call_emits = jnp.where(emit, st["call_emits"] + 1, st["call_emits"])
+        last_emit_start = jnp.where(emit, start, st["last_emit_start"])
+
+        # interval-list growth
+        curr_last_s = pick(st["buf"][2:3],
+                           curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1))[0]
+        append = back_act & (~keep) & ((n_curr == 0) | (ok_s != curr_last_s))
+        app_rows = jnp.stack([ok_x0, ok_x1, ok_s, prevj[3]])
+        wrow = jnp.where(fwd[None], st["ik"], app_rows)
+        want_grow = push_ik | append
+        grow = want_grow & (n_curr < C)
+        buf = write(st["buf"], curr_slot * C + jnp.minimum(n_curr, C - 1),
+                    wrow, grow)
+        n_curr = jnp.where(grow, n_curr + 1, n_curr)
+
+        # per-READ overflow: flag the current read id once per event class
+        ov_now = ((store | p3_store) & ~can_store) | (want_grow & ~grow) \
+            | ovcap_now
+        ov_new = ov_now & ((st["ov_n"] == 0)
+                           | (pick(st["ov_rd"][None],
+                                   jnp.clip(st["ov_n"] - 1, 0, OVCAP - 1))[0]
+                              != rd))
+        ov_ok = st["ov_n"] < OVCAP
+        ohv = (jnp.arange(OVCAP, dtype=jnp.int32)[None, :]
+               == jnp.minimum(st["ov_n"], OVCAP - 1)[:, None]) \
+            & (ov_new & ov_ok)[:, None]
+        ov_rd = jnp.where(ohv, rd[:, None], st["ov_rd"])
+        ov_n = jnp.where(ov_new & ov_ok, st["ov_n"] + 1, st["ov_n"])
+        ov_spill = st["ov_spill"] | (ov_new & ~ov_ok).any()
+
+        small = fwd & (st["i"] < lens) & (qi < 4) & (ok_s < min_intv)
+        fwd_finish = at_end | (size_changed & small)
+        adv = (fwd & (st["i"] < lens) & (qi < 4) & (~fwd_finish)) \
+            | (p3_need & (~p3_hit))
+        ik = jnp.where(adv[None],
+                       jnp.stack([ok_x0, ok_x1, ok_s, st["i"] + 1]), ik)
+        i = jnp.where(adv, st["i"] + 1, i)
+
+        ret = jnp.where(
+            fwd_finish,
+            pick(buf[3:4], curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1))[0],
+            st["ret"])
+        rev = st["rev"] | fwd_finish
+        n_prev = jnp.where(fwd_finish, n_curr, st["n_prev"])
+        n_curr = jnp.where(fwd_finish, 0, n_curr)
+        i = jnp.where(fwd_finish, x - 1, i)
+        j = jnp.where(fwd_finish, 0, st["j"])
+        call_emits = jnp.where(fwd_finish, 0, call_emits)
+        last_emit_start = jnp.where(fwd_finish, BIG, last_emit_start)
+        new_phase = jnp.where(fwd_finish, PH_BACK, new_phase)
+
+        j = jnp.where(back_act, j + 1, j)
+        row_done = back & (j >= st["n_prev"])
+        back_done = row_done & (n_curr == 0)
+        back_next = row_done & (n_curr != 0)
+        rev = rev & ~back_next
+        prev_slot = jnp.where(back_next | fwd_finish, curr_slot,
+                              st["prev_slot"])
+        n_prev = jnp.where(back_next, n_curr, n_prev)
+        n_curr = jnp.where(back_next, 0, n_curr)
+        i = jnp.where(back_next, st["i"] - 1, i)
+        j = jnp.where(back_next, 0, j)
+
+        x1next = jnp.where(bump, tx + 1,
+                           jnp.where(back_done & cont, ret, x1next))
+        t_idx = jnp.where(back_done & (~cont), t_idx + 1, t_idx)
+        new_phase = jnp.where(back_done, PH_SCAN, new_phase)
+
+        x = jnp.where(p3_endlen, lens, x)
+        x = jnp.where(p3_amb | p3_hit, st["i"] + 1, x)
+        new_phase = jnp.where(p3_endlen | p3_amb | p3_hit, PH_SCAN, new_phase)
+
+        return dict(phase=new_phase, stage=stage_n, rd=rd, q_cur=q_cur,
+                    len_cur=len_cur, par_cur=par_cur, rbase=rbase,
+                    next_ctr=next_ctr, t_idx=t_idx, x1next=x1next,
+                    n1s=n1snap, x=x, min_intv=min_intv, i=i, ret=ret, ik=ik,
+                    buf=buf, prev_slot=prev_slot, n_prev=n_prev,
+                    n_curr=n_curr, j=j, call_emits=call_emits,
+                    last_emit_start=last_emit_start, rev=rev, seeds=seeds,
+                    n_seeds=n_seeds, ov_rd=ov_rd, ov_n=ov_n,
+                    ov_spill=ov_spill, iters=st["iters"] + 1)
+
+    final = jax.lax.while_loop(cond, step, state)
+    return (final["seeds"].transpose(1, 2, 0), final["n_seeds"],
+            final["ov_rd"], final["ov_spill"], final["iters"],
+            final["next_ctr"])
+
+
+@partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
+                                   "split_len", "split_width", "lanes",
+                                   "C", "S", "T2"))
+def _collect_sm_pool(fm: FMPair, pool, min_seed_len: int, max_mem_intv: int,
+                     split_len: int, split_width: int, lanes: int,
+                     C: int, S: int, T2: int):
+    """Pool-machine mem_collect_intv: refill seeder + device-side compaction
+    and the reference-order stable sort keyed by READ id."""
+    N = pool.shape[0]
+    B = lanes
+    seeds, n_seeds, ov_rd, ov_spill, _, next_ctr = smem3_pool_batch(
+        fm, pool, min_seed_len, max_mem_intv,
+        split_len, split_width, lanes=lanes, C=C, S=S, T2=T2)
+    cap = N * 24
+    S_ = seeds.shape[1]
+    slot_all = jnp.arange(S_, dtype=jnp.int32)[None, :]
+    valid = slot_all < n_seeds[:, None]
+    ridkey = jnp.where(valid, seeds[:, :, 5].astype(jnp.int32), BIG)
+    cols = [seeds[:, :, c].reshape(-1) for c in range(5)]
+    sorted_ = jax.lax.sort([ridkey.reshape(-1), cols[0], cols[1], cols[2],
+                            cols[3], cols[4]], num_keys=3, is_stable=True)
+    rid_sorted = sorted_[0][:cap]
+    packed = jnp.stack(sorted_[1:6], axis=-1)[:cap]
+    total = valid.sum()
+    return packed, rid_sorted, total, ov_rd, ov_spill, next_ctr
+
+
+@partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
                                    "split_len", "split_width",
                                    "C", "S", "T2"))
 def _collect_sm_merged(fm: FMPair, q, lens, parents,
@@ -972,7 +1352,40 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
     the host collect_intv's stable ks_introsort-key order."""
     B, L = reads.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    merged = os.environ.get("BISCUIT_TPU_SEEDER", "merged") != "fused"
+    mode = os.environ.get("BISCUIT_TPU_SEEDER", "pool")
+    merged = mode != "fused"
+
+    if mode == "pool":
+        # refill machine: B persistent lanes drain the read pool
+        C_m = max(32, min(160, L // 4))
+        lanes = min(1024, _pow2(B))
+        S_m = max(64, min(1024, 24 * max(1, B // lanes) + 40))
+        pool = np.full((B, L + 2), 4, np.int32)
+        pool[:, :L] = reads
+        pool[:, L] = lens
+        pool[:, L + 1] = parents
+        with _rank_ctx(fm):
+            out = _collect_sm_pool(fm, jnp.asarray(pool),
+                                   int(opt.min_seed_len),
+                                   int(opt.max_mem_intv),
+                                   split_len, int(opt.split_width),
+                                   lanes, C_m, S_m, 16)
+        packed, rid_sorted, total_j, ov_rd, ov_spill, next_ctr = out
+        total = int(np.asarray(total_j))
+        if bool(np.asarray(ov_spill)) or total > packed.shape[0]:
+            # overflow-id list or output cap spilled: rerun everything on
+            # the host rather than risk consuming truncated rows
+            return (np.zeros(0, np.int32), np.zeros((0, 5), np.int32),
+                    np.ones(B, bool))
+        rid = np.asarray(rid_sorted)[:total]
+        rows = np.asarray(packed)[:total]
+        ov = np.zeros(B, bool)
+        ovr = np.asarray(ov_rd).reshape(-1)
+        ov[ovr[(ovr >= 0) & (ovr < B)]] = True
+        nc = int(np.asarray(next_ctr))
+        if nc < B:
+            ov[nc:] = True      # every lane filled up: unclaimed tail reruns
+        return rid.astype(np.int32), rows, ov
 
     with _rank_ctx(fm):
         q = jnp.asarray(reads, dtype=jnp.int32)
