@@ -127,7 +127,7 @@ def check_device_seeding(res):
     from biscuit_tpu.align import smem
     from biscuit_tpu.config import MemOpt
     from biscuit_tpu.ops.fm import FMNumpy
-    from biscuit_tpu.ops.seed_batch import (FMPair, _collect_sm_fused,
+    from biscuit_tpu.ops.seed_batch import (FMPair, _collect_sm_pool,
                                             collect_intv_batch,
                                             collect_intv_flat_sm)
     import jax.numpy as jnp
@@ -163,16 +163,21 @@ def check_device_seeding(res):
     collect_intv_flat_sm(fm, reads, lens, parents, opt)
     dt = time.perf_counter() - t0
 
-    # compute-only: the fused jitted program with device-resident inputs
+    # compute-only: the production pool-machine program with
+    # device-resident inputs (lane refill, see smem3_pool_batch)
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    qj = jnp.asarray(reads)
-    lj = jnp.asarray(lens)
-    pj = jnp.asarray(parents)
+    pool = np.full((B, L + 2), 4, np.int32)
+    pool[:, :L] = reads
+    pool[:, L] = lens
+    pool[:, L + 1] = parents
+    pj = jnp.asarray(pool)
+    lanes = min(1024, B)
+    S = max(64, min(1024, 24 * max(1, B // lanes) + 40))
 
     def run():
-        return _collect_sm_fused(fm, qj, lj, pj, int(opt.min_seed_len),
-                                 int(opt.max_mem_intv), split_len,
-                                 int(opt.split_width), 160, 96, 48, 16)[0]
+        return _collect_sm_pool(fm, pj, int(opt.min_seed_len),
+                                int(opt.max_mem_intv), split_len,
+                                int(opt.split_width), lanes, 32, S, 16)[0]
     tc = _timeit(run, n=4)
     res["device_seeding"] = {
         "seed_sets_identical": ok,
@@ -192,7 +197,7 @@ def seed_compute_reads_per_s(st, fq, n_reads=4096):
     from biscuit_tpu.align.pipeline import bsconvert
     from biscuit_tpu.config import MemOpt
     from biscuit_tpu.io.fastq import fastq_iter, read_batch
-    from biscuit_tpu.ops.seed_batch import FMPair, _collect_sm_fused
+    from biscuit_tpu.ops.seed_batch import FMPair, _collect_sm_pool
 
     fm = FMPair.from_index(st.idx)
     opt = MemOpt()
@@ -208,12 +213,18 @@ def seed_compute_reads_per_s(st, fq, n_reads=4096):
         lens[i] = s.l_seq
         parents[i] = p
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    qj, lj, pj = jnp.asarray(q), jnp.asarray(lens), jnp.asarray(parents)
+    pool = np.full((B, L + 2), 4, np.int32)
+    pool[:, :L] = q
+    pool[:, L] = lens
+    pool[:, L + 1] = parents
+    pj = jnp.asarray(pool)
+    lanes = min(1024, B)
+    S = max(64, min(1024, 24 * max(1, B // lanes) + 40))
 
     def run():
-        return _collect_sm_fused(fm, qj, lj, pj, int(opt.min_seed_len),
-                                 int(opt.max_mem_intv), split_len,
-                                 int(opt.split_width), 160, 96, 48, 16)[0]
+        return _collect_sm_pool(fm, pj, int(opt.min_seed_len),
+                                int(opt.max_mem_intv), split_len,
+                                int(opt.split_width), lanes, 32, S, 16)[0]
     t = _timeit(run, n=4)
     return round(len(seqs) / t, 1)
 
