@@ -806,7 +806,26 @@ Command:
         print(f"Unknown subcommand: {argv[0]}", file=sys.stderr)
         return 1
     try:
-        return cmd(argv[1:])
+        ret = cmd(argv[1:])
+        if ret in (0, None):
+            # end-of-run summary like the reference main (src/main.c:152-157),
+            # anchored at PROCESS start (covers interpreter + jax imports)
+            t = os.times()
+            try:
+                with open("/proc/self/stat") as f:
+                    start_ticks = int(f.read().rsplit(") ", 1)[1].split()[19])
+                with open("/proc/uptime") as f:
+                    up = float(f.read().split()[0])
+                real = up - start_ticks / os.sysconf("SC_CLK_TCK")
+            except OSError:
+                real = t.elapsed
+            print(f"[main] Version: {__version__}", file=sys.stderr)
+            print("[main] CMD: biscuit_tpu " + " ".join(argv),
+                  file=sys.stderr)
+            print(f"[main] Real time: {real:.3f} sec; "
+                  f"CPU: {t.user + t.system + t.children_user + t.children_system:.3f} sec",
+                  file=sys.stderr)
+        return ret
     except BrokenPipeError:
         # downstream consumer (e.g. `| head`) closed the pipe — exit quietly
         # like the reference's EPIPE handling

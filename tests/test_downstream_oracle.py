@@ -40,7 +40,11 @@ def run_ours(args, **kw):
     r = subprocess.run([sys.executable, "-m", "biscuit_tpu.cli"] + args,
                        capture_output=True, text=True, cwd=REPO, env=env, **kw)
     assert r.returncode == 0, f"{args}: {r.stderr[-2000:]}"
-    return r.stdout, r.stderr
+    # drop the end-of-run [main] summary (the REAL reference prints it too,
+    # src/main.c:152-157, but the oracle shim's down_main has no epilogue)
+    err = "".join(l for l in r.stderr.splitlines(keepends=True)
+                  if not l.startswith("[main] "))
+    return r.stdout, err
 
 
 def run_oracle(args, **kw):
