@@ -65,6 +65,17 @@ def _sw_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
                        jnp.where(jfull <= qlens[None, :], decay, 0)
                        ).astype(jnp.int32)
 
+    # query profiles: prof[t][j, b] = mat_b[t*5 + qv[j, b]] — the 25-term
+    # select runs ONCE here instead of every target row
+    prof = []
+    for t in range(5):
+        Pt = jnp.zeros((Lq, B), jnp.int32)
+        for q in range(5):
+            Pt = jnp.where(qv == q, matb_ref[t * 5 + q, :][None, :], Pt)
+        prof.append(Pt)
+    jc_e = jcell * e_ins          # loop-invariant F-scan ramps
+    jc1_e = (jcell - 1) * e_ins
+
     def row(i, st):
         (h, e, beg, end, mx, max_i, max_j, max_ie, gscore, max_off, done) = st
         i = jnp.int32(i)
@@ -76,12 +87,11 @@ def _sw_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
         run = act & (beg_i < end_i)
 
         tb = target_ref[jnp.minimum(i, Lt - 1), :]                 # [B]
-        # per-lane 5x5 matrix lookup without gathers: 25-term select sum
+        # score row from the precomputed query profiles: 5-term select on
+        # the target char (the 25-term per-row select was ~half the kernel)
         S = jnp.zeros((Lq, B), jnp.int32)
         for t in range(5):
-            trow = (tb == t)[None, :]
-            for q in range(5):
-                S = jnp.where(trow & (qv == q), matb_ref[t * 5 + q, :][None, :], S)
+            S = jnp.where((tb == t)[None, :], prof[t], S)
         h1_first = jnp.where(beg_i == 0,
                              jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0), 0)
 
@@ -91,9 +101,9 @@ def _sw_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
         E = jnp.where(jm, e[:-1], 0)
         M = jnp.where(jm & (Hdiag != 0), Hdiag + S, 0)
         tF = jnp.maximum(M - oe_ins, 0)
-        b_arr = jnp.where(jm, tF + jcell * e_ins, NEG)
+        b_arr = jnp.where(jm, tF + jc_e, NEG)
         cm_shift = _prefix_max_excl(b_arr, Lq)
-        F = jnp.maximum(cm_shift - (jcell - 1) * e_ins, 0)
+        F = jnp.maximum(cm_shift - jc1_e, 0)
         F = jnp.where(jm, F, 0)
         H = jnp.where(jm, jnp.maximum(jnp.maximum(M, E), F), 0)
 
