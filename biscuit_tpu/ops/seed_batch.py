@@ -20,6 +20,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent XLA compilation cache: the device kernels cost 15-70 s to
+# compile over this rig's tunneled TPU, paid once per (shape-bucket) per
+# PROCESS without it. Opt out with BISCUIT_TPU_XLA_CACHE=0 or point it at
+# a different directory. Harmless on CPU (entries are keyed by backend).
+_cache = os.environ.get(
+    "BISCUIT_TPU_XLA_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "biscuit_tpu", "xla"))
+if _cache and _cache != "0":
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
 from ..index.fmindex import BisIndex
 from .fm import FMArrays
 
