@@ -106,6 +106,10 @@ const char *info_get(const char *info, int ilen, const char *key, int *vlen) {
             *vlen = (int)(e - s - kl - 1);
             return s + kl + 1;
         }
+        if ((size_t)(e - s) == kl && memcmp(s, key, kl) == 0) {
+            *vlen = 0;  // bare flag entry: Python info_get returns ""
+            return s + kl;
+        }
         s = e + 1;
     }
     return nullptr;
