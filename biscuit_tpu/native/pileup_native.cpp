@@ -726,8 +726,14 @@ int64_t bt_bam_scan(const uint8_t *data, int64_t len, int64_t body_off,
 // snp_locs (sorted, 1-based) / snp_meth are the window's episnp table.
 // rs_beg/rs_end are the fetched reference-window bounds (refcache
 // semantics: context bases outside them read as absent).
+// mode: 0 = epiBED (default), 1 = old -O format, 2 = pairwise -P format
+// (reference format_epiread_old epiread.c:285-421 / epiread_pairwise).
+// have_snps: a SNP table was supplied (the old format prints ".\t." for a
+// read with no SNPs only when a table exists; "\t\t" otherwise).
 int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
                           int32_t filter_empty, int32_t max_read_length,
+                          int32_t mode, int32_t print_all_locations,
+                          int32_t have_snps,
                           const char *chrom_name, const char *chrom,
                           int64_t seqlen, int64_t rs_beg, int64_t rs_end,
                           int64_t beg, int64_t end,
@@ -754,6 +760,12 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
     std::string out;
     out.reserve(1 << 16);
     std::string s_cg, s_gc, s_vr, rle;
+    // old/pairwise per-read site lists (positions 1-based as collected by
+    // the Python walk; the char lists can run LONGER than the position
+    // lists — the reference's qj>0 gate on the bss HCG position is a
+    // faithful quirk and the joined char string prints in full)
+    std::vector<int64_t> hcg_p, gch_p, cg_p, snp_p;
+    std::string hcg_c, gch_c, cg_c, snp_c;
     RawRec b;
     for (int64_t ri = 0; ri < n_recs; ++ri) {
         if (parse_raw(data, rec_offs[ri], data_len, b) < 0) continue;
@@ -825,6 +837,42 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
         s_cg.assign(L2, 0);
         s_gc.assign(L2, 0);
         s_vr.assign(L2, 0);
+        hcg_p.clear(); gch_p.clear(); cg_p.clear(); snp_p.clear();
+        hcg_c.clear(); gch_c.clear(); cg_c.clear(); snp_c.clear();
+        // _skipped_base_old (epiread.c:475-512): a filtered base that sits
+        // on an epi context still records a '-' at its site
+        auto collect_skipped = [&](int64_t rp, int qj) {
+            if (bss && getb(rp) == 'G' && rp - 1 >= rs_beg) {
+                char rb0 = getb(rp - 1);
+                if (is_nome) {
+                    if (rp + 1 <= rs_end) {
+                        char rb1 = getb(rp + 1);
+                        if (rb0 == 'C' && rb1 != 'C' && qj > 0) {
+                            hcg_p.push_back(rp - 1); hcg_c += '-';
+                        } else if (rb0 != 'C' && rb1 == 'C') {
+                            gch_p.push_back(rp); gch_c += '-';
+                        }
+                    }
+                } else if (rb0 == 'C') {
+                    cg_p.push_back(rp - 1); cg_c += '-';
+                }
+            }
+            if (!bss && getb(rp) == 'C' && rp + 1 <= rs_end) {
+                char rb1 = getb(rp + 1);
+                if (is_nome) {
+                    if (rp - 1 >= rs_beg) {
+                        char rb0 = getb(rp - 1);
+                        if (rb0 != 'G' && rb1 == 'G') {
+                            hcg_p.push_back(rp); hcg_c += '-';
+                        } else if (rb0 == 'G' && rb1 != 'G') {
+                            gch_p.push_back(rp); gch_c += '-';
+                        }
+                    }
+                } else if (rb1 == 'G') {
+                    cg_p.push_back(rp); cg_c += '-';
+                }
+            }
+        };
         int n_del = 0, n_ins = 0, softclip_start = 0;
         int64_t rpos = rpos0;
         int qpos = 0;
@@ -844,6 +892,7 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
                         || qj + 1 <= cf->min_dist_end_5p
                         || b.l_qseq < qj + 1 + cf->min_dist_end_3p
                         || (dc && rp >= ov_lo && rp <= ov_hi)) {
+                        if (mode) collect_skipped(rp, qj);
                         s_cg[qjd] = s_vr[qjd] = s_gc[qjd] = 'F';
                         continue;
                     }
@@ -853,18 +902,24 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
                             if (rp + 1 <= rs_end) {
                                 char rb1 = getb(rp + 1);
                                 if (rb0 == 'C' && rb1 != 'C') {
-                                    if (qb == 'A') { s_cg[qjd] = 'U'; s_gc[qjd] = 'x'; rle_set = true; }
-                                    else if (qb == 'G') { s_cg[qjd] = 'M'; s_gc[qjd] = 'x'; rle_set = true; }
+                                    if (mode && qj > 0) hcg_p.push_back(rp - 1);
+                                    if (qb == 'A') { s_cg[qjd] = 'U'; s_gc[qjd] = 'x'; rle_set = true; if (mode) hcg_c += 'T'; }
+                                    else if (qb == 'G') { s_cg[qjd] = 'M'; s_gc[qjd] = 'x'; rle_set = true; if (mode) hcg_c += 'C'; }
+                                    else if (mode) hcg_c += 'N';
                                 } else if (rb0 != 'C' && rb1 == 'C') {
-                                    if (qb == 'A') { s_cg[qjd] = 'x'; s_gc[qjd] = 'S'; rle_set = true; }
-                                    else if (qb == 'G') { s_cg[qjd] = 'x'; s_gc[qjd] = 'O'; rle_set = true; }
+                                    if (mode) gch_p.push_back(rp);
+                                    if (qb == 'A') { s_cg[qjd] = 'x'; s_gc[qjd] = 'S'; rle_set = true; if (mode) gch_c += 'T'; }
+                                    else if (qb == 'G') { s_cg[qjd] = 'x'; s_gc[qjd] = 'O'; rle_set = true; if (mode) gch_c += 'C'; }
+                                    else if (mode) gch_c += 'N';
                                 }
                             }
                         } else {
                             s_gc[qjd] = 'x';
                             if (rb0 == 'C') {
-                                if (qb == 'A') { s_cg[qjd] = 'U'; rle_set = true; }
-                                else if (qb == 'G') { s_cg[qjd] = 'M'; rle_set = true; }
+                                if (mode) cg_p.push_back(rp - 1);
+                                if (qb == 'A') { s_cg[qjd] = 'U'; rle_set = true; if (mode) cg_c += 'T'; }
+                                else if (qb == 'G') { s_cg[qjd] = 'M'; rle_set = true; if (mode) cg_c += 'C'; }
+                                else if (mode) cg_c += 'N';
                             }
                         }
                     }
@@ -874,23 +929,30 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
                             if (rp - 1 >= rs_beg) {
                                 char rb0 = getb(rp - 1);
                                 if (rb0 != 'G' && rb1 == 'G') {
-                                    if (qb == 'T') { s_cg[qjd] = 'U'; s_gc[qjd] = 'x'; rle_set = true; }
-                                    else if (qb == 'C') { s_cg[qjd] = 'M'; s_gc[qjd] = 'x'; rle_set = true; }
+                                    if (mode) hcg_p.push_back(rp);
+                                    if (qb == 'T') { s_cg[qjd] = 'U'; s_gc[qjd] = 'x'; rle_set = true; if (mode) hcg_c += 'T'; }
+                                    else if (qb == 'C') { s_cg[qjd] = 'M'; s_gc[qjd] = 'x'; rle_set = true; if (mode) hcg_c += 'C'; }
+                                    else if (mode) hcg_c += 'N';
                                 } else if (rb0 == 'G' && rb1 != 'G') {
-                                    if (qb == 'T') { s_cg[qjd] = 'x'; s_gc[qjd] = 'S'; rle_set = true; }
-                                    else if (qb == 'C') { s_cg[qjd] = 'x'; s_gc[qjd] = 'O'; rle_set = true; }
+                                    if (mode) gch_p.push_back(rp);
+                                    if (qb == 'T') { s_cg[qjd] = 'x'; s_gc[qjd] = 'S'; rle_set = true; if (mode) gch_c += 'T'; }
+                                    else if (qb == 'C') { s_cg[qjd] = 'x'; s_gc[qjd] = 'O'; rle_set = true; if (mode) gch_c += 'C'; }
+                                    else if (mode) gch_c += 'N';
                                 }
                             }
                         } else {
                             s_gc[qjd] = 'x';
                             if (rb1 == 'G') {
-                                if (qb == 'T') { s_cg[qjd] = 'U'; rle_set = true; }
-                                else if (qb == 'C') { s_cg[qjd] = 'M'; rle_set = true; }
+                                if (mode) cg_p.push_back(rp);
+                                if (qb == 'T') { s_cg[qjd] = 'U'; rle_set = true; if (mode) cg_c += 'T'; }
+                                else if (qb == 'C') { s_cg[qjd] = 'M'; rle_set = true; if (mode) cg_c += 'C'; }
+                                else if (mode) cg_c += 'N';
                             }
                         }
                     }
                     int sp = n_snps ? snp_at(rp) : 0;
                     if (sp) {
+                        if (mode) { snp_p.push_back(rp); snp_c += qb; }
                         if (!rle_set || (rle_set && sp != 2)) {
                             s_cg[qjd] = 'x';
                             s_gc[qjd] = 'x';
@@ -945,6 +1007,87 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
         int slen = b.l_qseq + n_del;
         int64_t start = b.pos + 1 - softclip_start;
         int64_t end_ = start + b.l_qseq + n_del - n_ins - 1;
+        // qname from the record body (needed by every output mode)
+        const uint8_t *pq = data + rec_offs[ri] + 4;
+        uint8_t l_read_name = pq[8];
+        const char *qname = (const char *)pq + 32;
+        size_t qname_len = l_read_name > 0 ? l_read_name - 1 : 0;
+
+        if (mode == 2) {        // pairwise -P (epiread.c pairwise output)
+            for (size_t k = 0; k < snp_p.size(); ++k) {
+                int64_t sp = snp_p[k];
+                if (!(print_w_beg <= sp && sp < print_w_end)) continue;
+                auto pair_rows = [&](const std::vector<int64_t> &P,
+                                     const std::string &C) {
+                    for (size_t jj = 0; jj < P.size(); ++jj) {
+                        out += chrom_name; out += '\t';
+                        out += std::to_string(sp); out += '\t';
+                        out += std::to_string(P[jj]); out += '\t';
+                        out += snp_c[k]; out += '\t';
+                        out += C[jj]; out += '\n';
+                    }
+                };
+                if (is_nome) { pair_rows(hcg_p, hcg_c); pair_rows(gch_p, gch_c); }
+                else pair_rows(cg_p, cg_c);
+            }
+            continue;
+        }
+        if (mode == 1) {        // old -O format (format_epiread_old)
+            int64_t first_epi = 0;
+            if (is_nome) {
+                if (!hcg_p.empty() && !gch_p.empty())
+                    first_epi = std::min(hcg_p[0], gch_p[0]);
+                else if (!hcg_p.empty()) first_epi = hcg_p[0];
+                else if (!gch_p.empty()) first_epi = gch_p[0];
+            } else {
+                first_epi = cg_p.empty() ? 0 : cg_p[0];
+            }
+            if (!(first_epi > 0 && print_w_beg <= first_epi
+                  && first_epi < print_w_end))
+                continue;
+            out += chrom_name; out += '\t';
+            out.append(qname, qname_len);
+            out += '\t';
+            out += (b.flag & FLAG_READ2) ? '2' : '1';
+            out += '\t';
+            out += bss ? '-' : '+';
+            auto group = [&](const std::vector<int64_t> &P,
+                             const std::string &C) {
+                if (!P.empty()) {
+                    out += '\t';
+                    out += std::to_string(P[0] - 1);
+                    if (print_all_locations)
+                        for (size_t i2 = 1; i2 < P.size(); ++i2) {
+                            out += ',';
+                            out += std::to_string(P[i2] - 1);
+                        }
+                    out += '\t';
+                    out += C;
+                } else {
+                    out += "\t.\t.";
+                }
+            };
+            if (is_nome) { group(hcg_p, hcg_c); group(gch_p, gch_c); }
+            else group(cg_p, cg_c);
+            if (!snp_p.empty()) {
+                out += '\t';
+                out += std::to_string(snp_p[0] - 1);
+                if (print_all_locations)
+                    for (size_t i2 = 1; i2 < snp_p.size(); ++i2) {
+                        out += ',';
+                        out += std::to_string(snp_p[i2] - 1);
+                    }
+                out += '\t';
+                out += snp_c;
+            } else if (have_snps) {
+                out += "\t.\t.";
+            } else {
+                out += "\t\t";
+            }
+            out += '\n';
+            continue;
+        }
+
         int64_t w_start = b.pos + 1;
         if (!(w_start > 0 && print_w_beg <= w_start && w_start < print_w_end))
             continue;
@@ -963,10 +1106,6 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
         }
         if (!(write_cg || write_gc || write_vr)) continue;
         if (start <= 0) continue;  // Python warns; rare degenerate case
-        // qname from the record body
-        const uint8_t *p = data + rec_offs[ri] + 4;
-        uint8_t l_read_name = p[8];
-        const char *qname = (const char *)p + 32;
         auto rle_enc = [&](const std::string &s) {
             rle.clear();
             int i = 0;
@@ -984,7 +1123,7 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
         out += '\t';
         out += std::to_string(end_);
         out += '\t';
-        out.append(qname, l_read_name > 0 ? l_read_name - 1 : 0);
+        out.append(qname, qname_len);
         out += '\t';
         out += (b.flag & FLAG_READ2) ? '2' : '1';
         out += '\t';

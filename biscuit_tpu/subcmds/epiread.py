@@ -618,9 +618,11 @@ def process_window_native(rawbam, rs: RefCache, conf: EpireadConf,
     cc.filter_duplicate = f.filter_duplicate
     cc.filter_qcfail = f.filter_qcfail
     cc.filter_doublecnt = f.filter_doublecnt
+    mode = 2 if conf.epiread_pair else (1 if conf.epiread_old else 0)
     rc = L.bt_epiread_window_raw(
         C.byref(cc), conf.comm.is_nome, conf.filter_empty_epiread,
-        conf.max_read_length, chrm.encode(),
+        conf.max_read_length, mode, conf.print_all_locations,
+        1 if snp_table is not None else 0, chrm.encode(),
         rs.arr.ctypes.data_as(C.c_void_p), rs.seqlen,
         C.c_int64(rs.beg), C.c_int64(rs.end),
         C.c_int64(beg), C.c_int64(end),
@@ -725,8 +727,7 @@ def main(argv):
     # default epiBED mode on BAM input runs on the C++ raw-record engine
     import os as _os
     from ..io.sambam import _is_bam
-    use_native = (not conf.epiread_old and not conf.epiread_pair
-                  and not conf.use_modbam
+    use_native = (not conf.use_modbam
                   and _os.environ.get("BISCUIT_TPU_PILEUP", "native") == "native"
                   and _is_bam(bamfn))
     if use_native:

@@ -148,7 +148,7 @@ def test_mergecg_identical(vcfs, flags):
     assert o == m
 
 
-@pytest.mark.parametrize("flags", [[], ["-N"]])
+@pytest.mark.parametrize("flags", [[], ["-N"], ["-O"], ["-N", "-O"]])
 def test_epiread_identical(vcfs, flags):
     d, fa, bam = vcfs
     o, _ = run_oracle(["epiread"] + flags + [fa, bam])
@@ -156,7 +156,8 @@ def test_epiread_identical(vcfs, flags):
     assert o == m
 
 
-@pytest.mark.parametrize("flags", [[], ["-O"], ["-P"]])
+@pytest.mark.parametrize("flags", [[], ["-O"], ["-P"], ["-N", "-O"],
+                                   ["-N", "-P"]])
 def test_epiread_snp_identical(vcfs, flags):
     d, fa, bam = vcfs
     o, _ = run_oracle(["epiread"] + flags + ["-B", str(d / "snp.bed"), fa, bam])
