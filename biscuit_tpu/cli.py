@@ -646,6 +646,22 @@ Genotyping options:
                 for line in meth_average_table(conf, sample, names,
                                                by_row_beta, by_row_cnt):
                     f.write(line)
+    raw_fn = os.environ.get("BISCUIT_TPU_MA_RAW")
+    if raw_fn:
+        # machine-readable raw accumulators for multi-host merging
+        # (tools/shard_pileup.py recomputes WholeGenome from exact sums)
+        import json as _json
+        dump = {}
+        for sid, fn in enumerate(in_fns):
+            per = {}
+            for tid in range(len(hdr.names)):   # accumulators key = true tid
+                per[hdr.names[tid]] = {
+                    "betasum": betasum[sid].get(tid, [0.0] * NCONTXTS),
+                    "cnt": cnts[sid].get(tid, [0] * NCONTXTS),
+                }
+            dump[fn] = per
+        with open(raw_fn, "w") as f:
+            _json.dump({"is_nome": int(conf.comm.is_nome), "stats": dump}, f)
     return 0
 
 

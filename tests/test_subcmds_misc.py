@@ -215,3 +215,34 @@ def test_fastq_kopen_sources(tmp_path):
         input=fq.read_bytes(), capture_output=True)
     assert r.returncode == 0, r.stderr.decode()
     assert str(want) in r.stdout.decode()             # stdin '-'
+
+
+def test_shard_pileup_matches_single_process(tmp_path):
+    """tools/shard_pileup.py: per-chromosome sharded VCF and merged
+    meth_average must equal the single-process run byte-for-byte."""
+    import subprocess
+    import sys
+    d = tmp_path
+    subprocess.run([sys.executable, f"{REPO}/tools/make_testdata.py", str(d),
+                    "--genome-size", "40000", "--n-reads", "300",
+                    "--n-chroms", "3", "--seed", "17"],
+                   check=True, capture_output=True)
+    fa = str(d / "genome.fa")
+    run(["index", fa])
+    sam = run(["align", fa, str(d / "reads.fq")]).stdout
+    (d / "a.sam").write_text(sam)
+    run(["sort", "-o", str(d / "a.bam"), str(d / "a.sam")])
+    run(["pileup", "-o", str(d / "single.vcf"), fa, str(d / "a.bam")])
+    r = subprocess.run(
+        [sys.executable, f"{REPO}/tools/shard_pileup.py", "-n", "2",
+         "-o", str(d / "shard.vcf"), fa, str(d / "a.bam")],
+        capture_output=True, text=True,
+        env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr[-800:]
+
+    def body(p):
+        return [l for l in open(p) if not l.startswith("##program")]
+    assert body(d / "shard.vcf") == body(d / "single.vcf")
+    ma_s = (d / "shard.vcf_meth_average.tsv").read_text()
+    ma_1 = (d / "single.vcf_meth_average.tsv").read_text()
+    assert ma_s == ma_1
