@@ -61,6 +61,30 @@ def sharded_seed_fn(mesh: Mesh, fm: FMPair, L: int,
     return jax.jit(fn)
 
 
+def sharded_pool_seed_fn(mesh: Mesh, fm: FMPair, min_seed_len: int,
+                         max_mem_intv: int, split_len: int, split_width: int,
+                         lanes: int = 128, C: int = 32, S: int = 64,
+                         T2: int = 16):
+    """The PRODUCTION pool seeder (ops/seed_batch.smem3_pool_batch) under
+    shard_map: the read pool is sharded over the dp axis and each device
+    runs an independent lane-refill machine over its shard (the index is
+    replicated). Returns a jitted fn:
+        pool [N, L+2] int32 -> (seeds [N_local_max... packed per shard]).
+    Output: (seeds [B, S, 6], n_seeds [B]) with the lane axis sharded —
+    callers compact per shard exactly as the single-device path does."""
+    from ..ops.seed_batch import smem3_pool_batch
+
+    def local(pool):
+        seeds, n_seeds, ov_rd, ov_spill, _it, next_ctr = smem3_pool_batch(
+            fm, pool, min_seed_len, max_mem_intv, split_len, split_width,
+            lanes=lanes, C=C, S=S, T2=T2)
+        return seeds, n_seeds, ov_rd
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp", None),),
+                   out_specs=(P("dp", None, None), P("dp"), P("dp", None)))
+    return jax.jit(fn)
+
+
 def sharded_extend_fn(mesh: Mesh, mats: jnp.ndarray, o_del: int, e_del: int,
                       o_ins: int, e_ins: int, zdrop: int):
     """Batched SW extension with the lane axis sharded over dp."""

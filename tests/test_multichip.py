@@ -182,3 +182,58 @@ def test_pileup_mesh_cli_vcf_matches_single():
     single = pl("numpy", 1)
     assert len(sharded) > 100
     assert sharded == single
+
+
+def test_sharded_pool_seeder_matches_single(setup):
+    """The production lane-refill seeder under shard_map: per-read seed
+    sets from the 8-way sharded pools equal the single-device machine's."""
+    from biscuit_tpu.parallel.mesh import make_mesh, sharded_pool_seed_fn
+    from biscuit_tpu.ops.seed_batch import smem3_pool_batch
+
+    idx, fm = setup
+    opt = MemOpt()
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    rng = np.random.default_rng(11)
+    N, L = 64, 96
+    pool = np.full((N, L + 2), 4, np.int32)
+    for b in range(N):
+        p = int(rng.integers(0, idx.l_pac - L))
+        frag = idx.pac[p:p + L].astype(np.int32)
+        r = np.where(frag == 1, 3, frag)
+        ne = rng.binomial(L, 0.02)
+        r[rng.integers(0, L, ne)] = rng.integers(0, 5, ne)
+        pool[b, :L] = r
+        pool[b, L] = L
+        pool[b, L + 1] = 1
+
+    def per_read(seeds, n_seeds, rid_off):
+        got = {}
+        s = np.asarray(seeds)
+        ns = np.asarray(n_seeds)
+        for lane in range(s.shape[0]):
+            for k in range(int(ns[lane])):
+                row = s[lane, k]
+                rid = int(row[5]) + rid_off
+                got.setdefault(rid, []).append(tuple(int(v) for v in row[:5]))
+        return got
+
+    args = (int(opt.min_seed_len), int(opt.max_mem_intv), split_len,
+            int(opt.split_width))
+    want_out = smem3_pool_batch(fm, jnp.asarray(pool), *args,
+                                lanes=16, C=32, S=64)
+    want = per_read(want_out[0], want_out[1], 0)
+
+    mesh = make_mesh(8)
+    fn = sharded_pool_seed_fn(mesh, fm, *args, lanes=16)
+    seeds, n_seeds, ov_rd = fn(jnp.asarray(pool))
+    shard_n = N // 8
+    got = {}
+    s = np.asarray(seeds)
+    ns = np.asarray(n_seeds)
+    lanes_per = s.shape[0] // 8
+    for sh in range(8):
+        got.update(per_read(s[sh * lanes_per:(sh + 1) * lanes_per],
+                            ns[sh * lanes_per:(sh + 1) * lanes_per],
+                            sh * shard_n))
+    assert (np.asarray(ov_rd) < 0).all()   # no overflowed reads
+    assert got == want
