@@ -686,7 +686,8 @@ def main(argv):
     reg = None
     snp_bed = None
     outfn = None
-    opts, args = getopt.getopt(argv, "B:g:s:@:o:NL:MPOAb:m:a:t:l:5:3:cdupnv:h")
+    # optstring mirrors the reference (epiread.c:1226)
+    opts, args = getopt.getopt(argv, "B:g:s:@:o:NL:My:EPOAb:m:a:t:l:5:3:n:cdupvh")
     for o, a in opts:
         c = o[1]
         if c == "B": snp_bed = a
@@ -712,7 +713,9 @@ def main(argv):
         elif c == "u": conf.filt.filter_duplicate = 0
         elif c == "p": conf.filt.filter_ppair = 0
         elif c == "n": conf.filt.max_nm = int(a)
-        elif c == "v": conf.comm.verbose = int(a)
+        elif c == "y": conf.modbam_prob = float(a)
+        elif c == "E": conf.filter_empty_epiread = 0
+        elif c == "v": conf.comm.verbose = 1
         elif c == "h":
             print("Usage: biscuit_tpu epiread [options] <ref.fa> <in.bam>", file=sys.stderr)
             return 1
@@ -721,6 +724,10 @@ def main(argv):
         return 1
     if conf.epiread_old and conf.epiread_pair:
         print("-O and -P are not compatible", file=sys.stderr)
+        return 1
+    if not (0.0 <= conf.modbam_prob <= 1.0):
+        print("Minimum modification probability must be between 0.0 and 1.0",
+              file=sys.stderr)
         return 1
     reffn, bamfn = args[0], args[1]
     snp_table = read_episnp(snp_bed) if snp_bed else None

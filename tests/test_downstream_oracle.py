@@ -148,7 +148,7 @@ def test_mergecg_identical(vcfs, flags):
     assert o == m
 
 
-@pytest.mark.parametrize("flags", [[], ["-N"], ["-O"], ["-N", "-O"]])
+@pytest.mark.parametrize("flags", [[], ["-N"], ["-O"], ["-N", "-O"], ["-E"]])
 def test_epiread_identical(vcfs, flags):
     d, fa, bam = vcfs
     o, _ = run_oracle(["epiread"] + flags + [fa, bam])
