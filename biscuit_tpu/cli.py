@@ -330,6 +330,25 @@ Input/output options:
         engine = "host"
         opt.n_threads = 1
     dev = nat = sdr = None
+    if engine in ("device", "device-jax") \
+            and not os.environ.get("BISCUIT_TPU_PLATFORM"):
+        # failure detection: a wedged TPU tunnel HANGS backend init rather
+        # than failing, so probe in a killable subprocess before committing
+        # to the device path (same guard as bench.py)
+        import subprocess
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=90)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print("[biscuit_tpu] accelerator backend unreachable "
+                  "(init probe timed out); using the native engine",
+                  file=sys.stderr)
+            engine = "native"
     if engine == "device":
         # production TPU engine: device seeding/SA injected into the C++
         # chain/extend/SAM stages (wide/int64 indexes included); falls back
