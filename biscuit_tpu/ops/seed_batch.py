@@ -829,12 +829,13 @@ def smem3_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
                                    "split_len", "split_width", "lanes",
-                                   "C", "S", "T2", "max_iters"))
+                                   "C", "S", "T2", "max_iters",
+                                   "claim_every"))
 def smem3_pool_batch(fm: FMPair, pool: jnp.ndarray,
                      min_seed_len: int, max_mem_intv: int,
                      split_len: int, split_width: int, lanes: int = 1024,
                      C: int = 32, S: int = 128, T2: int = 16,
-                     max_iters: int = 500000):
+                     max_iters: int = 500000, claim_every: int = 1):
     """smem3_batch with LANE REFILL: B persistent lanes drain an N-read
     pool, each lane claiming the next read the moment it finishes its own.
 
@@ -928,25 +929,43 @@ def smem3_pool_batch(fm: FMPair, pool: jnp.ndarray,
         # a lane with a full-ish seed buffer stops claiming: a new read
         # could not store seeds, so healthy lanes absorb the remainder
         lane_ok = st["n_seeds"] <= S - 48
-        claim_try = idle & lane_ok
-        order = jnp.cumsum(claim_try.astype(jnp.int32)) - 1
-        ridx = st["next_ctr"] + order
-        claim = claim_try & (ridx < N)
-        next_ctr = jnp.minimum(st["next_ctr"]
-                               + claim_try.astype(jnp.int32).sum(),
-                               N).astype(jnp.int32)
-        rows_cl = pool[jnp.where(claim, ridx, 0)]          # ONE B-row gather
-        q_cur = jnp.where(claim[:, None], rows_cl[:, :L], st["q_cur"])
-        len_cur = jnp.where(claim, rows_cl[:, L], st["len_cur"])
-        par_cur = jnp.where(claim, rows_cl[:, L + 1].astype(jnp.int32),
-                            st["par_cur"])
-        rd = jnp.where(claim, ridx, st["rd"])
-        rbase = jnp.where(claim, st["n_seeds"], st["rbase"])
-        phase = jnp.where(claim, PH_SCAN,
-                          jnp.where(idle, PH_DONE, st["phase"]))
-        stage = jnp.where(claim, 1, st["stage"])
-        t_idx = jnp.where(claim, 0, st["t_idx"])
-        x1next = jnp.where(claim, 0, st["x1next"])
+
+        def do_claim(op):
+            q0, l0, p0, rd0, rb0, ph0, sg0, ti0, x10, nc0 = op
+            claim_try = idle & lane_ok
+            order = jnp.cumsum(claim_try.astype(jnp.int32)) - 1
+            ridx = nc0 + order
+            claim = claim_try & (ridx < N)
+            nc1 = jnp.minimum(nc0 + claim_try.astype(jnp.int32).sum(),
+                              N).astype(jnp.int32)
+            rows_cl = pool[jnp.where(claim, ridx, 0)]   # ONE B-row gather
+            return (jnp.where(claim[:, None], rows_cl[:, :L], q0),
+                    jnp.where(claim, rows_cl[:, L], l0),
+                    jnp.where(claim, rows_cl[:, L + 1].astype(jnp.int32),
+                              p0),
+                    jnp.where(claim, ridx, rd0),
+                    jnp.where(claim, st["n_seeds"], rb0),
+                    jnp.where(claim, PH_SCAN,
+                              jnp.where(idle, PH_DONE, ph0)),
+                    jnp.where(claim, 1, sg0),
+                    jnp.where(claim, 0, ti0),
+                    jnp.where(claim, jnp.zeros((), x10.dtype), x10),
+                    nc1)
+
+        ops = (st["q_cur"], st["len_cur"], st["par_cur"], st["rd"],
+               st["rbase"], st["phase"], st["stage"], st["t_idx"],
+               st["x1next"], st["next_ctr"])
+        if claim_every > 1:
+            # skip the claim gather entirely on off-beat iterations: lanes
+            # idle <=claim_every-1 extra steps (<2% at claim_every=4) and
+            # 1-1/claim_every of the claim gathers disappear under lax.cond
+            gate = (st["iters"] % claim_every) == 0
+            (q_cur, len_cur, par_cur, rd, rbase, phase, stage, t_idx,
+             x1next, next_ctr) = jax.lax.cond(
+                gate & idle.any(), do_claim, lambda op: op, ops)
+        else:
+            (q_cur, len_cur, par_cur, rd, rbase, phase, stage, t_idx,
+             x1next, next_ctr) = do_claim(ops)
 
         lens = len_cur
         fm_id = par_cur
@@ -1182,17 +1201,18 @@ def smem3_pool_batch(fm: FMPair, pool: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
                                    "split_len", "split_width", "lanes",
-                                   "C", "S", "T2"))
+                                   "C", "S", "T2", "claim_every"))
 def _collect_sm_pool(fm: FMPair, pool, min_seed_len: int, max_mem_intv: int,
                      split_len: int, split_width: int, lanes: int,
-                     C: int, S: int, T2: int):
+                     C: int, S: int, T2: int, claim_every: int = 1):
     """Pool-machine mem_collect_intv: refill seeder + device-side compaction
     and the reference-order stable sort keyed by READ id."""
     N = pool.shape[0]
     B = lanes
     seeds, n_seeds, ov_rd, ov_spill, _, next_ctr = smem3_pool_batch(
         fm, pool, min_seed_len, max_mem_intv,
-        split_len, split_width, lanes=lanes, C=C, S=S, T2=T2)
+        split_len, split_width, lanes=lanes, C=C, S=S, T2=T2,
+        claim_every=claim_every)
     cap = N * 24
     S_ = seeds.shape[1]
     slot_all = jnp.arange(S_, dtype=jnp.int32)[None, :]
@@ -1381,11 +1401,12 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
         pool[:, L] = lens
         pool[:, L + 1] = parents
         with _rank_ctx(fm):
+            ce = int(os.environ.get("BISCUIT_TPU_CLAIM_EVERY", "1"))
             out = _collect_sm_pool(fm, jnp.asarray(pool),
                                    int(opt.min_seed_len),
                                    int(opt.max_mem_intv),
                                    split_len, int(opt.split_width),
-                                   lanes, C_m, S_m, 16)
+                                   lanes, C_m, S_m, 16, claim_every=ce)
         packed, rid_sorted, total_j, ov_rd, ov_spill, next_ctr = out
         total = int(np.asarray(total_j))
         if bool(np.asarray(ov_spill)) or total > packed.shape[0]:
