@@ -171,12 +171,8 @@ def bench_device_kernel():
     def run():
         return sw_extend_batch_pallas(q, qlens, t, tlens, mats, msel,
                                       6, 1, 6, 1, ws, ebs, 100, h0s)
-    jax.block_until_ready(run())  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run())
-        best = min(best, time.perf_counter() - t0)
+    from tools.tpu_regress import _timeit  # scalar-D2H hard sync
+    best = _timeit(run, n=8)
     cells = B * Lq * Lt
     gcups = cells / best / 1e9
     # v5e VPU envelope: 8 lanes x 128 sublanes x ~0.94 GHz ~= 963e9 int32

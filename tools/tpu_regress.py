@@ -28,20 +28,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _timeit(fn, n=20):
-    """Per-call device time with dispatch latency amortized: issue n calls
-    back-to-back (async dispatch pipelines over the tunnel) and sync once."""
+def _sync(out):
+    """Hard device sync: reduce the first output leaf on device and pull the
+    scalar to host. The tunneled axon runtime's block_until_ready has been
+    observed to return early mid-session (wedge-adjacent bug), which
+    inflated sweep numbers by 1000x; an actual D2H of a value computed FROM
+    the output can only complete after the executable (and everything queued
+    before it on the stream) finishes."""
     import jax
-    jax.block_until_ready(fn())  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn()
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(jnp.sum(leaf.ravel()[:64]))
+
+
+def _timeit(fn, n=20):
+    """True per-call device time on the tunneled backend, measured as the
+    SLOPE between two back-to-back batch sizes. Rationale (measured): the
+    axon runtime pipelines RPC dispatch with execution, so a batch of n
+    calls completes in (pipeline latency ~30-40 ms) + n * t_call; neither
+    block_until_ready nor a sync-RTT subtraction isolates t_call, but the
+    slope (T(n2)-T(n1))/(n2-n1) cancels every constant term. Sync is a
+    scalar D2H pull of a reduction of the last output (an actual transfer
+    can only complete after the stream drains; block_until_ready has been
+    observed to return early mid-session on this backend)."""
+    n1, n2 = max(2, n // 4), max(8, n)
+
+    def batch(k):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(k):
+                o = fn()
+            _sync(o)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    _sync(fn())  # compile + warm
+    t_small, t_large = batch(n1), batch(n2)
+    return max((t_large - t_small) / (n2 - n1), 1e-9)
 
 
 def check_pallas_sw(res):

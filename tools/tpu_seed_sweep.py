@@ -18,19 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def _timeit(fn, n=4):
-    import jax
-    jax.block_until_ready(fn())
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn()
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+from tpu_regress import _timeit  # scalar-D2H hard sync (tunnel-safe)
 
 
 def main():
@@ -72,14 +60,15 @@ def main():
                 continue
             S = max(64, min(1024, 24 * max(1, N // lanes) + 40))
             for ce in (1, 4, 8):
-                def run():
+                def run(ce=ce, lanes=lanes, S=S):
                     return _collect_sm_pool(
                         fm, pj, int(opt.min_seed_len),
                         int(opt.max_mem_intv), split_len,
                         int(opt.split_width), lanes, 32, S, 16,
-                        claim_every=ce)[0]
+                        claim_every=ce)
                 try:
-                    t = _timeit(run)
+                    total = int(np.asarray(run()[2]))  # seed-count sanity
+                    t = _timeit(lambda: run()[0], n=4)
                 except Exception as e:
                     results["runs"].append(
                         {"N": N, "lanes": lanes, "claim_every": ce,
@@ -89,7 +78,7 @@ def main():
                 if base is None:
                     base = rps
                 row = {"N": N, "lanes": lanes, "S": S, "claim_every": ce,
-                       "reads_per_s": rps}
+                       "reads_per_s": rps, "total_seeds": total}
                 results["runs"].append(row)
                 print(f"[sweep] {json.dumps(row)}", flush=True)
     ok_runs = [r for r in results["runs"] if "reads_per_s" in r]
