@@ -52,7 +52,8 @@ def _build(instrument: bool = False) -> None:
         # profile-guided rebuild: ~10% on the align hot path (same output;
         # PGO only reorders/optimizes, it never changes semantics)
         extra = [f"-fprofile-use={_PGO_DIR}", "-fprofile-correction"]
-    base = ["g++", "-O3", "-funroll-loops", "-std=c++17", "-shared", "-fPIC",
+    # c++20: the interleaved SMEM seeder (align_host.cpp) uses coroutines
+    base = ["g++", "-O3", "-funroll-loops", "-std=c++20", "-shared", "-fPIC",
             *extra, "-o", _SO]
     tail = _SOURCES + ["-lz", "-lpthread"]
     # -march=native turns __builtin_popcount into the POPCNT instruction

@@ -21,6 +21,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <coroutine>
 #include <thread>
 #include <vector>
 
@@ -55,7 +56,7 @@ static std::atomic<long long> g_prof_ns[8];
 static bool g_prof_on = false;
 static const char *g_prof_names[8] = {
     "seed(collect_intv)", "chain(+sa)", "chain_flt", "extend(chain2region)",
-    "merge_regions", "worker2(sam)", "", ""};
+    "merge_regions", "worker2(sam)", "sa_walk", ""};
 struct ProfScope {
     int slot;
     std::chrono::steady_clock::time_point t0;
@@ -766,6 +767,342 @@ static void collect_intv(const Opt &opt, const StrandFM &fm, const StrandFM &fmc
     });
 }
 
+// ------------------------------------------- interleaved SMEM seeding
+//
+// collect_intv is a dependent pointer-chase over occ blocks: each
+// fm_extend_one's loads feed the next step's addresses, so one read's walk
+// runs at cache-miss latency (~56 ns/step L3-scale, ~290 ns DRAM-scale on
+// this host; tools/bench_mlp.cpp). Different (read, parent) tasks are
+// independent, so a thread runs K of them as coroutine lanes: each lane
+// issues prefetches for its next occ block(s), suspends, and the scheduler
+// round-robins the other lanes while the lines arrive — the measured MLP
+// headroom is 4.2x (L3) to 6.8x (DRAM). The coroutine bodies below are
+// mechanical transforms of smem1a/seed_strategy1/collect_intv with
+// co_await at each dependent-fetch point; output must stay byte-identical
+// (same push order), which the oracle e2e matrix verifies.
+
+struct SeedLane {
+    std::coroutine_handle<> cur{};
+    bool done = true;
+};
+
+// coroutine frames are allocated per smem1a/seed_strategy1 call (hot path):
+// recycle them in a per-thread freelist keyed by exact frame size (only a
+// handful of distinct sizes exist — one per coroutine function)
+struct FrameCache {
+    struct Slot { size_t sz = 0; void *head = nullptr; };
+    Slot slots[8];
+    void *alloc(size_t sz) {
+        for (auto &s : slots)
+            if (s.sz == sz && s.head) {
+                void *p = s.head;
+                s.head = *(void **)p;
+                return p;
+            }
+        return ::operator new(sz);
+    }
+    void free(void *p, size_t sz) {
+        for (auto &s : slots) {
+            if (s.sz == 0) s.sz = sz;
+            if (s.sz == sz) {
+                *(void **)p = s.head;
+                s.head = p;
+                return;
+            }
+        }
+        ::operator delete(p);
+    }
+    ~FrameCache() {
+        for (auto &s : slots)
+            while (s.head) {
+                void *p = s.head;
+                s.head = *(void **)p;
+                ::operator delete(p);
+            }
+    }
+};
+static thread_local FrameCache g_frame_cache;
+
+struct CoTask {
+    struct promise_type;
+    using Handle = std::coroutine_handle<promise_type>;
+    struct FinalAwaiter {
+        bool await_ready() noexcept { return false; }
+        std::coroutine_handle<> await_suspend(Handle h) noexcept;
+        void await_resume() noexcept {}
+    };
+    struct Fetch {};  // co_await Fetch{}: suspend until the scheduler's next
+                      // round (prefetches for this lane were just issued)
+    struct promise_type {
+        std::coroutine_handle<> cont{};  // parent frame (null for a root)
+        SeedLane *lane = nullptr;
+        CoTask get_return_object() {
+            return CoTask{Handle::from_promise(*this)};
+        }
+        std::suspend_always initial_suspend() noexcept { return {}; }
+        FinalAwaiter final_suspend() noexcept { return {}; }
+        void return_void() {}
+        void unhandled_exception() { std::terminate(); }
+        static void *operator new(size_t sz) { return g_frame_cache.alloc(sz); }
+        static void operator delete(void *p, size_t sz) {
+            g_frame_cache.free(p, sz);
+        }
+        struct FetchAwaiter {
+            promise_type *p;
+            bool await_ready() noexcept { return false; }
+            void await_suspend(std::coroutine_handle<> h) noexcept {
+                p->lane->cur = h;  // scheduler resumes this exact frame
+            }
+            void await_resume() noexcept {}
+        };
+        FetchAwaiter await_transform(Fetch) noexcept { return {this}; }
+        struct ChildAwaiter {
+            Handle child;
+            bool await_ready() noexcept { return false; }
+            std::coroutine_handle<> await_suspend(
+                std::coroutine_handle<> parent) noexcept {
+                child.promise().cont = parent;
+                return child;  // symmetric transfer into the child
+            }
+            void await_resume() noexcept { child.destroy(); }
+        };
+        ChildAwaiter await_transform(CoTask &&t) noexcept {
+            t.h.promise().lane = lane;
+            return {t.h};
+        }
+    };
+    Handle h;
+};
+
+inline std::coroutine_handle<> CoTask::FinalAwaiter::await_suspend(
+    CoTask::Handle h) noexcept {
+    auto &p = h.promise();
+    if (p.cont) return p.cont;  // back into the parent frame
+    p.lane->done = true;        // root finished: tell the scheduler
+    return std::noop_coroutine();
+}
+
+struct SeedScratch {
+    std::vector<Intv> curr, prev;
+    std::vector<std::pair<int32_t, Intv>> out;
+    std::vector<Seed5> tmp;
+};
+
+// prefetch the occ block(s) fm_extend_one(f, ik, ., is_back) will read
+static inline void prefetch_extend(const StrandFM &f, const Intv &ik,
+                                   bool is_back) {
+    if (!f.ilv2) return;
+    int64_t xq = is_back ? ik.x0 : ik.x1;
+    int64_t ka = xq - 1;
+    ka -= (ka >= f.primary ? 1 : 0);
+    int64_t kb = xq - 1 + ik.s;
+    kb -= (kb >= f.primary ? 1 : 0);
+    __builtin_prefetch(f.ilv2 + ((ka >> 6) << 5), 0, 1);
+    __builtin_prefetch(f.ilv2 + ((kb >> 6) << 5), 0, 1);
+}
+
+// smem1a with a co_await at every dependent occ fetch; logic identical.
+static CoTask smem1a_il(const StrandFM &fm, const StrandFM &fmc,
+                        const uint8_t *q, int len, int x, int64_t min_intv,
+                        std::vector<Seed5> &mem, SeedScratch &sc,
+                        int *ret_out) {
+    mem.clear();
+    if (q[x] > 3) { *ret_out = x + 1; co_return; }
+    if (min_intv < 1) min_intv = 1;
+    int c0 = q[x];
+    Intv ik{fm.L2[c0] + 1, fmc.L2[3 - c0] + 1, fm.L2[c0 + 1] - fm.L2[c0],
+            (int32_t)(x + 1)};
+    auto &curr = sc.curr;
+    auto &prev = sc.prev;
+    auto &out = sc.out;
+    curr.clear();
+    prev.clear();
+    out.clear();
+    int i = x + 1;
+    Intv ok[4];
+    for (; i < len; ++i) {
+        if (q[i] < 4) {
+            int c = 3 - q[i];
+            prefetch_extend(fmc, ik, false);
+            co_await CoTask::Fetch{};
+            fm_extend_one(fmc, ik, c, ok[c], false);
+            if (ok[c].s != ik.s) {
+                curr.push_back(ik);
+                if (ok[c].s < min_intv) break;
+            }
+            ik = ok[c];
+            ik.end = i + 1;
+        } else {
+            curr.push_back(ik);
+            break;
+        }
+    }
+    if (i == len) curr.push_back(ik);
+    std::reverse(curr.begin(), curr.end());
+    *ret_out = curr[0].end;
+    prev.swap(curr);
+
+    for (i = x - 1; i >= -1; --i) {
+        int c = (i < 0 || q[i] > 3) ? -1 : q[i];
+        curr.clear();
+        if (c >= 0) {
+            for (size_t j = 0; j < prev.size(); ++j)
+                prefetch_extend(fm, prev[j], true);
+            co_await CoTask::Fetch{};
+        }
+        for (size_t j = 0; j < prev.size(); ++j) {
+            const Intv &p = prev[j];
+            if (c >= 0) fm_extend_one(fm, p, c, ok[c], true);
+            if (c < 0 || ok[c].s < min_intv) {
+                if (curr.empty()) {
+                    if (out.empty() || i + 1 < out.back().first)
+                        out.push_back({(int32_t)(i + 1), p});
+                }
+            } else if (curr.empty() || ok[c].s != curr.back().s) {
+                Intv e = ok[c];
+                e.end = p.end;
+                curr.push_back(e);
+            }
+        }
+        if (curr.empty()) break;
+        prev.swap(curr);
+    }
+    for (auto it = out.rbegin(); it != out.rend(); ++it)
+        mem.push_back({it->first, it->second.end, it->second.x0,
+                       it->second.x1, it->second.s});
+}
+
+static CoTask seed_strategy1_il(const StrandFM &fm, const StrandFM &fmc,
+                                const uint8_t *q, int len, int x, int min_len,
+                                int64_t max_intv, Seed5 *m, int *ret_out) {
+    *m = Seed5{0, 0, 0, 0, 0};
+    if (q[x] > 3) { *ret_out = x + 1; co_return; }
+    int c0 = q[x];
+    Intv ik{fm.L2[c0] + 1, fmc.L2[3 - c0] + 1, fm.L2[c0 + 1] - fm.L2[c0], 0};
+    Intv ok[4];
+    for (int i = x + 1; i < len; ++i) {
+        if (q[i] < 4) {
+            int c = 3 - q[i];
+            prefetch_extend(fmc, ik, false);
+            co_await CoTask::Fetch{};
+            fm_extend_one(fmc, ik, c, ok[c], false);
+            if (ok[c].s < max_intv && i - x >= min_len) {
+                *m = Seed5{(int32_t)x, (int32_t)(i + 1), ok[c].x0, ok[c].x1,
+                           ok[c].s};
+                *ret_out = i + 1;
+                co_return;
+            }
+            ik = ok[c];
+        } else {
+            *ret_out = i + 1;
+            co_return;
+        }
+    }
+    *ret_out = len;
+}
+
+static CoTask collect_intv_il(const Opt &opt, const StrandFM &fm,
+                              const StrandFM &fmc, const uint8_t *q, int len,
+                              std::vector<Seed5> &mem, SeedScratch &sc) {
+    mem.clear();
+    int start_width = (opt.flag & 0x40) ? 2 : 1;
+    int split_len = (int)(opt.min_seed_len * opt.split_factor + 0.499);
+    std::vector<Seed5> &tmp = sc.tmp;
+    int x = 0;
+    while (x < len) {
+        if (q[x] < 4) {
+            int ret;
+            co_await smem1a_il(fm, fmc, q, len, x, start_width, tmp, sc,
+                               &ret);
+            x = ret;
+            for (auto &s : tmp)
+                if (s.end - s.start >= opt.min_seed_len) mem.push_back(s);
+        } else ++x;
+    }
+    size_t old_n = mem.size();
+    for (size_t k = 0; k < old_n; ++k) {
+        Seed5 p = mem[k];
+        if (p.end - p.start < split_len || p.s > opt.split_width) continue;
+        int ret;
+        co_await smem1a_il(fm, fmc, q, len, (p.start + p.end) >> 1, p.s + 1,
+                           tmp, sc, &ret);
+        for (auto &s : tmp)
+            if (s.end - s.start >= opt.min_seed_len) mem.push_back(s);
+    }
+    if (opt.max_mem_intv > 0) {
+        x = 0;
+        Seed5 m;
+        while (x < len) {
+            if (q[x] < 4) {
+                int ret;
+                co_await seed_strategy1_il(fm, fmc, q, len, x,
+                                           opt.min_seed_len,
+                                           opt.max_mem_intv, &m, &ret);
+                x = ret;
+                if (m.s > 0) mem.push_back(m);
+            } else ++x;
+        }
+    }
+    std::stable_sort(mem.begin(), mem.end(), [](const Seed5 &a, const Seed5 &b) {
+        return ((uint64_t)(uint32_t)a.start << 32 | (uint32_t)a.end) <
+               ((uint64_t)(uint32_t)b.start << 32 | (uint32_t)b.end);
+    });
+}
+
+// one (read, parent) seeding job for the interleaved scheduler
+struct SeedJob {
+    const StrandFM *fm, *fmc;
+    const uint8_t *q;  // converted read codes
+    int len;
+    std::vector<Seed5> *mem;
+};
+
+static void collect_intv_interleaved(const Opt &opt,
+                                     const std::vector<SeedJob> &jobs) {
+    constexpr int LANES = 16;
+    if (jobs.empty()) return;
+    // Opt-in (BISCUIT_TPU_SEED_IL=1): measured on this host the coroutine
+    // interleave is byte-identical but ~5-20% slower at 5-50 Mbp — the
+    // backward pass was already prefetched and the forward chain hits cache
+    // often enough that the ~35 ns/suspend overhead wins. Kept for
+    // DRAM-bound (human-scale) experiments.
+    static const bool il_on = getenv("BISCUIT_TPU_SEED_IL") &&
+                              getenv("BISCUIT_TPU_SEED_IL")[0] == '1';
+    if (jobs.size() < 2 || !jobs[0].fm->ilv2 || !il_on) {
+        for (auto &j : jobs) collect_intv(opt, *j.fm, *j.fmc, j.q, j.len, *j.mem);
+        return;
+    }
+    int nl = std::min<int>(LANES, (int)jobs.size());
+    static thread_local SeedScratch scratch[LANES];
+    SeedLane lanes[LANES];
+    CoTask::Handle roots[LANES];
+    size_t next = 0;
+    int live = 0;
+    auto start = [&](int li) {
+        if (next >= jobs.size()) return;
+        const SeedJob &j = jobs[next++];
+        CoTask t = collect_intv_il(opt, *j.fm, *j.fmc, j.q, j.len, *j.mem,
+                                   scratch[li]);
+        t.h.promise().lane = &lanes[li];
+        roots[li] = t.h;
+        lanes[li].cur = t.h;
+        lanes[li].done = false;
+        ++live;
+    };
+    for (int i = 0; i < nl; ++i) start(i);
+    while (live) {
+        for (int i = 0; i < nl; ++i) {
+            if (lanes[i].done) continue;
+            lanes[i].cur.resume();
+            if (lanes[i].done) {
+                roots[i].destroy();
+                --live;
+                start(i);
+            }
+        }
+    }
+}
+
 // ------------------------------------------------------------------ bns
 
 struct Bns {
@@ -1026,6 +1363,7 @@ static void chain_from_seeds(const Opt &opt, const StrandFM &fm, const Bns &bns,
             if (k < pre_n) rbeg = sa_pos[pre_base + k];
             else {
                 if (k >= tile_base + tile_n) {
+                    ProfScope psa(6);
                     tile_base = k;
                     tile_n = std::min<int64_t>(SA_TILE, iv.s - k);
                     for (int64_t j = 0; j < tile_n; ++j)
@@ -1355,19 +1693,14 @@ struct SeedInj {
 // align one read against one strand: convert, seed, chain, filter, extend
 static void align1_core(const Ctx &cx, const uint8_t *seq, int len, int parent,
                         std::vector<Region> &regs, bool &needs_fallback,
-                        const SeedInj *inj = nullptr, int read_idx = -1) {
+                        const SeedInj *inj = nullptr, int read_idx = -1,
+                        std::vector<Seed5> *premem = nullptr) {
     if (len < cx.opt.min_seed_len) return;  // mem_chain early-out
     // mem_flt_chained_seeds gate: active only for long reads / explicit
     // min_chain_weight — fall back to the Python engine in that case
     double min_l = cx.opt.min_chain_weight
         ? 1.1 * cx.opt.min_chain_weight : 5.5 * std::log((double)len);
     if (!(min_l > 0.05 * len)) { needs_fallback = true; return; }
-    std::vector<uint8_t> conv(seq, seq + len);
-    if (parent) {
-        for (auto &c : conv) if (c == 1) c = 3;
-    } else {
-        for (auto &c : conv) if (c == 2) c = 0;
-    }
     const StrandFM &fm = cx.fm[parent];
     const StrandFM &fmc = cx.fm[1 - parent];
     std::vector<Seed5> mem;
@@ -1387,7 +1720,16 @@ static void align1_core(const Ctx &cx, const uint8_t *seq, int len, int parent,
         }
         sa_pos = inj->sa_pos;
         sa_off = inj->sa_off + r0;
+    } else if (premem) {
+        // chunk-interleaved seeding already ran (collect_intv_interleaved)
+        mem.swap(*premem);
     } else {
+        std::vector<uint8_t> conv(seq, seq + len);
+        if (parent) {
+            for (auto &c : conv) if (c == 1) c = 3;
+        } else {
+            for (auto &c : conv) if (c == 2) c = 0;
+        }
         ProfScope p(0);
         collect_intv(cx.opt, fm, fmc, conv.data(), len, mem);
     }
@@ -1406,6 +1748,70 @@ static void align1_core(const Ctx &cx, const uint8_t *seq, int len, int parent,
         ProfScope p(3);
         chain2region(cx.opt, cx.bns, len, seq, parent, chns, regs);
     }
+}
+
+// Interleaved seeding over a work-stealing chunk: pre-runs collect_intv for
+// every (read, parent) lane the chunk's align1_core calls would self-seed
+// (same gates: min_seed_len, the min_l fallback gate, device injection),
+// K lanes in lockstep so the dependent occ fetches of different reads
+// overlap. align1_core then consumes the results via `premem`.
+struct ChunkSeeds {
+    int lo = 0;
+    std::vector<std::vector<Seed5>> mems;      // [(i-lo)*2 + parent]
+    std::vector<uint8_t> have;
+    std::vector<std::vector<uint8_t>> convs;   // alive while jobs run
+    std::vector<Seed5> *get(int i, int p) {
+        int idx = (i - lo) * 2 + p;
+        return have[idx] ? &mems[idx] : nullptr;
+    }
+};
+
+static void seed_chunk(const Ctx &cx, const uint8_t *reads,
+                       const int64_t *offs, const int32_t *lens,
+                       int lo, int hi, bool pe, int parent_policy,
+                       const SeedInj *inj, const uint8_t *skip,
+                       ChunkSeeds &out) {
+    out.lo = lo;
+    int n = (hi - lo) * 2;
+    out.mems.assign(n, {});
+    out.have.assign(n, 0);
+    out.convs.clear();
+    out.convs.reserve(n);  // conv.data() pointers must stay stable
+    std::vector<SeedJob> jobs;
+    jobs.reserve(n);
+    auto add = [&](int i, int p) {
+        int len = lens[i];
+        if (len < cx.opt.min_seed_len) return;
+        double min_l = cx.opt.min_chain_weight
+            ? 1.1 * cx.opt.min_chain_weight : 5.5 * std::log((double)len);
+        if (!(min_l > 0.05 * len)) return;  // align1_core falls back
+        if (inj && inj->has[i * 2 + p]) return;
+        const uint8_t *seq = reads + offs[i];
+        out.convs.emplace_back(seq, seq + len);
+        auto &conv = out.convs.back();
+        if (p) {
+            for (auto &c : conv) if (c == 1) c = 3;
+        } else {
+            for (auto &c : conv) if (c == 2) c = 0;
+        }
+        int idx = (i - lo) * 2 + p;
+        out.have[idx] = 1;
+        jobs.push_back({&cx.fm[p], &cx.fm[1 - p], conv.data(), len,
+                        &out.mems[idx]});
+    };
+    for (int i = lo; i < hi; ++i) {
+        if (skip && skip[i]) continue;
+        if (!pe) {
+            if (!(parent_policy & 1) || (parent_policy >> 1)) add(i, 0);
+            if (!(parent_policy & 1) || !(parent_policy >> 1)) add(i, 1);
+        } else {
+            int first = (i % 2) == 0 ? 1 : 0;
+            add(i, first);
+            if (!parent_policy) add(i, 1 - first);
+        }
+    }
+    ProfScope pscope(0);
+    collect_intv_interleaved(cx.opt, jobs);
 }
 
 // =====================================================================
@@ -3015,6 +3421,9 @@ int bt_worker1_batch(const StrandFMC *dau, const StrandFMC *par, const BnsC *bns
 
     auto run = [&](int lo, int hi) {
         std::vector<Region> regs;
+        ChunkSeeds cs;
+        seed_chunk(cx, reads, offs, lens, lo, hi, pe, o.parent_policy,
+                   nullptr, nullptr, cs);
         for (int i = lo; i < hi; ++i) {
             regs.clear();
             bool fallback = false;
@@ -3023,15 +3432,19 @@ int bt_worker1_batch(const StrandFMC *dau, const StrandFMC *par, const BnsC *bns
             if (!pe) {
                 int pp = o.parent_policy;
                 if (!(pp & 1) || (pp >> 1))
-                    align1_core(cx, seq, len, 0, regs, fallback);
+                    align1_core(cx, seq, len, 0, regs, fallback,
+                                nullptr, -1, cs.get(i, 0));
                 if (!(pp & 1) || !(pp >> 1))
-                    align1_core(cx, seq, len, 1, regs, fallback);
+                    align1_core(cx, seq, len, 1, regs, fallback,
+                                nullptr, -1, cs.get(i, 1));
             } else {
                 bool r1 = (i % 2) == 0;
                 int first = r1 ? 1 : 0;
-                align1_core(cx, seq, len, first, regs, fallback);
+                align1_core(cx, seq, len, first, regs, fallback,
+                            nullptr, -1, cs.get(i, first));
                 if (!o.parent_policy)
-                    align1_core(cx, seq, len, 1 - first, regs, fallback);
+                    align1_core(cx, seq, len, 1 - first, regs, fallback,
+                                nullptr, -1, cs.get(i, 1 - first));
             }
             if (fallback || (int)regs.size() > cap) {
                 out_n[i] = -1;
@@ -3144,6 +3557,9 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
     std::vector<std::string> sams(n_reads);
     auto run = [&](int lo, int hi) {
         std::vector<Region> regs1;
+        ChunkSeeds cs;
+        seed_chunk(cx, reads, offs, lens, lo, hi, false, o.parent_policy,
+                   inj, py_only, cs);
         for (int i = lo; i < hi; ++i) {
             if (py_only[i]) { status[i] = -1; continue; }
             regs1.clear();
@@ -3152,9 +3568,11 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
             int len = lens[i];
             int pp = o.parent_policy;
             if (!(pp & 1) || (pp >> 1))
-                align1_core(cx, seq, len, 0, regs1, fallback, inj, i);
+                align1_core(cx, seq, len, 0, regs1, fallback, inj, i,
+                            cs.get(i, 0));
             if (!(pp & 1) || !(pp >> 1))
-                align1_core(cx, seq, len, 1, regs1, fallback, inj, i);
+                align1_core(cx, seq, len, 1, regs1, fallback, inj, i,
+                            cs.get(i, 1));
             if (fallback) { status[i] = -1; continue; }
             std::vector<Reg2> regs(regs1.size());
             for (size_t j = 0; j < regs1.size(); ++j) {
@@ -3307,6 +3725,9 @@ int bt_align_pe_batch(const StrandFMC *dau, const StrandFMC *par,
     std::vector<uint8_t> fb(n_reads, 0);
     auto runA = [&](int lo, int hi) {
         std::vector<Region> regs1;
+        ChunkSeeds cs;
+        seed_chunk(cx, reads, offs, lens, lo, hi, true, o.parent_policy,
+                   inj, py_only, cs);
         for (int i = lo; i < hi; ++i) {
             if (py_only[i]) { fb[i] = 1; continue; }
             regs1.clear();
@@ -3315,9 +3736,11 @@ int bt_align_pe_batch(const StrandFMC *dau, const StrandFMC *par,
             int len = lens[i];
             bool r1 = (i % 2) == 0;
             int first = r1 ? 1 : 0;
-            align1_core(cx, seq, len, first, regs1, fallback, inj, i);
+            align1_core(cx, seq, len, first, regs1, fallback, inj, i,
+                        cs.get(i, first));
             if (!o.parent_policy)
-                align1_core(cx, seq, len, 1 - first, regs1, fallback, inj, i);
+                align1_core(cx, seq, len, 1 - first, regs1, fallback, inj, i,
+                            cs.get(i, 1 - first));
             if (fallback) { fb[i] = 1; continue; }
             std::vector<Reg2> &regs = all_regs[i];
             regs.resize(regs1.size());
