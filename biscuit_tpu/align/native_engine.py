@@ -22,7 +22,7 @@ class StrandFMC(C.Structure):
                 ("sa", C.c_void_p), ("primary", C.c_int64),
                 ("seq_len", C.c_int64), ("n_words", C.c_int64),
                 ("ilv", C.c_void_p), ("sa_wide", C.c_int32),
-                ("pad", C.c_int32), ("ilv2", C.c_void_p)]
+                ("sa_shift", C.c_int32), ("ilv2", C.c_void_p)]
 
 
 class BnsC(C.Structure):
@@ -132,9 +132,10 @@ class NativeAligner:
             sa = np.ascontiguousarray(
                 s.sa_samples.astype(np.int64 if sa_wide else np.uint32))
             self._bufs += [occ, words, L2, sa]
+            sa_shift = int(getattr(s, "sa_intv", 32)).bit_length() - 1
             fm = StrandFMC(_ptr(words), _ptr(occ), _ptr(L2), _ptr(sa),
-                           s.primary, s.seq_len, len(words), None, sa_wide, 0,
-                           None)
+                           s.primary, s.seq_len, len(words), None, sa_wide,
+                           sa_shift, None)
             # dense 64-base interleaved blocks (narrow strands); with an
             # mmap-layout index the blocks persist in the .btidx dir so
             # later processes map them instead of rebuilding

@@ -26,7 +26,26 @@ import numpy as np
 from .fasta import Ann, Amb, PackedGenome, pack_2bit, unpack_2bit
 
 OCC_INTERVAL = 128
-SA_INTERVAL = 32
+SA_INTERVAL = 32  # the REFERENCE's .sa sampling (bwt.c); imports use this
+
+
+def default_sa_intv(wide: bool = False) -> int:
+    """SA sampling interval for indexes WE build (BISCUIT_TPU_SA_INTV).
+
+    The reference fixes 32 (avg 16 invPsi steps per lookup). SA walks are
+    the hottest stage at genome scale (35% of align time at 50 Mbp, worse
+    at human scale), and sampling density is a pure speed/size dial: the
+    resolved positions are exact either way, so output parity is unaffected.
+    Measured: intv 8 cut sa_walk 3.1x and whole-align 1.6x at 50 Mbp.
+    Default 8 = avg 3.5 steps for 4x the sample bytes (0.5 B/char narrow);
+    wide (int64-sample, >=2^31-char) strands default 16 to halve the extra
+    bytes (1 GB/Gchar instead of 2). Must be a power of two <= 32 so
+    reference-format exports can stride-subsample."""
+    import os
+    v = os.environ.get("BISCUIT_TPU_SA_INTV")
+    v = int(v) if v else (16 if wide else 8)
+    assert v in (1, 2, 4, 8, 16, 32), "BISCUIT_TPU_SA_INTV must be 2^k <= 32"
+    return v
 
 
 @dataclass
@@ -37,7 +56,8 @@ class StrandIndex:
     L2: np.ndarray         # int64[5] cumulative: 0, #A, #A+#C, ...
     primary: int
     seq_len: int
-    sa_samples: np.ndarray  # uint32[n_sa], rank k*32 -> text pos; [0] unused
+    sa_samples: np.ndarray  # uint32[n_sa], rank k*sa_intv -> text pos; [0] unused
+    sa_intv: int = 32       # sampling interval (reference format: 32; ours: 8)
 
     def bwt_char(self, k: int) -> int:
         """BWT char at $-removed position k (debug/host path)."""
@@ -73,6 +93,7 @@ class BisIndex:
             arrays[f"{tag}_primary"] = np.int64(s.primary)
             arrays[f"{tag}_seq_len"] = np.int64(s.seq_len)
             arrays[f"{tag}_sa"] = s.sa_samples
+            arrays[f"{tag}_sa_intv"] = np.int64(s.sa_intv)
         np.savez(prefix + ".btidx.npz", **arrays)
         with open(prefix + ".btidx.json", "w") as f:
             json.dump(meta, f)
@@ -104,6 +125,8 @@ class BisIndex:
             "par_seq_len": int(self.par.seq_len),
             "dau_primary": int(self.dau.primary),
             "dau_seq_len": int(self.dau.seq_len),
+            "par_sa_intv": int(self.par.sa_intv),
+            "dau_sa_intv": int(self.dau.sa_intv),
         }
         np.save(os.path.join(d, "pac.npy"), np.ascontiguousarray(self.pac))
         for tag, s in (("par", self.par), ("dau", self.dau)):
@@ -131,6 +154,7 @@ class BisIndex:
                 primary=meta[f"{tag}_primary"],
                 seq_len=meta[f"{tag}_seq_len"],
                 sa_samples=m(f"{tag}_sa.npy"),
+                sa_intv=int(meta.get(f"{tag}_sa_intv", 32)),
             )
         return cls(
             par=strands["par"],
@@ -160,6 +184,8 @@ class BisIndex:
                 primary=int(z[f"{tag}_primary"]),
                 seq_len=int(z[f"{tag}_seq_len"]),
                 sa_samples=z[f"{tag}_sa"],
+                sa_intv=(int(z[f"{tag}_sa_intv"])
+                         if f"{tag}_sa_intv" in z.files else 32),
             )
         l_pac = meta["l_pac"]
         return cls(
@@ -239,11 +265,13 @@ def build_strand_index(doubled_codes: np.ndarray, sa: np.ndarray, bwt_codes: np.
     L2[1:] = np.cumsum(counts)
     # sampled SA in the reference rank convention: full-matrix rank k in
     # [0, n]; rank 0 is the '$' row (text pos n, stored as sentinel -1);
-    # rank k>=1 -> SA[k-1]. Samples at ranks k % 32 == 0.
+    # rank k>=1 -> SA[k-1]. Samples at ranks k % sa_intv == 0 (the reference
+    # fixes 32; ours defaults denser — see default_sa_intv).
     # Genomes whose doubled strand exceeds 2^31 chars (e.g. human) use int64
     # samples with a literal -1 sentinel instead of the uint32 wrap.
-    n_sa = (n + SA_INTERVAL) // SA_INTERVAL
-    ranks = np.arange(1, n_sa) * SA_INTERVAL
+    intv = default_sa_intv(wide=index_is_wide(n))
+    n_sa = (n + intv) // intv
+    ranks = np.arange(1, n_sa) * intv
     if index_is_wide(n):
         sa_samples = np.empty(n_sa, dtype=np.int64)
         sa_samples[0] = -1
@@ -259,6 +287,7 @@ def build_strand_index(doubled_codes: np.ndarray, sa: np.ndarray, bwt_codes: np.
         primary=primary,
         seq_len=n,
         sa_samples=sa_samples,
+        sa_intv=intv,
     )
 
 
@@ -306,6 +335,7 @@ def read_reference_sa(path: str, idx: StrandIndex) -> None:
     assert sa_intv == SA_INTERVAL
     assert seq_len == idx.seq_len
     vals = raw[7:]
+    idx.sa_intv = SA_INTERVAL  # reference files always sample every 32
     if index_is_wide(seq_len):
         # human-scale strand: int64 samples with a literal -1 sentinel
         # (uint32 wrap would silently truncate positions >= 2^32)

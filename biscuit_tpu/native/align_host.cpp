@@ -39,6 +39,9 @@ struct StrandFM {
     int64_t seq_len;
     int64_t n_words;
     int32_t sa_wide = 0;
+    // log2 of the SA sampling interval (reference format: 5 i.e. every 32;
+    // our own .btidx indexes default denser — see index/fmindex.py)
+    int32_t sa_shift = 5;
     // Optional interleaved occ+BWT blocks (bt_build_ilv): one 64-byte block
     // per 128 bases — [0..3] = checkpoint counts, [4..7] = the 8 BWT words
     // as 4 uint64 superwords — so occ4 touches a single cache line.
@@ -546,13 +549,14 @@ static inline int64_t fm_sa_sample(const StrandFM &f, int64_t k) {
     // sa[0] is -1 ('$' row): stored as the uint32 wrap in the narrow
     // layout (interpret as signed), literal int64 -1 in the wide layout
     return f.sa_wide
-        ? ((const int64_t *)f.sa)[k >> 5]
-        : (int64_t)(int32_t)((const uint32_t *)f.sa)[k >> 5];
+        ? ((const int64_t *)f.sa)[k >> f.sa_shift]
+        : (int64_t)(int32_t)((const uint32_t *)f.sa)[k >> f.sa_shift];
 }
 
 static int64_t fm_sa(const StrandFM &f, int64_t k) {
     int64_t add = 0;
-    while (k & 31) {
+    const int64_t samp_mask = (1LL << f.sa_shift) - 1;
+    while (k & samp_mask) {
         ++add;
         if (k == f.primary) k = 0;
         else k = invpsi_step(f, k);
@@ -575,13 +579,14 @@ static void fm_sa_batch(const StrandFM &f, const int64_t *ks, int n,
         __builtin_prefetch(f.ilv2 + ((k2 >> 6) << 5), 0, 1);
     };
     constexpr int W = 16;
+    const int64_t samp_mask = (1LL << f.sa_shift) - 1;
     int64_t k[W], add[W];
     int oi[W];
     int next = 0, live = 0;
     auto refill = [&](int i) {
         while (next < n) {
             int64_t kk = ks[next];
-            if ((kk & 31) == 0) { out[next++] = fm_sa_sample(f, kk); continue; }
+            if ((kk & samp_mask) == 0) { out[next++] = fm_sa_sample(f, kk); continue; }
             k[i] = kk; add[i] = 0; oi[i] = next++;
             pf(kk);
             ++live;
@@ -596,7 +601,7 @@ static void fm_sa_batch(const StrandFM &f, const int64_t *ks, int n,
             int64_t kk = k[i];
             ++add[i];
             kk = (kk == f.primary) ? 0 : invpsi_step(f, kk);
-            if ((kk & 31) == 0) {
+            if ((kk & samp_mask) == 0) {
                 out[oi[i]] = add[i] + fm_sa_sample(f, kk);
                 --live;
                 oi[i] = -1;
@@ -3285,7 +3290,8 @@ struct StrandFMC {
     const void *sa;
     int64_t primary, seq_len, n_words;
     const uint64_t *ilv;   // optional interleaved blocks (bt_build_ilv)
-    int32_t sa_wide, pad;  // 1 => sa is int64[] (genome strand >= 2^31)
+    int32_t sa_wide;       // 1 => sa is int64[] (genome strand >= 2^31)
+    int32_t sa_shift;      // log2 of the SA sampling interval (5 = ref 32)
     const uint8_t *ilv2;   // optional dense 64-base blocks (bt_build_ilv2)
 };
 
@@ -3391,8 +3397,8 @@ int bt_worker1_batch(const StrandFMC *dau, const StrandFMC *par, const BnsC *bns
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words, s->sa_wide, s->ilv,
-                            s->ilv2};
+                            s->seq_len, s->n_words, s->sa_wide,
+                            s->sa_shift ? s->sa_shift : 5, s->ilv, s->ilv2};
     }
     cx.bns = Bns{bns->ann_off, bns->ann_len, bns->ann_alt, bns->n_seqs,
                  bns->pac, bns->l_pac};
@@ -3513,8 +3519,8 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words, s->sa_wide, s->ilv,
-                            s->ilv2};
+                            s->seq_len, s->n_words, s->sa_wide,
+                            s->sa_shift ? s->sa_shift : 5, s->ilv, s->ilv2};
     }
     cx.bns = Bns{bnsc->ann_off, bnsc->ann_len, bnsc->ann_alt, bnsc->n_seqs,
                  bnsc->pac, bnsc->l_pac};
@@ -3676,8 +3682,8 @@ int bt_align_pe_batch(const StrandFMC *dau, const StrandFMC *par,
     for (int i = 0; i < 2; ++i) {
         const StrandFMC *s = i ? par : dau;
         cx.fm[i] = StrandFM{s->words, s->occ, s->L2, s->sa, s->primary,
-                            s->seq_len, s->n_words, s->sa_wide, s->ilv,
-                            s->ilv2};
+                            s->seq_len, s->n_words, s->sa_wide,
+                            s->sa_shift ? s->sa_shift : 5, s->ilv, s->ilv2};
     }
     cx.bns = Bns{bnsc->ann_off, bnsc->ann_len, bnsc->ann_alt, bnsc->n_seqs,
                  bnsc->pac, bnsc->l_pac};

@@ -57,7 +57,8 @@ class FMNumpy:
         # that a walk ending at rank 0 yields add - 1 via unsigned wrap
         # (bwt.c:84,94-96). Use a true -1 for the same arithmetic.
         self.sa_samples[0] = -1
-        self.sa_intv = 32
+        self.sa_intv = int(getattr(s, "sa_intv", 32))
+        self._sa_shift = self.sa_intv.bit_length() - 1
 
     # scalar fast-path tables (Python lists/ints) are built lazily on first
     # *_s call: the native C++ engine never touches them, and building them
@@ -156,7 +157,7 @@ class FMNumpy:
                 k = 0
             else:
                 k = self._L2_l[c] + self.occ4_s(k)[c]
-        return add + self._sa_l[k >> 5]
+        return add + self._sa_l[k >> self._sa_shift]
 
     def bwt_char(self, k):
         """BWT char at $-removed position k (vectorized)."""
@@ -276,6 +277,7 @@ class FMArrays:
     primary: jnp.ndarray   # int32 scalar
     seq_len: jnp.ndarray   # int32 scalar
     sa_samples: jnp.ndarray  # int32[n_sa]
+    sa_intv: int = 32      # static (pytree aux): SA sampling interval
 
     @classmethod
     def from_strand(cls, s: StrandIndex) -> "FMArrays":
@@ -286,13 +288,15 @@ class FMArrays:
             primary=jnp.int32(s.primary),
             seq_len=jnp.int32(s.seq_len),
             sa_samples=jnp.asarray(s.sa_samples.astype(np.int64), dtype=jnp.int32),
+            sa_intv=int(getattr(s, "sa_intv", 32)),
         )
 
 
 jax.tree_util.register_pytree_node(
     FMArrays,
-    lambda f: ((f.words, f.occ_cp, f.L2, f.primary, f.seq_len, f.sa_samples), None),
-    lambda _, ch: FMArrays(*ch),
+    lambda f: ((f.words, f.occ_cp, f.L2, f.primary, f.seq_len, f.sa_samples),
+               f.sa_intv),
+    lambda intv, ch: FMArrays(*ch, sa_intv=intv),
 )
 
 
@@ -384,8 +388,10 @@ def fm_inv_psi(fm: FMArrays, k: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(k == fm.primary, 0, fm.L2[c] + occs)
 
 
-def fm_sa(fm: FMArrays, k: jnp.ndarray, sa_intv: int = 32) -> jnp.ndarray:
+def fm_sa(fm: FMArrays, k: jnp.ndarray, sa_intv: int | None = None) -> jnp.ndarray:
     """Batched SA lookup via inverse-Psi walk to the nearest sampled rank."""
+    if sa_intv is None:
+        sa_intv = fm.sa_intv
     def body(state):
         k, add, act = state
         k2 = fm_inv_psi(fm, k)

@@ -114,6 +114,7 @@ class FMPair:
     seq_len: jnp.ndarray   # int32|int64 (same for both strands)
     sa_samples: jnp.ndarray  # [2, n_sa] int32|int64
     wide: bool = False     # static (pytree aux): selects the rank dtype
+    sa_intv: int = 32      # static: SA sampling interval (power of two)
 
     @property
     def rdt(self):
@@ -123,6 +124,8 @@ class FMPair:
     @classmethod
     def from_index(cls, idx: BisIndex) -> "FMPair":
         wide = idx.dau.sa_samples.dtype.itemsize == 8
+        sa_intv = int(getattr(idx.dau, "sa_intv", 32))
+        assert sa_intv == int(getattr(idx.par, "sa_intv", 32))
         n = int(idx.dau.seq_len)
         tab = np.stack([_fused_tab(idx.dau.words, idx.dau.occ_cp, n, wide),
                         _fused_tab(idx.par.words, idx.par.occ_cp, n, wide)])
@@ -137,7 +140,8 @@ class FMPair:
                 return cls(tab=jnp.asarray(tab), L2=jnp.asarray(L2),
                            primary=jnp.asarray(prim),
                            seq_len=jnp.int64(idx.dau.seq_len),
-                           sa_samples=jnp.asarray(sa), wide=True)
+                           sa_samples=jnp.asarray(sa), wide=True,
+                           sa_intv=sa_intv)
         dau = FMArrays.from_strand(idx.dau)
         par = FMArrays.from_strand(idx.par)
         return cls(
@@ -146,13 +150,15 @@ class FMPair:
             primary=jnp.stack([dau.primary, par.primary]),
             seq_len=dau.seq_len,
             sa_samples=jnp.stack([dau.sa_samples, par.sa_samples]),
+            sa_intv=sa_intv,
         )
 
 
 jax.tree_util.register_pytree_node(
     FMPair,
-    lambda f: ((f.tab, f.L2, f.primary, f.seq_len, f.sa_samples), f.wide),
-    lambda wide, ch: FMPair(*ch, wide=wide),
+    lambda f: ((f.tab, f.L2, f.primary, f.seq_len, f.sa_samples),
+               (f.wide, f.sa_intv)),
+    lambda aux, ch: FMPair(*ch, wide=aux[0], sa_intv=aux[1]),
 )
 
 
@@ -1295,17 +1301,18 @@ def sa_batch(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
         k2 = inv_psi(which, kk)
         kk = jnp.where(act, k2, kk)
         add = add + act.astype(jnp.int32)
-        act = (kk & 31) != 0
+        act = (kk & (fm.sa_intv - 1)) != 0
         return kk, add, act
 
     def cond(state):
         return state[2].any()
 
     add0 = jnp.zeros_like(k)
-    act0 = (k & 31) != 0
+    act0 = (k & (fm.sa_intv - 1)) != 0
     kf, add, _ = jax.lax.while_loop(cond, body, (k, add0, act0))
     n_sa = fm.sa_samples.shape[1]
-    return add + fm.sa_samples.reshape(-1)[which * n_sa + (kf >> 5)]
+    sa_shift = fm.sa_intv.bit_length() - 1
+    return add + fm.sa_samples.reshape(-1)[which * n_sa + (kf >> sa_shift)]
 
 
 def _pow2(n: int) -> int:
@@ -1394,7 +1401,11 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
     if mode == "pool":
         # refill machine: B persistent lanes drain the read pool
         C_m = max(32, min(160, L // 4))
-        lanes = min(1024, _pow2(B))
+        # lane width: measured on the v5e chip (tpu_seed_sweep.json) 2048
+        # lanes out-throughput 1024 by 1.43x at N=4k (wider batch amortizes
+        # the per-iteration fixed cost); claim gating was a wash
+        lanes = min(int(os.environ.get("BISCUIT_TPU_SEED_LANES", "2048")),
+                    _pow2(B))
         S_m = max(64, min(1024, 24 * max(1, B // lanes) + 40))
         pool = np.full((B, L + 2), 4, np.int32)
         pool[:, :L] = reads

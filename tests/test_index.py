@@ -59,7 +59,11 @@ def test_index_matches_reference(small_dataset):
         np.testing.assert_array_equal(mine.L2, ref.L2, err_msg=tag)
         np.testing.assert_array_equal(mine.words, ref.words, err_msg=tag)
         np.testing.assert_array_equal(mine.occ_cp, ref.occ_cp, err_msg=tag)
-        np.testing.assert_array_equal(mine.sa_samples[1:], ref.sa_samples[1:], err_msg=tag)
+        # our index may sample the SA denser than the reference's fixed 32
+        # (a pure speed/size dial); the rank-32k subset must match exactly
+        stride = 32 // mine.sa_intv
+        np.testing.assert_array_equal(mine.sa_samples[::stride][1:],
+                                      ref.sa_samples[1:], err_msg=tag)
 
 
 def test_save_load_roundtrip(small_dataset, tmp_path):
