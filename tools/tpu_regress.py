@@ -51,8 +51,6 @@ def _timeit(fn, n=20):
     scalar D2H pull of a reduction of the last output (an actual transfer
     can only complete after the stream drains; block_until_ready has been
     observed to return early mid-session on this backend)."""
-    n1, n2 = max(2, n // 4), max(8, n)
-
     def batch(k):
         best = float("inf")
         for _ in range(3):
@@ -65,7 +63,14 @@ def _timeit(fn, n=20):
         return best
 
     _sync(fn())  # compile + warm
-    t_small, t_large = batch(n1), batch(n2)
+    n1, n2 = max(2, n // 4), max(8, n)
+    while True:
+        t_small, t_large = batch(n1), batch(n2)
+        # the pipeline latency jitters by several ms; grow the batch until
+        # the measured delta dwarfs it, else fast kernels read as ~0 slope
+        if t_large - t_small > 0.025 or n2 >= 2048:
+            break
+        n1, n2 = n2, n2 * 4
     return max((t_large - t_small) / (n2 - n1), 1e-9)
 
 
