@@ -36,14 +36,16 @@ def default_sa_intv(wide: bool = False) -> int:
     the hottest stage at genome scale (35% of align time at 50 Mbp, worse
     at human scale), and sampling density is a pure speed/size dial: the
     resolved positions are exact either way, so output parity is unaffected.
-    Measured: intv 8 cut sa_walk 3.1x and whole-align 1.6x at 50 Mbp.
-    Default 8 = avg 3.5 steps for 4x the sample bytes (0.5 B/char narrow);
-    wide (int64-sample, >=2^31-char) strands default 16 to halve the extra
-    bytes (1 GB/Gchar instead of 2). Must be a power of two <= 32 so
+    Measured at 50 Mbp / -@4 (CPU-seconds, contention-resistant): intv 8
+    cut sa_walk 3.1x (1.6x whole-align wall); intv 4 a further ~1.36x of
+    align CPU time. Narrow default 4 = avg 1.5 steps, 1 B/char of sample
+    bytes (the whole narrow index is ~1.5 B/char, bwa-mem2-class sizes);
+    wide (int64-sample, >=2^31-char) strands default 16 to bound the extra
+    bytes at human scale (0.5 GB/Gchar). Must be a power of two <= 32 so
     reference-format exports can stride-subsample."""
     import os
     v = os.environ.get("BISCUIT_TPU_SA_INTV")
-    v = int(v) if v else (16 if wide else 8)
+    v = int(v) if v else (16 if wide else 4)
     assert v in (1, 2, 4, 8, 16, 32), "BISCUIT_TPU_SA_INTV must be 2^k <= 32"
     return v
 

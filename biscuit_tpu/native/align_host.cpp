@@ -59,7 +59,7 @@ static std::atomic<long long> g_prof_ns[8];
 static bool g_prof_on = false;
 static const char *g_prof_names[8] = {
     "seed(collect_intv)", "chain(+sa)", "chain_flt", "extend(chain2region)",
-    "merge_regions", "worker2(sam)", "sa_walk", ""};
+    "merge_regions", "worker2(sam)", "sa_walk", "seed_fwd"};
 struct ProfScope {
     int slot;
     std::chrono::steady_clock::time_point t0;
@@ -646,19 +646,22 @@ static int smem1a(const StrandFM &fm, const StrandFM &fmc, const uint8_t *q,
     curr.clear(); prev.clear();
     int i = x + 1;
     Intv ok[4];
-    for (; i < len; ++i) {
-        if (q[i] < 4) {
-            int c = 3 - q[i];
-            fm_extend_one(fmc, ik, c, ok[c], false);
-            if (ok[c].s != ik.s) {
+    {
+        ProfScope pfwd(7);  // forward-extension share of seeding
+        for (; i < len; ++i) {
+            if (q[i] < 4) {
+                int c = 3 - q[i];
+                fm_extend_one(fmc, ik, c, ok[c], false);
+                if (ok[c].s != ik.s) {
+                    curr.push_back(ik);
+                    if (ok[c].s < min_intv) break;
+                }
+                ik = ok[c];
+                ik.end = i + 1;
+            } else {
                 curr.push_back(ik);
-                if (ok[c].s < min_intv) break;
+                break;
             }
-            ik = ok[c];
-            ik.end = i + 1;
-        } else {
-            curr.push_back(ik);
-            break;
         }
     }
     if (i == len) curr.push_back(ik);
