@@ -257,3 +257,62 @@ def test_qc_identical(ds, tmp_path):
     assert files == sorted(os.listdir(md))
     for f in files:
         assert (od / f).read_text() == (md / f).read_text(), f
+
+
+@pytest.mark.parametrize("flags", [[], ["-y", "0.5"]])
+def test_epiread_modbam_identical(ds, tmp_path, flags):
+    """epiread -M (MM/ML modBAM calls, epiread.c:586-617,755-774) byte-diff
+    vs the reference compiled against the shim's real MM/ML parser
+    (tools/oracle/down/hts_shim.c bam_parse_basemod2)."""
+    d, fa, bam = ds
+    genome = {}
+    name = None
+    for line in open(fa):
+        if line.startswith(">"):
+            name = line[1:].split()[0]
+            genome[name] = []
+        else:
+            genome[name].append(line.strip())
+    genome = {k: "".join(v) for k, v in genome.items()}
+    chrom = sorted(genome)[0]
+    ref = genome[chrom]
+    comp = str.maketrans("ACGT", "TGCA")
+
+    def mm_for(seq, flag, deltas, mls, head="C+m"):
+        orig = seq.translate(comp)[::-1] if (flag & 16) else seq
+        mm = head + "".join(",%d" % x for x in deltas) + ";"
+        ml = "ML:B:C," + ",".join(str(v) for v in mls) if mls is not None else None
+        return mm, ml
+
+    rows = []
+    rid = 0
+    for start, flag, deltas, mls, head in [
+        (100, 0, [0, 1, 0], [250, 5, 128], "C+m"),     # skip + mid prob
+        (400, 16, [2, 0], [255, 0], "C+m"),            # reverse-strand record
+        (900, 0, [0, 0, 0, 0], [200, 201, 10, 11], "C+m."),  # implicit '.'
+        (1400, 16, [1, 1], [240, 17], "C+m?"),         # implicit '?'
+        (1900, 0, [0, 2], None, "C+m"),                # ML absent -> qual -1
+        (2400, 0, [5], [230], "C+m"),                  # big skip
+    ]:
+        seq = ref[start:start + 60]
+        if "N" in seq or seq.count("C") < 7:
+            start += 200
+            seq = ref[start:start + 60]
+        mm, ml = mm_for(seq, flag, deltas, mls, head)
+        tags = ["NM:i:0", "MM:Z:" + mm] + ([ml] if ml else [])
+        rows.append("\t".join(
+            ["mr%d" % rid, str(flag), chrom, str(start + 1), "60", "60M",
+             "*", "0", "0", seq, "I" * 60] + tags))
+        rid += 1
+    sam = tmp_path / "mod.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        + "".join("@SQ\tSN:%s\tLN:%d\n" % (k, len(v))
+                  for k, v in sorted(genome.items()))
+        + "\n".join(rows) + "\n")
+    mbam = str(tmp_path / "mod.bam")
+    run_ours(["sort", "-o", mbam, str(sam)])
+    o, _ = run_oracle(["epiread", "-M"] + flags + [fa, mbam])
+    m, _ = run_ours(["epiread", "-M"] + flags + [fa, mbam])
+    assert o, "oracle produced no epiread output"
+    assert o == m

@@ -52,7 +52,7 @@ const char *hts_parse_reg(const char *str, int *beg, int *end);
 void hts_idx_destroy(hts_idx_t *idx);
 void hts_itr_destroy(hts_itr_t *itr);
 
-/* modBAM (MM/ML) minimal surface; only exercised with epiread -u */
+/* modBAM (MM/ML): real single-mod parser in hts_shim.c (epiread -M) */
 typedef struct hts_base_mod {
     int modified_base;
     int canonical_base;

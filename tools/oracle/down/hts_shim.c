@@ -674,26 +674,147 @@ char *fai_fetch(const faidx_t *fai, const char *reg, int *len) {
 }
 
 /* ------------------------------------------------------------------ */
-/* modBAM stubs (only exercised by `epiread -u`, not oracle-tested)    */
+/* modBAM (MM/ML) parsing — the single-modification subset the         */
+/* reference epiread actually consumes (it fatals on >1 mod type).     */
+/* Semantics follow htslib: MM deltas count occurrences of the         */
+/* canonical base in ORIGINAL read orientation (so a reverse-strand    */
+/* record scans the complement from the stored-seq 3' end), ML:B:C     */
+/* quals pair with MM entries in order, qual = -1 when ML is absent.   */
+/* The iterator advances one stored-seq position per                   */
+/* bam_mods_at_next_pos call, exactly how epiread.c walks its cigar.   */
 
-struct hts_base_mod_state { int dummy; };
+struct hts_base_mod_state {
+    int n, cap;
+    int *pos;       /* stored-seq positions, ascending */
+    int *qual;      /* ML value or -1, aligned with pos */
+    int strand;     /* 0 = '+', 1 = '-' */
+    char canonical; /* as written in MM ('C' or 'G') */
+    int code;       /* modification code, e.g. 'm' */
+    int have;       /* an MM tag was present */
+    int qcur, mi;   /* iterator: next seq pos, next mod index */
+    int recorded[1];
+};
 
 hts_base_mod_state *hts_base_mod_state_alloc(void) {
     return (hts_base_mod_state*)calloc(1, sizeof(hts_base_mod_state));
 }
-void hts_base_mod_state_free(hts_base_mod_state *st) { free(st); }
+void hts_base_mod_state_free(hts_base_mod_state *st) {
+    if (!st) return;
+    free(st->pos); free(st->qual); free(st);
+}
+
+static void mod_push(hts_base_mod_state *st, int pos, int qual) {
+    if (st->n == st->cap) {
+        st->cap = st->cap ? st->cap * 2 : 16;
+        st->pos = (int*)realloc(st->pos, st->cap * sizeof(int));
+        st->qual = (int*)realloc(st->qual, st->cap * sizeof(int));
+    }
+    st->pos[st->n] = pos;
+    st->qual[st->n] = qual;
+    st->n++;
+}
 
 int bam_parse_basemod2(const bam1_t *b, hts_base_mod_state *st, uint32_t flags) {
-    (void)b; (void)st; (void)flags;
-    fprintf(stderr, "[shim] modBAM parsing is not supported in the test oracle\n");
-    exit(1);
+    (void)flags;
+    st->n = 0; st->have = 0; st->qcur = 0; st->mi = 0;
+    st->strand = 0; st->canonical = 0; st->code = 0;
+    uint8_t *mm = bam_aux_get(b, "MM");
+    if (!mm) mm = bam_aux_get(b, "Mm");
+    if (!mm || (*mm != 'Z' && *mm != 'H')) return 0;  /* no mods: ok */
+    const char *s = (const char *)(mm + 1);
+    if (!*s) return 0;
+    st->have = 1;
+    st->canonical = *s++;
+    if (*s != '+' && *s != '-') return -1;
+    st->strand = (*s++ == '+') ? 0 : 1;
+    /* modification code list: one letter code(s) or ChEBI number */
+    if (*s >= '0' && *s <= '9') {
+        st->code = atoi(s);
+        while (*s >= '0' && *s <= '9') ++s;
+    } else {
+        st->code = *s;
+        int ncodes = 0;
+        while ((*s >= 'a' && *s <= 'z') || (*s >= 'A' && *s <= 'Z')) { ++s; ++ncodes; }
+        if (ncodes > 1) return -1;  /* reference only supports one */
+    }
+    if (*s == '.' || *s == '?') ++s;  /* implicit-call marker */
+    /* ML:B:C quals */
+    const uint8_t *mlv = NULL; uint32_t mln = 0;
+    uint8_t *ml = bam_aux_get(b, "ML");
+    if (!ml) ml = bam_aux_get(b, "Ml");
+    if (ml && ml[0] == 'B' && ml[1] == 'C') {
+        memcpy(&mln, ml + 2, 4);
+        mlv = ml + 6;
+    }
+    /* occurrences of the canonical base in ORIGINAL read orientation */
+    int l = b->core.l_qseq;
+    int rev = (b->core.flag & BAM_FREVERSE) != 0;
+    uint8_t want = seq_nt16_table[(int)(unsigned char)st->canonical];
+    uint8_t want_comp = seq_nt16_table[(int)(unsigned char)
+        (st->canonical == 'C' ? 'G' : st->canonical == 'G' ? 'C'
+         : st->canonical == 'A' ? 'T' : st->canonical == 'T' ? 'A' : 'N')];
+    const uint8_t *seq = bam_get_seq(b);
+    int idx = -1;   /* index among occurrences (original orientation) */
+    int scan = 0;   /* original-orientation position of the NEXT scan */
+    uint32_t k = 0;
+    while (*s == ',') {
+        ++s;
+        long d = strtol(s, (char **)&s, 10);
+        /* advance to the (idx + d + 1)-th occurrence */
+        long need = d;
+        int opos = -1;
+        for (; scan < l; ++scan) {
+            int spos = rev ? l - 1 - scan : scan;
+            uint8_t nt = bam_seqi(seq, spos);
+            uint8_t tgt = rev ? want_comp : want;
+            if (nt == tgt) {
+                if (need == 0) { opos = scan; ++idx; ++scan; break; }
+                --need;
+                ++idx;
+            }
+        }
+        if (opos < 0) break;  /* ran past the read, like htslib */
+        int spos = rev ? l - 1 - opos : opos;
+        int q = (mlv && k < mln) ? (int)mlv[k] : -1;
+        mod_push(st, spos, q);
+        ++k;
+    }
+    /* reverse-strand records produce descending stored positions */
+    if (st->n > 1 && st->pos[0] > st->pos[st->n - 1]) {
+        for (int i = 0, j = st->n - 1; i < j; ++i, --j) {
+            int tp = st->pos[i]; st->pos[i] = st->pos[j]; st->pos[j] = tp;
+            int tq = st->qual[i]; st->qual[i] = st->qual[j]; st->qual[j] = tq;
+        }
+    }
+    return 0;
 }
+
 int bam_mods_at_next_pos(const bam1_t *b, hts_base_mod_state *st, hts_base_mod *mods, int n_mods) {
-    (void)b; (void)st; (void)mods; (void)n_mods; return 0;
+    (void)b;
+    int i = st->qcur++;
+    if (st->mi < st->n && st->pos[st->mi] == i) {
+        if (n_mods > 0) {
+            mods[0].modified_base = st->code;
+            mods[0].canonical_base = st->canonical;
+            mods[0].strand = st->strand;
+            mods[0].qual = st->qual[st->mi];
+        }
+        st->mi++;
+        return 1;
+    }
+    return 0;
 }
+
 int *bam_mods_recorded(hts_base_mod_state *st, int *n_mods) {
-    (void)st; *n_mods = 0; return 0;
+    st->recorded[0] = st->code;
+    *n_mods = st->have ? 1 : 0;
+    return st->recorded;
 }
+
 int bam_mods_queryi(hts_base_mod_state *st, int i, int *strand, int *implicit, char *canonical) {
-    (void)st; (void)i; (void)strand; (void)implicit; (void)canonical; return -1;
+    if (i != 0 || !st->have) return -1;
+    *strand = st->strand;
+    *implicit = 0;
+    *canonical = st->canonical;
+    return 0;
 }
