@@ -1401,10 +1401,11 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
     if mode == "pool":
         # refill machine: B persistent lanes drain the read pool
         C_m = max(32, min(160, L // 4))
-        # lane width: measured on the v5e chip (tpu_seed_sweep.json) 2048
-        # lanes out-throughput 1024 by 1.43x at N=4k (wider batch amortizes
-        # the per-iteration fixed cost); claim gating was a wash
-        lanes = min(int(os.environ.get("BISCUIT_TPU_SEED_LANES", "2048")),
+        # lane width: measured on the v5e chip (tpu_seed_sweep.json +
+        # N=8192 follow-up) throughput keeps rising with lane count -
+        # 1024: 39.6k, 2048: 57.5k, 4096: 69.6k reads/s - the wider batch
+        # amortizes the per-iteration fixed cost; claim gating was a wash
+        lanes = min(int(os.environ.get("BISCUIT_TPU_SEED_LANES", "4096")),
                     _pow2(B))
         S_m = max(64, min(1024, 24 * max(1, B // lanes) + 40))
         pool = np.full((B, L + 2), 4, np.int32)

@@ -201,7 +201,7 @@ def check_device_seeding(res):
     pool[:, L] = lens
     pool[:, L + 1] = parents
     pj = jnp.asarray(pool)
-    lanes = min(2048, B)  # tpu_seed_sweep.json: 2048 > 1024 by 1.43x
+    lanes = min(4096, B)  # tpu_seed_sweep.json + N=8k sweep: wider is faster
     S = max(64, min(1024, 24 * max(1, B // lanes) + 40))
 
     def run():
@@ -248,7 +248,7 @@ def seed_compute_reads_per_s(st, fq, n_reads=4096):
     pool[:, L] = lens
     pool[:, L + 1] = parents
     pj = jnp.asarray(pool)
-    lanes = min(2048, B)  # tpu_seed_sweep.json: 2048 > 1024 by 1.43x
+    lanes = min(4096, B)  # tpu_seed_sweep.json + N=8k sweep: wider is faster
     S = max(64, min(1024, 24 * max(1, B // lanes) + 40))
 
     def run():
