@@ -4,6 +4,7 @@ merge_regions, pairing and SAM emission. Output is identical to the Python
 host engine (tests/test_native_engine.py + E2E SAM byte-diffs).
 """
 import ctypes as C
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -118,7 +119,23 @@ class NativeAligner:
         self.lib.bt_build_ilv2.restype = C.c_void_p
         self.lib.bt_buf_free.restype = None
         self.lib.bt_buf_free.argtypes = [C.c_void_p]
+        self.lib.bt_hugify.restype = C.c_void_p
+        self.lib.bt_hugify.argtypes = [C.c_void_p, C.c_int64]
         self._ilv_ptrs = []
+
+        def hugify(arr):
+            """THP-backed copy of a hot random-access array (>= 64 MB by
+            default; BISCUIT_TPU_HUGEPAGES=0 disables): at DRAM scale 4 KB
+            TLB misses ~double the rank-walk latency (docs/SCALING.md).
+            Returns a raw pointer (freed in __del__) or None to keep the
+            original buffer."""
+            mode = os.environ.get("BISCUIT_TPU_HUGEPAGES", "")
+            if mode == "0" or (mode == "" and arr.nbytes < (64 << 20)):
+                return None
+            p = self.lib.bt_hugify(arr.ctypes.data, arr.nbytes)
+            if p:
+                self._ilv_ptrs.append(p)
+            return p
 
         def strand(s, tag):
             import os
@@ -136,6 +153,9 @@ class NativeAligner:
             fm = StrandFMC(_ptr(words), _ptr(occ), _ptr(L2), _ptr(sa),
                            s.primary, s.seq_len, len(words), None, sa_wide,
                            sa_shift, None)
+            sa_hp = hugify(sa)  # SA walks are uniformly random reads
+            if sa_hp:
+                fm.sa = sa_hp
             # dense 64-base interleaved blocks (narrow strands); with an
             # mmap-layout index the blocks persist in the .btidx dir so
             # later processes map them instead of rebuilding
@@ -153,8 +173,12 @@ class NativeAligner:
                          os.path.getmtime(cache) >= os.path.getmtime(src))
                 arr = np.load(cache, mmap_mode="r") if fresh else None
                 if arr is not None and arr.nbytes == nb2 * 32:
-                    self._bufs.append(arr)
-                    fm.ilv2 = arr.ctypes.data  # read-only pages; C++ reads only
+                    hp = hugify(arr)
+                    if hp:
+                        fm.ilv2 = hp
+                    else:
+                        self._bufs.append(arr)
+                        fm.ilv2 = arr.ctypes.data  # read-only pages
                     return fm
             ilv2 = self.lib.bt_build_ilv2(C.byref(fm))
             if ilv2:

@@ -22,7 +22,10 @@
 #include <cstring>
 #include <string>
 #include <coroutine>
+#include <mutex>
+#include <sys/mman.h>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace bt {
@@ -53,6 +56,36 @@ struct StrandFM {
 };
 
 static inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
+
+// --- transparent-hugepage allocation for the hot random-access arrays.
+// At DRAM scale the 4 KB-page TLB misses roughly double the rank walk
+// (tools/bench_mlp.cpp: 131 -> 67 ns/step serial at a 128 MB table); 2 MB
+// pages recover it. Policy: BISCUIT_TPU_HUGEPAGES unset = auto (arrays
+// >= 64 MB), "0" = off, anything else = force. bt_buf_free handles both
+// malloc'd and mmap'd buffers via a registry.
+static std::mutex g_huge_mu;
+static std::unordered_map<void *, size_t> g_huge_allocs;
+
+static int huge_mode() {
+    const char *e = getenv("BISCUIT_TPU_HUGEPAGES");
+    if (!e) return 1;
+    return e[0] == '0' ? 0 : 2;
+}
+
+static void *huge_alloc(size_t sz) {
+    int m = huge_mode();
+    if (m == 0 || (m == 1 && sz < ((size_t)64 << 20))) return std::malloc(sz);
+    size_t asz = (sz + ((size_t)2 << 20) - 1) & ~(((size_t)2 << 20) - 1);
+    void *p = mmap(0, asz, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (p == MAP_FAILED) return std::malloc(sz);
+#ifdef MADV_HUGEPAGE
+    madvise(p, asz, MADV_HUGEPAGE);
+#endif
+    std::lock_guard<std::mutex> lk(g_huge_mu);
+    g_huge_allocs[p] = asz;
+    return p;
+}
 
 // --- stage profiling (BT_PROF=1): cumulative ns per stage over all threads
 static std::atomic<long long> g_prof_ns[8];
@@ -3304,7 +3337,7 @@ struct StrandFMC {
 void *bt_build_ilv2(const StrandFMC *s) {
     if (s->seq_len >= (1LL << 32)) return nullptr;
     int64_t nb = (s->seq_len + 63) >> 6;
-    uint8_t *buf = (uint8_t *)std::malloc((size_t)nb * 32);
+    uint8_t *buf = (uint8_t *)huge_alloc((size_t)nb * 32);
     if (!buf) return nullptr;
     int64_t n_words = s->n_words;
     const uint64_t M = 0x5555555555555555ULL;
@@ -3344,7 +3377,7 @@ void *bt_build_ilv2(const StrandFMC *s) {
 // 64-byte block per 128 BWT bases. Caller frees with bt_buf_free.
 void *bt_build_ilv(const StrandFMC *s) {
     int64_t nb = (s->seq_len + 127) >> 7;
-    uint64_t *ilv = (uint64_t *)std::malloc((size_t)nb * 64);
+    uint64_t *ilv = (uint64_t *)huge_alloc((size_t)nb * 64);
     if (!ilv) return nullptr;
     int64_t n_words = s->n_words;
     for (int64_t b = 0; b < nb; ++b) {
@@ -3647,7 +3680,26 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
     return 0;
 }
 
-void bt_buf_free(void *p) { std::free(p); }
+void bt_buf_free(void *p) {
+    {
+        std::lock_guard<std::mutex> lk(g_huge_mu);
+        auto it = g_huge_allocs.find(p);
+        if (it != g_huge_allocs.end()) {
+            munmap(p, it->second);
+            g_huge_allocs.erase(it);
+            return;
+        }
+    }
+    std::free(p);
+}
+
+// Copy an arbitrary (e.g. file-mmapped) array into THP-backed memory so
+// its random accesses ride 2 MB TLB entries; free with bt_buf_free.
+void *bt_hugify(const void *src, int64_t size) {
+    void *p = huge_alloc((size_t)size);
+    if (p) std::memcpy(p, src, (size_t)size);
+    return p;
+}
 
 struct PeStatC {
     int64_t low, high;

@@ -13,6 +13,7 @@
 
 #include <chrono>
 #include <random>
+#include <sys/mman.h>
 
 using bt::StrandFM;
 using bt::invpsi_step;
@@ -52,18 +53,28 @@ static void build_random_fm(int64_t n, std::vector<uint32_t> &words,
 }
 
 int main() {
+    bool huge = getenv("HUGE") && getenv("HUGE")[0] == '1';
     for (int64_t n : {16LL << 20, 256LL << 20}) {
         std::vector<uint32_t> words;
         std::vector<uint8_t> ilv2;
         std::vector<int64_t> L2;
         build_random_fm(n, words, ilv2, L2);
+        uint8_t *ilv2p = ilv2.data();
+        if (huge) {
+            size_t sz = (ilv2.size() + (2<<20)) & ~((size_t)(2<<20) - 1);
+            void *m = mmap(0, sz, PROT_READ | PROT_WRITE,
+                           MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+            madvise(m, sz, MADV_HUGEPAGE);
+            memcpy(m, ilv2.data(), ilv2.size());
+            ilv2p = (uint8_t *)m;
+        }
         StrandFM f{};
         f.words = words.data();
         f.L2 = L2.data();
         f.primary = n + 1;  // never skipped: pure rank walk
         f.seq_len = n;
         f.n_words = (int64_t)words.size();
-        f.ilv2 = ilv2.data();
+        f.ilv2 = ilv2p;
 
         const int64_t total_steps = 1 << 22;
         // dependent address spreader: the next rank depends on the loaded
