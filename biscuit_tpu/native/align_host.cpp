@@ -14,6 +14,9 @@
 
 #include <algorithm>
 #include <atomic>
+#if defined(__AVX512F__) && defined(__AVX512VPOPCNTDQ__)
+#include <immintrin.h>
+#endif
 #include <chrono>
 #include <cmath>
 #include <cstdint>
@@ -105,6 +108,14 @@ struct ProfScope {
                 std::chrono::steady_clock::now() - t0).count();
     }
 };
+// event counters (BT_PROF=1): extend-call mix inside seeding
+static std::atomic<long long> g_cnt[8];
+static const char *g_cnt_names[8] = {
+    "fwd_ext", "back_ext", "back_steps", "smem1a", "strat1_ext",
+    "back_vec", "", ""};
+static inline void prof_count(int slot, long long n = 1) {
+    if (g_prof_on) g_cnt[slot] += n;
+}
 static void prof_report(const char *tag) {
     if (!g_prof_on) return;
     long long tot = 0;
@@ -115,6 +126,11 @@ static void prof_report(const char *tag) {
         if (v) fprintf(stderr, " %s=%.3fs(%.0f%%)", g_prof_names[i], v / 1e9,
                        100.0 * v / tot);
         g_prof_ns[i] = 0;
+    }
+    for (int i = 0; i < 8; ++i) {
+        long long v = g_cnt[i].load();
+        if (v) fprintf(stderr, " #%s=%lld", g_cnt_names[i], v);
+        g_cnt[i] = 0;
     }
     fprintf(stderr, "\n");
 }
@@ -525,6 +541,109 @@ static void occ_cg_pair(const StrandFM &f, int64_t k, int64_t l, int c,
     for (int d = c + 1; d < 4; ++d) { gk += ok4.c[d]; gl += ol4.c[d]; }
 }
 
+// ---- AVX-512 batched single-class occ: 8 independent occ_cg_one queries
+// sharing one output class c (the backward SMEM step extends every interval
+// of `prev` with the SAME character, so the lookups vectorize cleanly:
+// 4 gathers pull each rank's full 32-byte ilv2 block, VPOPCNTQ does the
+// counting).  Bit-exact with occ_cg_one; tests/test_native_engine.py
+// compares it against the scalar path over every rank of a small index.
+#if defined(__AVX512F__) && defined(__AVX512VPOPCNTDQ__)
+#define BT_HAVE_AVX512_OCC 1
+
+static inline __m512i occ_exact_vec(__m512i y, int c) {
+    const __m512i M = _mm512_set1_epi64((long long)OCC_M);
+    __m512i t = _mm512_xor_si512(y, _mm512_set1_epi64((long long)OCC_MAGIC[c]));
+    __m512i u = _mm512_andnot_si512(
+        _mm512_or_si512(_mm512_srli_epi64(t, 1), t), M);
+    return _mm512_popcnt_epi64(u);
+}
+static inline __m512i occ_gt_vec(__m512i y, int c) {
+    const __m512i M = _mm512_set1_epi64((long long)OCC_M);
+    __m512i r;
+    switch (c) {
+    case 0: r = _mm512_and_si512(_mm512_or_si512(y, _mm512_srli_epi64(y, 1)), M); break;
+    case 1: r = _mm512_and_si512(_mm512_srli_epi64(y, 1), M); break;
+    case 2: r = _mm512_and_si512(_mm512_and_si512(y, _mm512_srli_epi64(y, 1)), M); break;
+    default: return _mm512_setzero_si512();
+    }
+    return _mm512_popcnt_epi64(r);
+}
+
+// pre: f.ilv2 != null, every ranks[i] in [0, seq_len]
+static inline void occ_cg_one_x8(const StrandFM &f, const int64_t *ranks,
+                                 int c, int64_t *e, int64_t *g) {
+    __m512i vk = _mm512_loadu_si512((const void *)ranks);
+    __mmask8 ge = _mm512_cmp_epi64_mask(
+        vk, _mm512_set1_epi64(f.primary), _MM_CMPINT_NLT);  // k >= primary
+    __m512i vk2 = _mm512_mask_sub_epi64(vk, ge, vk, _mm512_set1_epi64(1));
+    __m512i voff = _mm512_slli_epi64(_mm512_srli_epi64(vk2, 6), 5);
+    __m512i c01 = _mm512_i64gather_epi64(voff, f.ilv2, 1);
+    __m512i c23 = _mm512_i64gather_epi64(
+        _mm512_add_epi64(voff, _mm512_set1_epi64(8)), f.ilv2, 1);
+    __m512i w0 = _mm512_i64gather_epi64(
+        _mm512_add_epi64(voff, _mm512_set1_epi64(16)), f.ilv2, 1);
+    __m512i w1 = _mm512_i64gather_epi64(
+        _mm512_add_epi64(voff, _mm512_set1_epi64(24)), f.ilv2, 1);
+    const __m512i m32 = _mm512_set1_epi64(0xffffffffLL);
+    __m512i cnt0 = _mm512_and_si512(c01, m32);
+    __m512i cnt1 = _mm512_srli_epi64(c01, 32);
+    __m512i cnt2 = _mm512_and_si512(c23, m32);
+    __m512i cnt3 = _mm512_srli_epi64(c23, 32);
+    __m512i e0, g0;
+    switch (c) {
+    case 0: e0 = cnt0; g0 = _mm512_add_epi64(cnt1, _mm512_add_epi64(cnt2, cnt3)); break;
+    case 1: e0 = cnt1; g0 = _mm512_add_epi64(cnt2, cnt3); break;
+    case 2: e0 = cnt2; g0 = cnt3; break;
+    default: e0 = cnt3; g0 = _mm512_setzero_si512(); break;
+    }
+    // second superword: add the first word's full counts
+    __mmask8 msw = _mm512_test_epi64_mask(_mm512_srli_epi64(vk2, 5),
+                                          _mm512_set1_epi64(1));
+    e0 = _mm512_mask_add_epi64(e0, msw, e0, occ_exact_vec(w0, c));
+    g0 = _mm512_mask_add_epi64(g0, msw, g0, occ_gt_vec(w0, c));
+    __m512i y = _mm512_mask_blend_epi64(msw, w0, w1);
+    __m512i zero = _mm512_sub_epi64(_mm512_set1_epi64(31),
+                                    _mm512_and_si512(vk2, _mm512_set1_epi64(31)));
+    __m512i sh = _mm512_slli_epi64(zero, 1);
+    y = _mm512_sllv_epi64(_mm512_srlv_epi64(y, sh), sh);
+    __m512i ev = _mm512_add_epi64(e0, occ_exact_vec(y, c));
+    if (c == 0) ev = _mm512_sub_epi64(ev, zero);  // zeroed pairs decode as 'A'
+    __m512i gv = _mm512_add_epi64(g0, occ_gt_vec(y, c));
+    _mm512_storeu_si512((void *)e, ev);
+    _mm512_storeu_si512((void *)g, gv);
+}
+
+// Batched backward bwt_extend over n intervals with one class c.  Outputs
+// match fm_extend_one(f, in[j], c, out[j], true) exactly: x0-1 >= 0 and
+// x0-1+s <= seq_len hold for every live interval, and occ_cg_one's counts
+// at rank seq_len equal occ4's early-out totals, so every lane sits inside
+// occ_cg_pair's ilv2 fast path semantics.
+static void fm_extend_many_back(const StrandFM &f, const Intv *in, int n,
+                                int c, Intv *out) {
+    alignas(64) int64_t ks[8], ls[8], ek[8], gk[8], el[8], gl[8];
+    for (int j = 0; j < n; j += 8) {
+        int m = n - j < 8 ? n - j : 8;
+        for (int t = 0; t < m; ++t) {
+            ks[t] = in[j + t].x0 - 1;
+            ls[t] = in[j + t].x0 - 1 + in[j + t].s;
+        }
+        for (int t = m; t < 8; ++t) { ks[t] = 0; ls[t] = 0; }  // pad: rank 0
+        occ_cg_one_x8(f, ks, c, ek, gk);
+        occ_cg_one_x8(f, ls, c, el, gl);
+        for (int t = 0; t < m; ++t) {
+            const Intv &p = in[j + t];
+            Intv &o = out[j + t];
+            int64_t crosses =
+                (p.x0 <= f.primary && p.x0 + p.s - 1 >= f.primary) ? 1 : 0;
+            o.s = el[t] - ek[t];
+            o.x0 = f.L2[c] + 1 + ek[t];
+            o.x1 = p.x1 + crosses + (gl[t] - gk[t]);
+            o.end = p.end;
+        }
+    }
+}
+#endif  // AVX-512 occ
+
 // bwt_extend for a single known output class c (all the SMEM passes need).
 static inline void fm_extend_one(const StrandFM &f, const Intv &ik, int c,
                                  Intv &out, bool is_back) {
@@ -671,6 +790,7 @@ static int smem1a(const StrandFM &fm, const StrandFM &fmc, const uint8_t *q,
     mem.clear();
     if (q[x] > 3) return x + 1;
     if (min_intv < 1) min_intv = 1;
+    prof_count(3);
     int c0 = q[x];
     Intv ik{fm.L2[c0] + 1, fmc.L2[3 - c0] + 1, fm.L2[c0 + 1] - fm.L2[c0],
             (int32_t)(x + 1)};
@@ -684,6 +804,7 @@ static int smem1a(const StrandFM &fm, const StrandFM &fmc, const uint8_t *q,
         for (; i < len; ++i) {
             if (q[i] < 4) {
                 int c = 3 - q[i];
+                prof_count(0);
                 fm_extend_one(fmc, ik, c, ok[c], false);
                 if (ok[c].s != ik.s) {
                     curr.push_back(ik);
@@ -703,10 +824,12 @@ static int smem1a(const StrandFM &fm, const StrandFM &fmc, const uint8_t *q,
     prev.swap(curr);
 
     static thread_local std::vector<std::pair<int32_t, Intv>> out;  // (start, entry)
+    static thread_local std::vector<Intv> vext;
     out.clear();
     for (i = x - 1; i >= -1; --i) {
         int c = (i < 0 || q[i] > 3) ? -1 : q[i];
         curr.clear();
+        bool use_vec = false;
         if (c >= 0 && fm.ilv2 && prev.size() > 1) {
             // the extensions of this step are independent lookups at
             // addresses known upfront — prefetch every interval's occ
@@ -720,10 +843,31 @@ static int smem1a(const StrandFM &fm, const StrandFM &fmc, const uint8_t *q,
                 __builtin_prefetch(fm.ilv2 + ((kb >> 6) << 5), 0, 1);
             }
         }
+#ifdef BT_HAVE_AVX512_OCC
+        // below ~3 intervals the gather setup loses to the scalar path
+        // (sweep: BT_VEC_MIN, measured 4 > 3 > 6 > 2 at 5-50 Mbp)
+        static const size_t vec_min = [] {
+            const char *s = getenv("BT_VEC_MIN");
+            return s ? (size_t)atol(s) : (size_t)4;
+        }();
+        if (c >= 0 && fm.ilv2 && prev.size() >= vec_min) {
+            vext.resize(prev.size());
+            fm_extend_many_back(fm, prev.data(), (int)prev.size(), c,
+                                vext.data());
+            use_vec = true;
+            prof_count(5, (long long)prev.size());
+        }
+#endif
+        prof_count(2);
+        prof_count(1, c >= 0 ? (long long)prev.size() : 0);
         for (size_t j = 0; j < prev.size(); ++j) {
             const Intv &p = prev[j];
             bool have_ok = false;
-            if (c >= 0) { fm_extend_one(fm, p, c, ok[c], true); have_ok = true; }
+            if (c >= 0) {
+                if (use_vec) ok[c] = vext[j];
+                else fm_extend_one(fm, p, c, ok[c], true);
+                have_ok = true;
+            }
             if (c < 0 || ok[c].s < min_intv) {
                 if (curr.empty()) {
                     if (out.empty() || i + 1 < out.back().first)
@@ -756,6 +900,7 @@ static int seed_strategy1(const StrandFM &fm, const StrandFM &fmc,
     for (int i = x + 1; i < len; ++i) {
         if (q[i] < 4) {
             int c = 3 - q[i];
+            prof_count(4);
             fm_extend_one(fmc, ik, c, ok[c], false);
             if (ok[c].s < max_intv && i - x >= min_len) {
                 m = Seed5{(int32_t)x, (int32_t)(i + 1), ok[c].x0, ok[c].x1, ok[c].s};
@@ -3371,6 +3516,34 @@ void *bt_build_ilv2(const StrandFMC *s) {
         }
     }
     return buf;
+}
+
+// Test hooks: the AVX-512 batched single-class occ kernel vs the scalar
+// path (tests/test_native_engine.py compares them over every rank).
+// bt_occ_cg_x8 returns 0 when the vector kernel is unavailable (non-AVX512
+// build or missing ilv2) so callers can skip.
+int bt_occ_cg_x8(const StrandFMC *s, const int64_t *ranks, int c,
+                 int64_t *e, int64_t *g) {
+#ifdef BT_HAVE_AVX512_OCC
+    if (!s->ilv2) return 0;
+    StrandFM f{s->words, s->occ, s->L2, s->sa, s->primary, s->seq_len,
+               s->n_words, s->sa_wide, s->sa_shift ? s->sa_shift : 5,
+               s->ilv, s->ilv2};
+    occ_cg_one_x8(f, ranks, c, e, g);
+    return 1;
+#else
+    (void)s; (void)ranks; (void)c; (void)e; (void)g;
+    return 0;
+#endif
+}
+int bt_occ_cg_scalar(const StrandFMC *s, int64_t k, int c,
+                     int64_t *e, int64_t *g) {
+    if (!s->ilv2) return 0;
+    StrandFM f{s->words, s->occ, s->L2, s->sa, s->primary, s->seq_len,
+               s->n_words, s->sa_wide, s->sa_shift ? s->sa_shift : 5,
+               s->ilv, s->ilv2};
+    occ_cg_one(f, k, c, *e, *g);
+    return 1;
 }
 
 // Build the interleaved occ+BWT block array (see StrandFM::ilv): one

@@ -119,3 +119,52 @@ def test_ilv2_cache_staleness_guard(tmp_path_factory, small_dataset):
     for c in caches:
         src = c.replace("_ilv2.npy", "_words.npy")
         assert os.path.getmtime(c) >= os.path.getmtime(src)
+
+
+def test_avx512_occ_vector_exhaustive(setup):
+    """The AVX-512 batched single-class occ kernel (occ_cg_one_x8, the
+    backward-SMEM vector path) must be bit-exact with the scalar occ_cg_one
+    over EVERY rank in [0, seq_len] and every class, on both strands.
+    Skips on hosts without AVX-512 VPOPCNTDQ (the build falls back to the
+    scalar path there)."""
+    import ctypes as Ct
+
+    idx, _ = setup
+    st = AlignerState(idx)
+    nat = NativeAligner(st)
+    L = nat.lib
+    L.bt_occ_cg_x8.restype = Ct.c_int
+    L.bt_occ_cg_scalar.restype = Ct.c_int
+
+    checked = 0
+    for fmc in (nat.dau, nat.par):
+        n = int(fmc.seq_len)
+        ranks_all = np.arange(0, n + 1, dtype=np.int64)
+        pad = (-len(ranks_all)) % 8
+        if pad:
+            ranks_all = np.concatenate([ranks_all, np.zeros(pad, np.int64)])
+        e8 = np.zeros(8, np.int64)
+        g8 = np.zeros(8, np.int64)
+        es = Ct.c_int64()
+        gs = Ct.c_int64()
+        for c in range(4):
+            ev = np.zeros(len(ranks_all), np.int64)
+            gv = np.zeros(len(ranks_all), np.int64)
+            for j in range(0, len(ranks_all), 8):
+                r = L.bt_occ_cg_x8(
+                    Ct.byref(fmc), ranks_all[j:j + 8].ctypes.data_as(
+                        Ct.POINTER(Ct.c_int64)), c,
+                    e8.ctypes.data_as(Ct.POINTER(Ct.c_int64)),
+                    g8.ctypes.data_as(Ct.POINTER(Ct.c_int64)))
+                if not r:
+                    pytest.skip("AVX-512 VPOPCNTDQ not available")
+                ev[j:j + 8] = e8
+                gv[j:j + 8] = g8
+            for k in range(n + 1):
+                assert L.bt_occ_cg_scalar(Ct.byref(fmc), int(ranks_all[k]),
+                                          c, Ct.byref(es), Ct.byref(gs))
+                assert es.value == ev[k] and gs.value == gv[k], \
+                    f"rank {k} class {c}: vec ({ev[k]},{gv[k]}) " \
+                    f"!= scalar ({es.value},{gs.value})"
+                checked += 1
+    assert checked > 0
