@@ -569,6 +569,41 @@ static inline __m512i occ_gt_vec(__m512i y, int c) {
     return _mm512_popcnt_epi64(r);
 }
 
+// Load 8 ranks' full 32-byte ilv2 blocks into 4 column vectors
+// (counts01, counts23, superword0, superword1): 8 plain ymm loads + an
+// in-register 8x4 u64 transpose — measurably faster than 4 vpgatherqq on
+// this core (gathers decode to one load uop per element plus overhead).
+static inline void occ_load_blocks_x8(const uint8_t *base, __m512i voff,
+                                      __m512i &c01, __m512i &c23,
+                                      __m512i &w0, __m512i &w1) {
+    alignas(64) int64_t off[8];
+    _mm512_store_si512((void *)off, voff);
+    __m256i y0 = _mm256_loadu_si256((const __m256i *)(base + off[0]));
+    __m256i y1 = _mm256_loadu_si256((const __m256i *)(base + off[1]));
+    __m256i y2 = _mm256_loadu_si256((const __m256i *)(base + off[2]));
+    __m256i y3 = _mm256_loadu_si256((const __m256i *)(base + off[3]));
+    __m256i y4 = _mm256_loadu_si256((const __m256i *)(base + off[4]));
+    __m256i y5 = _mm256_loadu_si256((const __m256i *)(base + off[5]));
+    __m256i y6 = _mm256_loadu_si256((const __m256i *)(base + off[6]));
+    __m256i y7 = _mm256_loadu_si256((const __m256i *)(base + off[7]));
+    __m512i z0 = _mm512_inserti64x4(_mm512_castsi256_si512(y0), y4, 1);
+    __m512i z1 = _mm512_inserti64x4(_mm512_castsi256_si512(y1), y5, 1);
+    __m512i z2 = _mm512_inserti64x4(_mm512_castsi256_si512(y2), y6, 1);
+    __m512i z3 = _mm512_inserti64x4(_mm512_castsi256_si512(y3), y7, 1);
+    const __m512i IA = _mm512_setr_epi64(0, 8, 2, 10, 4, 12, 6, 14);
+    const __m512i IB = _mm512_setr_epi64(1, 9, 3, 11, 5, 13, 7, 15);
+    __m512i m01A = _mm512_permutex2var_epi64(z0, IA, z1);
+    __m512i m01B = _mm512_permutex2var_epi64(z0, IB, z1);
+    __m512i m23A = _mm512_permutex2var_epi64(z2, IA, z3);
+    __m512i m23B = _mm512_permutex2var_epi64(z2, IB, z3);
+    const __m512i JA = _mm512_setr_epi64(0, 1, 8, 9, 4, 5, 12, 13);
+    const __m512i JB = _mm512_setr_epi64(2, 3, 10, 11, 6, 7, 14, 15);
+    c01 = _mm512_permutex2var_epi64(m01A, JA, m23A);
+    w0 = _mm512_permutex2var_epi64(m01A, JB, m23A);
+    c23 = _mm512_permutex2var_epi64(m01B, JA, m23B);
+    w1 = _mm512_permutex2var_epi64(m01B, JB, m23B);
+}
+
 // pre: f.ilv2 != null, every ranks[i] in [0, seq_len]
 static inline void occ_cg_one_x8(const StrandFM &f, const int64_t *ranks,
                                  int c, int64_t *e, int64_t *g) {
@@ -577,13 +612,8 @@ static inline void occ_cg_one_x8(const StrandFM &f, const int64_t *ranks,
         vk, _mm512_set1_epi64(f.primary), _MM_CMPINT_NLT);  // k >= primary
     __m512i vk2 = _mm512_mask_sub_epi64(vk, ge, vk, _mm512_set1_epi64(1));
     __m512i voff = _mm512_slli_epi64(_mm512_srli_epi64(vk2, 6), 5);
-    __m512i c01 = _mm512_i64gather_epi64(voff, f.ilv2, 1);
-    __m512i c23 = _mm512_i64gather_epi64(
-        _mm512_add_epi64(voff, _mm512_set1_epi64(8)), f.ilv2, 1);
-    __m512i w0 = _mm512_i64gather_epi64(
-        _mm512_add_epi64(voff, _mm512_set1_epi64(16)), f.ilv2, 1);
-    __m512i w1 = _mm512_i64gather_epi64(
-        _mm512_add_epi64(voff, _mm512_set1_epi64(24)), f.ilv2, 1);
+    __m512i c01, c23, w0, w1;
+    occ_load_blocks_x8(f.ilv2, voff, c01, c23, w0, w1);
     const __m512i m32 = _mm512_set1_epi64(0xffffffffLL);
     __m512i cnt0 = _mm512_and_si512(c01, m32);
     __m512i cnt1 = _mm512_srli_epi64(c01, 32);
@@ -609,6 +639,75 @@ static inline void occ_cg_one_x8(const StrandFM &f, const int64_t *ranks,
     __m512i ev = _mm512_add_epi64(e0, occ_exact_vec(y, c));
     if (c == 0) ev = _mm512_sub_epi64(ev, zero);  // zeroed pairs decode as 'A'
     __m512i gv = _mm512_add_epi64(g0, occ_gt_vec(y, c));
+    _mm512_storeu_si512((void *)e, ev);
+    _mm512_storeu_si512((void *)g, gv);
+}
+
+// Variable-class variant: 8 occ_cg_one queries with a PER-LANE class
+// (forward lockstep lanes sit at different read positions).  cs[i] in
+// [0,3]; bit-exact with occ_cg_one(ranks[i], cs[i]).
+static inline void occ_cg_one_x8v(const StrandFM &f, const int64_t *ranks,
+                                  const int64_t *cs, int64_t *e, int64_t *g) {
+    const __m512i M = _mm512_set1_epi64((long long)OCC_M);
+    __m512i vc = _mm512_loadu_si512((const void *)cs);
+    __m512i vmagic = _mm512_permutexvar_epi64(
+        vc, _mm512_set_epi64(0, 0, 0, 0, (long long)OCC_MAGIC[3],
+                             (long long)OCC_MAGIC[2], (long long)OCC_MAGIC[1],
+                             (long long)OCC_MAGIC[0]));
+    __mmask8 c_is0 = _mm512_cmpeq_epi64_mask(vc, _mm512_setzero_si512());
+    __mmask8 c_lt1 = c_is0;
+    __mmask8 c_lt2 = _mm512_cmplt_epi64_mask(vc, _mm512_set1_epi64(2));
+    __mmask8 c_lt3 = _mm512_cmplt_epi64_mask(vc, _mm512_set1_epi64(3));
+    __mmask8 c_is1 = _mm512_cmpeq_epi64_mask(vc, _mm512_set1_epi64(1));
+    __mmask8 c_is2 = _mm512_cmpeq_epi64_mask(vc, _mm512_set1_epi64(2));
+    auto exactv = [&](__m512i y) {
+        __m512i t = _mm512_xor_si512(y, vmagic);
+        return _mm512_popcnt_epi64(_mm512_andnot_si512(
+            _mm512_or_si512(_mm512_srli_epi64(t, 1), t), M));
+    };
+    auto gtv = [&](__m512i y) {
+        __m512i v = _mm512_and_si512(_mm512_srli_epi64(y, 1), M);
+        __m512i u = _mm512_and_si512(y, M);
+        // c==0: u|v, c==1: v, c==2: u&v, c==3: 0
+        __m512i r = _mm512_setzero_si512();
+        r = _mm512_mask_mov_epi64(r, c_is0, _mm512_or_si512(u, v));
+        r = _mm512_mask_mov_epi64(r, c_is1, v);
+        r = _mm512_mask_mov_epi64(r, c_is2, _mm512_and_si512(u, v));
+        return _mm512_popcnt_epi64(r);
+    };
+    __m512i vk = _mm512_loadu_si512((const void *)ranks);
+    __mmask8 ge = _mm512_cmp_epi64_mask(
+        vk, _mm512_set1_epi64(f.primary), _MM_CMPINT_NLT);
+    __m512i vk2 = _mm512_mask_sub_epi64(vk, ge, vk, _mm512_set1_epi64(1));
+    __m512i voff = _mm512_slli_epi64(_mm512_srli_epi64(vk2, 6), 5);
+    __m512i c01, c23, w0, w1;
+    occ_load_blocks_x8(f.ilv2, voff, c01, c23, w0, w1);
+    const __m512i m32 = _mm512_set1_epi64(0xffffffffLL);
+    __m512i cnt0 = _mm512_and_si512(c01, m32);
+    __m512i cnt1 = _mm512_srli_epi64(c01, 32);
+    __m512i cnt2 = _mm512_and_si512(c23, m32);
+    __m512i cnt3 = _mm512_srli_epi64(c23, 32);
+    // e0 = cnt[c] per lane; g0 = sum of cnt[d > c]
+    __m512i e0 = cnt0;
+    e0 = _mm512_mask_mov_epi64(e0, c_is1, cnt1);
+    e0 = _mm512_mask_mov_epi64(e0, c_is2, cnt2);
+    e0 = _mm512_mask_mov_epi64(
+        e0, _mm512_cmpeq_epi64_mask(vc, _mm512_set1_epi64(3)), cnt3);
+    __m512i g0 = _mm512_maskz_mov_epi64(c_lt3, cnt3);
+    g0 = _mm512_mask_add_epi64(g0, c_lt2, g0, cnt2);
+    g0 = _mm512_mask_add_epi64(g0, c_lt1, g0, cnt1);
+    __mmask8 msw = _mm512_test_epi64_mask(_mm512_srli_epi64(vk2, 5),
+                                          _mm512_set1_epi64(1));
+    e0 = _mm512_mask_add_epi64(e0, msw, e0, exactv(w0));
+    g0 = _mm512_mask_add_epi64(g0, msw, g0, gtv(w0));
+    __m512i y = _mm512_mask_blend_epi64(msw, w0, w1);
+    __m512i zero = _mm512_sub_epi64(
+        _mm512_set1_epi64(31), _mm512_and_si512(vk2, _mm512_set1_epi64(31)));
+    __m512i sh = _mm512_slli_epi64(zero, 1);
+    y = _mm512_sllv_epi64(_mm512_srlv_epi64(y, sh), sh);
+    __m512i ev = _mm512_add_epi64(e0, exactv(y));
+    ev = _mm512_mask_sub_epi64(ev, c_is0, ev, zero);  // zeroed pairs are 'A'
+    __m512i gv = _mm512_add_epi64(g0, gtv(y));
     _mm512_storeu_si512((void *)e, ev);
     _mm512_storeu_si512((void *)g, gv);
 }
@@ -785,6 +884,10 @@ struct Opt {
 
 struct Seed5 { int32_t start, end; int64_t x0, x1, s; };
 
+static void smem_backward(const StrandFM &fm, const uint8_t *q, int x,
+                          int64_t min_intv, std::vector<Intv> &prev,
+                          std::vector<Seed5> &mem);
+
 static int smem1a(const StrandFM &fm, const StrandFM &fmc, const uint8_t *q,
                   int len, int x, int64_t min_intv, std::vector<Seed5> &mem) {
     mem.clear();
@@ -822,10 +925,23 @@ static int smem1a(const StrandFM &fm, const StrandFM &fmc, const uint8_t *q,
     std::reverse(curr.begin(), curr.end());
     int ret = curr[0].end;
     prev.swap(curr);
+    smem_backward(fm, q, x, min_intv, prev, mem);
+    return ret;
+}
 
+// The backward half of smem1a: `prev` holds the forward pass's surviving
+// intervals longest-first (i.e. reversed push order); appends the maximal
+// exact matches to `mem`. Shared by smem1a and the chunk-lockstep seeder
+// (which records forward calls and replays them here in call order).
+static void smem_backward(const StrandFM &fm, const uint8_t *q, int x,
+                          int64_t min_intv, std::vector<Intv> &prev,
+                          std::vector<Seed5> &mem) {
+    static thread_local std::vector<Intv> curr;
     static thread_local std::vector<std::pair<int32_t, Intv>> out;  // (start, entry)
     static thread_local std::vector<Intv> vext;
+    Intv ok[4];
     out.clear();
+    int i;
     for (i = x - 1; i >= -1; --i) {
         int c = (i < 0 || q[i] > 3) ? -1 : q[i];
         curr.clear();
@@ -886,7 +1002,6 @@ static int smem1a(const StrandFM &fm, const StrandFM &fmc, const uint8_t *q,
     for (auto it = out.rbegin(); it != out.rend(); ++it)
         mem.push_back({it->first, it->second.end, it->second.x0,
                        it->second.x1, it->second.s});
-    return ret;
 }
 
 static int seed_strategy1(const StrandFM &fm, const StrandFM &fmc,
@@ -1243,6 +1358,309 @@ struct SeedJob {
     std::vector<Seed5> *mem;
 };
 
+#ifdef BT_HAVE_AVX512_OCC
+// ---------------- SIMD lockstep seeding over a chunk -----------------
+//
+// The expensive primitive of every SMEM pass is a single-class occ pair.
+// The backward pass vectorizes within one read (all intervals share the
+// step character; fm_extend_many_back).  The FORWARD chains are width-1
+// and sequential within one (read,parent) job, but chains of DIFFERENT
+// jobs are independent — so 8 of them run in lockstep: one variable-class
+// vector occ (occ_cg_one_x8v) per step, per-lane scalar bookkeeping.
+// Result order is untouched: pass-1 forward calls are recorded and their
+// backward halves replayed per job in call order, pass-2 tasks in
+// (job, seed) order, pass-3 discoveries in scan order — so each job's
+// seed vector is byte-identical to collect_intv's (A/B-checked in
+// tests/test_native_engine.py and the oracle E2E matrix).
+static void lockstep_slice(const Opt &opt, const std::vector<SeedJob> &jobs,
+                           const std::vector<int> &group) {
+    const SeedJob &J0 = jobs[group[0]];
+    const StrandFM &fm = *J0.fm, &fmc = *J0.fmc;
+    const int64_t start_width = (opt.flag & 0x40) ? 2 : 1;
+    const int split_len = (int)(opt.min_seed_len * opt.split_factor + 0.499);
+
+    struct LsCall { int job; int x; int off, n; };  // curr slice in `flat`
+    static thread_local std::vector<Intv> flat;
+    static thread_local std::vector<LsCall> calls;
+    static thread_local std::vector<Intv> prevbuf;
+    static thread_local std::vector<Seed5> tmp;
+    flat.clear();
+    calls.clear();
+
+    struct Lane {
+        int job = -1;        // index into jobs; -1 = idle
+        bool open = false;   // a forward chain is in flight
+        int x = 0, i = 0;
+        int64_t min_intv = 1;
+        Intv ik;
+        std::vector<Intv> curr;
+    };
+    constexpr int LS_LANES = 16;
+    Lane ls[LS_LANES];
+    size_t next_job = 0;
+
+    // ---- phase A: pass-1 forward chains, 8 jobs in lockstep
+    auto close_chain = [&](Lane &st) {
+        st.curr.push_back(st.ik);
+        calls.push_back({st.job, st.x, (int)flat.size(), (int)st.curr.size()});
+        flat.insert(flat.end(), st.curr.begin(), st.curr.end());
+        st.x = st.curr.back().end;  // smem1a's ret = last-pushed end
+        st.open = false;
+    };
+    // advance lane until it needs a vector extend (returns true) or idles
+    auto settleA = [&](Lane &st) -> bool {
+        for (;;) {
+            if (st.job < 0) {
+                if (next_job >= group.size()) return false;
+                st.job = group[next_job++];
+                st.x = 0;
+                st.open = false;
+            }
+            const SeedJob &J = jobs[st.job];
+            if (!st.open) {
+                while (st.x < J.len && J.q[st.x] > 3) ++st.x;
+                if (st.x >= J.len) { st.job = -1; continue; }
+                int c0 = J.q[st.x];
+                st.ik = Intv{fm.L2[c0] + 1, fmc.L2[3 - c0] + 1,
+                             fm.L2[c0 + 1] - fm.L2[c0], (int32_t)(st.x + 1)};
+                st.i = st.x + 1;
+                st.min_intv = start_width;
+                st.curr.clear();
+                st.open = true;
+                prof_count(3);
+            }
+            if (st.i >= J.len || J.q[st.i] > 3) { close_chain(st); continue; }
+            return true;
+        }
+    };
+    alignas(64) int64_t ks[LS_LANES], lr[LS_LANES], cs[LS_LANES],
+        ek[LS_LANES], gk[LS_LANES], el[LS_LANES], gl[LS_LANES];
+    // shared by phases A/C/D: one lockstep vector step over the active
+    // lanes; consume() applies the extension o to lane t.  LS_LANES (16)
+    // is 2 vector widths: the chains are latency-bound dependent walks, so
+    // extra lanes in flight buy memory-level parallelism.
+    auto run_pool = [&](auto &&settle, auto &&consume) {
+        int live = 0;
+        for (int t = 0; t < LS_LANES; ++t) live += settle(ls[t]) ? 1 : 0;
+        while (live) {
+            int act[LS_LANES], m = 0;
+            for (int t = 0; t < LS_LANES; ++t) {
+                Lane &st = ls[t];
+                if (st.job < 0 || !st.open) continue;
+                const SeedJob &J = jobs[st.job];
+                act[m] = t;
+                ks[m] = st.ik.x1 - 1;
+                lr[m] = st.ik.x1 - 1 + st.ik.s;
+                cs[m] = 3 - J.q[st.i];
+                ++m;
+            }
+            for (int t = m; t < LS_LANES; ++t) { ks[t] = 0; lr[t] = 0; cs[t] = 0; }
+            for (int h = 0; h < m; h += 8) {
+                occ_cg_one_x8v(fmc, ks + h, cs + h, ek + h, gk + h);
+                occ_cg_one_x8v(fmc, lr + h, cs + h, el + h, gl + h);
+            }
+            live = 0;
+            for (int j = 0; j < m; ++j) {
+                Lane &st = ls[act[j]];
+                int c = (int)cs[j];
+                int64_t xq = st.ik.x1;
+                int64_t crosses = (xq <= fmc.primary &&
+                                   xq + st.ik.s - 1 >= fmc.primary) ? 1 : 0;
+                Intv o;
+                o.s = el[j] - ek[j];
+                o.x0 = st.ik.x0 + crosses + (gl[j] - gk[j]);
+                o.x1 = fmc.L2[c] + 1 + ek[j];
+                o.end = st.ik.end;
+                consume(st, o, c);
+                live += settle(st) ? 1 : 0;
+            }
+            for (int t = 0; t < LS_LANES; ++t)  // idled lanes may refill now
+                if (ls[t].job < 0) live += settle(ls[t]) ? 1 : 0;
+        }
+    };
+    run_pool(settleA, [&](Lane &st, const Intv &o, int) {
+        prof_count(0);
+        if (o.s != st.ik.s) {
+            st.curr.push_back(st.ik);
+            if (o.s < st.min_intv) {
+                calls.push_back({st.job, st.x, (int)flat.size(),
+                                 (int)st.curr.size()});
+                flat.insert(flat.end(), st.curr.begin(), st.curr.end());
+                st.x = st.curr.back().end;
+                st.open = false;
+                return;
+            }
+        }
+        st.ik = o;
+        st.ik.end = st.i + 1;
+        ++st.i;
+    });
+
+    // ---- phase B: backward halves replayed per job in call order
+    for (int g : group) jobs[g].mem->clear();
+    for (const LsCall &rc : calls) {
+        const SeedJob &J = jobs[rc.job];
+        prevbuf.assign(flat.begin() + rc.off, flat.begin() + rc.off + rc.n);
+        std::reverse(prevbuf.begin(), prevbuf.end());
+        tmp.clear();
+        smem_backward(fm, J.q, rc.x, start_width, prevbuf, tmp);
+        for (auto &s : tmp)
+            if (s.end - s.start >= opt.min_seed_len) J.mem->push_back(s);
+    }
+
+    // ---- phase C: pass-2 re-seeds (lane = independent task, no refill
+    // sequencing: eligibility comes from the pass-1 snapshot)
+    struct P2Task { int job; int x; int64_t min_intv; };
+    static thread_local std::vector<P2Task> p2;
+    p2.clear();
+    for (int g : group) {
+        std::vector<Seed5> &mem = *jobs[g].mem;
+        size_t old_n = mem.size();
+        for (size_t k = 0; k < old_n; ++k) {
+            const Seed5 &p = mem[k];
+            if (p.end - p.start < split_len || p.s > opt.split_width) continue;
+            p2.push_back({g, (p.start + p.end) >> 1, p.s + 1});
+        }
+    }
+    if (!p2.empty()) {
+        flat.clear();
+        calls.clear();
+        static thread_local std::vector<int> rec_of_task;  // -1 = no seeds
+        rec_of_task.assign(p2.size(), -1);
+        size_t next_task = 0;
+        static thread_local std::vector<int> lane_task(LS_LANES);
+        auto settleC = [&](Lane &st) -> bool {
+            for (;;) {
+                if (!st.open) {
+                    if (next_task >= p2.size()) { st.job = -1; return false; }
+                    const P2Task &tk = p2[next_task];
+                    lane_task[&st - ls] = (int)next_task;
+                    ++next_task;
+                    const SeedJob &J = jobs[tk.job];
+                    st.job = tk.job;
+                    st.x = tk.x;
+                    st.min_intv = tk.min_intv < 1 ? 1 : tk.min_intv;
+                    if (J.q[st.x] > 3) continue;  // smem1a early-out: no seeds
+                    int c0 = J.q[st.x];
+                    st.ik = Intv{fm.L2[c0] + 1, fmc.L2[3 - c0] + 1,
+                                 fm.L2[c0 + 1] - fm.L2[c0],
+                                 (int32_t)(st.x + 1)};
+                    st.i = st.x + 1;
+                    st.curr.clear();
+                    st.open = true;
+                    prof_count(3);
+                }
+                const SeedJob &J = jobs[st.job];
+                if (st.i >= J.len || J.q[st.i] > 3) {
+                    st.curr.push_back(st.ik);
+                    rec_of_task[lane_task[&st - ls]] = (int)calls.size();
+                    calls.push_back({st.job, st.x, (int)flat.size(),
+                                     (int)st.curr.size()});
+                    flat.insert(flat.end(), st.curr.begin(), st.curr.end());
+                    st.open = false;
+                    continue;
+                }
+                return true;
+            }
+        };
+        for (int t = 0; t < LS_LANES; ++t) { ls[t].job = -1; ls[t].open = false; }
+        run_pool(settleC, [&](Lane &st, const Intv &o, int) {
+            prof_count(0);
+            if (o.s != st.ik.s) {
+                st.curr.push_back(st.ik);
+                if (o.s < st.min_intv) {
+                    rec_of_task[lane_task[&st - ls]] = (int)calls.size();
+                    calls.push_back({st.job, st.x, (int)flat.size(),
+                                     (int)st.curr.size()});
+                    flat.insert(flat.end(), st.curr.begin(), st.curr.end());
+                    st.open = false;
+                    return;
+                }
+            }
+            st.ik = o;
+            st.ik.end = st.i + 1;
+            ++st.i;
+        });
+        for (size_t ti = 0; ti < p2.size(); ++ti) {
+            if (rec_of_task[ti] < 0) continue;
+            const LsCall &rc = calls[rec_of_task[ti]];
+            const SeedJob &J = jobs[rc.job];
+            prevbuf.assign(flat.begin() + rc.off,
+                           flat.begin() + rc.off + rc.n);
+            std::reverse(prevbuf.begin(), prevbuf.end());
+            tmp.clear();
+            smem_backward(fm, J.q, rc.x, p2[ti].min_intv, prevbuf, tmp);
+            for (auto &s : tmp)
+                if (s.end - s.start >= opt.min_seed_len) J.mem->push_back(s);
+        }
+    }
+
+    // ---- phase D: strategy-1 reseeding (pure forward, no backward)
+    if (opt.max_mem_intv > 0) {
+        next_job = 0;
+        for (int t = 0; t < LS_LANES; ++t) { ls[t].job = -1; ls[t].open = false; }
+        auto settleD = [&](Lane &st) -> bool {
+            for (;;) {
+                if (st.job < 0) {
+                    if (next_job >= group.size()) return false;
+                    st.job = group[next_job++];
+                    st.x = 0;
+                    st.open = false;
+                }
+                const SeedJob &J = jobs[st.job];
+                if (!st.open) {
+                    // q[x]>3 makes seed_strategy1 return x+1 == a plain scan
+                    while (st.x < J.len && J.q[st.x] > 3) ++st.x;
+                    if (st.x >= J.len) { st.job = -1; continue; }
+                    int c0 = J.q[st.x];
+                    st.ik = Intv{fm.L2[c0] + 1, fmc.L2[3 - c0] + 1,
+                                 fm.L2[c0 + 1] - fm.L2[c0], 0};
+                    st.i = st.x + 1;
+                    st.open = true;
+                }
+                if (st.i >= J.len) { st.x = J.len; st.open = false; continue; }
+                if (J.q[st.i] > 3) { st.x = st.i + 1; st.open = false; continue; }
+                return true;
+            }
+        };
+        run_pool(settleD, [&](Lane &st, const Intv &o, int) {
+            prof_count(4);
+            if (o.s < opt.max_mem_intv && st.i - st.x >= opt.min_seed_len) {
+                if (o.s > 0)
+                    jobs[st.job].mem->push_back(
+                        {(int32_t)st.x, (int32_t)(st.i + 1), o.x0, o.x1, o.s});
+                st.x = st.i + 1;
+                st.open = false;
+            } else {
+                st.ik = o;
+                ++st.i;
+            }
+        });
+    }
+
+    for (int g : group)
+        std::stable_sort(jobs[g].mem->begin(), jobs[g].mem->end(),
+                         [](const Seed5 &a, const Seed5 &b) {
+            return ((uint64_t)(uint32_t)a.start << 32 | (uint32_t)a.end) <
+                   ((uint64_t)(uint32_t)b.start << 32 | (uint32_t)b.end);
+        });
+}
+
+// Bounded slices: the single-thread path seeds the whole batch as one
+// group; the forward-call records (`flat`) must not grow with it.
+static void collect_intv_lockstep(const Opt &opt,
+                                  const std::vector<SeedJob> &jobs,
+                                  const std::vector<int> &group) {
+    constexpr size_t SLICE = 256;
+    if (group.size() <= SLICE) { lockstep_slice(opt, jobs, group); return; }
+    for (size_t s0 = 0; s0 < group.size(); s0 += SLICE) {
+        std::vector<int> sub(group.begin() + s0,
+                             group.begin() + std::min(s0 + SLICE, group.size()));
+        lockstep_slice(opt, jobs, sub);
+    }
+}
+#endif  // BT_HAVE_AVX512_OCC
+
 static void collect_intv_interleaved(const Opt &opt,
                                      const std::vector<SeedJob> &jobs) {
     constexpr int LANES = 16;
@@ -1254,6 +1672,26 @@ static void collect_intv_interleaved(const Opt &opt,
     // DRAM-bound (human-scale) experiments.
     static const bool il_on = getenv("BISCUIT_TPU_SEED_IL") &&
                               getenv("BISCUIT_TPU_SEED_IL")[0] == '1';
+#ifdef BT_HAVE_AVX512_OCC
+    // Default on AVX-512 hosts: the SIMD lockstep seeder (byte-identical
+    // seeds, ~vectorized forward chains). BISCUIT_TPU_SEED_LS=0 disables;
+    // BISCUIT_TPU_SEED_IL=1 (coroutines) takes precedence when set.
+    static const bool ls_on = !(getenv("BISCUIT_TPU_SEED_LS") &&
+                                getenv("BISCUIT_TPU_SEED_LS")[0] == '0');
+    if (ls_on && !il_on && jobs.size() >= 2) {
+        bool all_ilv2 = true;
+        for (auto &j : jobs)
+            if (!j.fm->ilv2 || !j.fmc->ilv2) { all_ilv2 = false; break; }
+        if (all_ilv2) {
+            std::vector<int> g0, g1;  // one pool per (fm,fmc) strand pair
+            for (int i = 0; i < (int)jobs.size(); ++i)
+                (jobs[i].fm == jobs[0].fm ? g0 : g1).push_back(i);
+            if (!g0.empty()) collect_intv_lockstep(opt, jobs, g0);
+            if (!g1.empty()) collect_intv_lockstep(opt, jobs, g1);
+            return;
+        }
+    }
+#endif
     if (jobs.size() < 2 || !jobs[0].fm->ilv2 || !il_on) {
         for (auto &j : jobs) collect_intv(opt, *j.fm, *j.fmc, j.q, j.len, *j.mem);
         return;
@@ -3536,6 +3974,20 @@ int bt_occ_cg_x8(const StrandFMC *s, const int64_t *ranks, int c,
     return 0;
 #endif
 }
+int bt_occ_cg_x8v(const StrandFMC *s, const int64_t *ranks,
+                  const int64_t *cs, int64_t *e, int64_t *g) {
+#ifdef BT_HAVE_AVX512_OCC
+    if (!s->ilv2) return 0;
+    StrandFM f{s->words, s->occ, s->L2, s->sa, s->primary, s->seq_len,
+               s->n_words, s->sa_wide, s->sa_shift ? s->sa_shift : 5,
+               s->ilv, s->ilv2};
+    occ_cg_one_x8v(f, ranks, cs, e, g);
+    return 1;
+#else
+    (void)s; (void)ranks; (void)cs; (void)e; (void)g;
+    return 0;
+#endif
+}
 int bt_occ_cg_scalar(const StrandFMC *s, int64_t k, int c,
                      int64_t *e, int64_t *g) {
     if (!s->ilv2) return 0;
@@ -3544,6 +3996,48 @@ int bt_occ_cg_scalar(const StrandFMC *s, int64_t k, int c,
                s->ilv, s->ilv2};
     occ_cg_one(f, k, c, *e, *g);
     return 1;
+}
+
+// Microbenchmark: ns per backward extend, scalar pair path (mode 0) vs the
+// AVX-512 batch (mode 1), over synthetic intervals drawn width-n_batch like
+// the real backward step. Returns ns/extend ×1000, or -1 if unavailable.
+int64_t bt_occ_bench(const StrandFMC *s, int64_t n_iters, int32_t n_batch,
+                     int32_t mode) {
+    if (!s->ilv2 || n_batch < 1 || n_batch > 64) return -1;
+#ifndef BT_HAVE_AVX512_OCC
+    if (mode == 1) return -1;
+#endif
+    StrandFM f{s->words, s->occ, s->L2, s->sa, s->primary, s->seq_len,
+               s->n_words, s->sa_wide, s->sa_shift ? s->sa_shift : 5,
+               s->ilv, s->ilv2};
+    // xorshift intervals: x0 in [1, seq_len-64], s in [1, 48]
+    uint64_t rng = 0x9E3779B97F4A7C15ULL;
+    auto next = [&]() { rng ^= rng << 13; rng ^= rng >> 7; rng ^= rng << 17; return rng; };
+    std::vector<Intv> in(n_batch), outv(n_batch);
+    int64_t acc = 0;
+    auto t0 = std::chrono::steady_clock::now();
+    for (int64_t it = 0; it < n_iters; ++it) {
+        int c = (int)(next() & 3);
+        for (int j = 0; j < n_batch; ++j) {
+            in[j].x0 = 1 + (int64_t)(next() % (uint64_t)(f.seq_len - 64));
+            in[j].x1 = in[j].x0;
+            in[j].s = 1 + (int64_t)(next() % 48);
+            in[j].end = 0;
+        }
+        if (mode == 1) {
+#ifdef BT_HAVE_AVX512_OCC
+            fm_extend_many_back(f, in.data(), n_batch, c, outv.data());
+#endif
+        } else {
+            for (int j = 0; j < n_batch; ++j)
+                fm_extend_one(f, in[j], c, outv[j], true);
+        }
+        acc += outv[0].s + outv[n_batch - 1].x0;
+    }
+    auto dt = std::chrono::duration_cast<std::chrono::nanoseconds>(
+        std::chrono::steady_clock::now() - t0).count();
+    if (acc == 42) fprintf(stderr, "x");  // keep the work alive
+    return dt * 1000 / (n_iters * n_batch);
 }
 
 // Build the interleaved occ+BWT block array (see StrandFM::ilv): one

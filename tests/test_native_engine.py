@@ -167,4 +167,24 @@ def test_avx512_occ_vector_exhaustive(setup):
                     f"rank {k} class {c}: vec ({ev[k]},{gv[k]}) " \
                     f"!= scalar ({es.value},{gs.value})"
                 checked += 1
+        # variable-class variant: random classes per lane over all ranks
+        L.bt_occ_cg_x8v.restype = Ct.c_int
+        rng = np.random.default_rng(7)
+        cs_all = rng.integers(0, 4, len(ranks_all)).astype(np.int64)
+        for j in range(0, len(ranks_all), 8):
+            r = L.bt_occ_cg_x8v(
+                Ct.byref(fmc),
+                ranks_all[j:j + 8].ctypes.data_as(Ct.POINTER(Ct.c_int64)),
+                cs_all[j:j + 8].ctypes.data_as(Ct.POINTER(Ct.c_int64)),
+                e8.ctypes.data_as(Ct.POINTER(Ct.c_int64)),
+                g8.ctypes.data_as(Ct.POINTER(Ct.c_int64)))
+            assert r
+            for t in range(min(8, n + 1 - j)):
+                assert L.bt_occ_cg_scalar(Ct.byref(fmc), int(ranks_all[j + t]),
+                                          int(cs_all[j + t]),
+                                          Ct.byref(es), Ct.byref(gs))
+                assert es.value == e8[t] and gs.value == g8[t], \
+                    f"x8v rank {ranks_all[j + t]} class {cs_all[j + t]}: " \
+                    f"({e8[t]},{g8[t]}) != ({es.value},{gs.value})"
+                checked += 1
     assert checked > 0
