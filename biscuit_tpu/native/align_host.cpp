@@ -91,11 +91,12 @@ static void *huge_alloc(size_t sz) {
 }
 
 // --- stage profiling (BT_PROF=1): cumulative ns per stage over all threads
-static std::atomic<long long> g_prof_ns[8];
+static std::atomic<long long> g_prof_ns[12];
 static bool g_prof_on = false;
-static const char *g_prof_names[8] = {
+static const char *g_prof_names[12] = {
     "seed(collect_intv)", "chain(+sa)", "chain_flt", "extend(chain2region)",
-    "merge_regions", "worker2(sam)", "sa_walk", "seed_fwd"};
+    "merge_regions", "worker2(sam)", "sa_walk", "seed_fwd",
+    "ls_fwdA", "ls_backB", "ls_p2C", "ls_strat1D"};
 struct ProfScope {
     int slot;
     std::chrono::steady_clock::time_point t0;
@@ -121,7 +122,7 @@ static void prof_report(const char *tag) {
     long long tot = 0;
     for (int i = 0; i < 8; ++i) tot += g_prof_ns[i].load();
     fprintf(stderr, "[BT_PROF %s] total %.3fs:", tag, tot / 1e9);
-    for (int i = 0; i < 8; ++i) {
+    for (int i = 0; i < 12; ++i) {
         long long v = g_prof_ns[i].load();
         if (v) fprintf(stderr, " %s=%.3fs(%.0f%%)", g_prof_names[i], v / 1e9,
                        100.0 * v / tot);
@@ -946,21 +947,8 @@ static void smem_backward(const StrandFM &fm, const uint8_t *q, int x,
         int c = (i < 0 || q[i] > 3) ? -1 : q[i];
         curr.clear();
         bool use_vec = false;
-        if (c >= 0 && fm.ilv2 && prev.size() > 1) {
-            // the extensions of this step are independent lookups at
-            // addresses known upfront — prefetch every interval's occ
-            // blocks so their cache misses overlap
-            for (size_t j = 0; j < prev.size(); ++j) {
-                int64_t xq = prev[j].x0;
-                int64_t ka = xq - 1 - (xq - 1 > fm.primary ? 1 : 0);
-                int64_t kb = xq - 1 + prev[j].s;
-                kb -= (kb > fm.primary ? 1 : 0);
-                __builtin_prefetch(fm.ilv2 + ((ka >> 6) << 5), 0, 1);
-                __builtin_prefetch(fm.ilv2 + ((kb >> 6) << 5), 0, 1);
-            }
-        }
 #ifdef BT_HAVE_AVX512_OCC
-        // below ~3 intervals the gather setup loses to the scalar path
+        // below ~3 intervals the batch setup loses to the scalar path
         // (sweep: BT_VEC_MIN, measured 4 > 3 > 6 > 2 at 5-50 Mbp)
         static const size_t vec_min = [] {
             const char *s = getenv("BT_VEC_MIN");
@@ -974,6 +962,20 @@ static void smem_backward(const StrandFM &fm, const uint8_t *q, int x,
             prof_count(5, (long long)prev.size());
         }
 #endif
+        if (!use_vec && c >= 0 && fm.ilv2 && prev.size() > 1) {
+            // scalar path: the extensions of this step are independent
+            // lookups at addresses known upfront — prefetch every
+            // interval's occ blocks so their cache misses overlap (the
+            // vector path's plain loads make this redundant there)
+            for (size_t j = 0; j < prev.size(); ++j) {
+                int64_t xq = prev[j].x0;
+                int64_t ka = xq - 1 - (xq - 1 > fm.primary ? 1 : 0);
+                int64_t kb = xq - 1 + prev[j].s;
+                kb -= (kb > fm.primary ? 1 : 0);
+                __builtin_prefetch(fm.ilv2 + ((ka >> 6) << 5), 0, 1);
+                __builtin_prefetch(fm.ilv2 + ((kb >> 6) << 5), 0, 1);
+            }
+        }
         prof_count(2);
         prof_count(1, c >= 0 ? (long long)prev.size() : 0);
         for (size_t j = 0; j < prev.size(); ++j) {
@@ -1003,6 +1005,132 @@ static void smem_backward(const StrandFM &fm, const uint8_t *q, int x,
         mem.push_back({it->first, it->second.end, it->second.x0,
                        it->second.x1, it->second.s});
 }
+
+#ifdef BT_HAVE_AVX512_OCC
+// Two smem_backward walks step-locked: the backward pass is a dependent
+// chain (each step's ranks come from the previous step's intervals), so a
+// single walk exposes one cache-miss latency per step.  Interleaving two
+// independent calls' walks overlaps their misses; their per-step vector
+// batches are concatenated (classes stay per-call-uniform, so the
+// variable-class kernel takes lanes from both).  Bit-exact with running
+// smem_backward(a) then smem_backward(b).
+struct BackCall {
+    const uint8_t *q;
+    int x;
+    int64_t min_intv;
+    std::vector<Intv> *prev;          // reversed forward pushes (consumed)
+    std::vector<Seed5> *mem;          // append target
+    int32_t min_seed_len;             // append filter
+};
+static void smem_backward_pair(const StrandFM &fm, const BackCall *calls,
+                               int ncalls) {
+    struct M {
+        std::vector<Intv> prev, curr;
+        std::vector<std::pair<int32_t, Intv>> out;  // (start, entry)
+        int i;
+        bool done = false;
+    };
+    static thread_local M ms[2];
+    static thread_local std::vector<Intv> vres[2];
+    for (int k = 0; k < ncalls; ++k) {
+        ms[k].prev.swap(*calls[k].prev);
+        ms[k].curr.clear();
+        ms[k].out.clear();
+        ms[k].i = calls[k].x - 1;
+        ms[k].done = false;
+    }
+    alignas(64) int64_t ks[16], lr[16], cs[16], ek[16], gk[16], el[16], gl[16];
+    for (;;) {
+        bool any = false;
+        int cls[2] = {-1, -1}, base[2] = {-1, -1};
+        int n = 0;
+        for (int k = 0; k < ncalls; ++k) {
+            M &m = ms[k];
+            if (m.done) continue;
+            any = true;
+            const uint8_t *q = calls[k].q;
+            cls[k] = (m.i < 0 || q[m.i] > 3) ? -1 : q[m.i];
+            if (cls[k] >= 0 && n >= 0 && n + (int)m.prev.size() <= 16) {
+                base[k] = n;
+                for (size_t j = 0; j < m.prev.size(); ++j, ++n) {
+                    ks[n] = m.prev[j].x0 - 1;
+                    lr[n] = m.prev[j].x0 - 1 + m.prev[j].s;
+                    cs[n] = cls[k];
+                }
+            }
+        }
+        if (!any) break;
+        if (n > 0) {
+            for (int t = n; t < ((n + 7) & ~7); ++t) {
+                ks[t] = 0; lr[t] = 0; cs[t] = 0;
+            }
+            for (int h = 0; h < n; h += 8) {
+                occ_cg_one_x8v(fm, ks + h, cs + h, ek + h, gk + h);
+                occ_cg_one_x8v(fm, lr + h, cs + h, el + h, gl + h);
+            }
+        }
+        for (int k = 0; k < ncalls; ++k) {
+            M &m = ms[k];
+            if (m.done) continue;
+            int c = cls[k];
+            // extension results for this machine's step: from the shared
+            // batch slice, or its own vector batch when the combined step
+            // overflowed 16 lanes
+            const Intv *res = nullptr;
+            if (c >= 0) {
+                vres[k].resize(m.prev.size());
+                if (base[k] >= 0) {
+                    for (size_t j = 0; j < m.prev.size(); ++j) {
+                        int t = base[k] + (int)j;
+                        Intv &o = vres[k][j];
+                        const Intv &p = m.prev[j];
+                        int64_t crosses =
+                            (p.x0 <= fm.primary && p.x0 + p.s - 1 >= fm.primary)
+                                ? 1 : 0;
+                        o.s = el[t] - ek[t];
+                        o.x0 = fm.L2[c] + 1 + ek[t];
+                        o.x1 = p.x1 + crosses + (gl[t] - gk[t]);
+                        o.end = p.end;
+                    }
+                } else {
+                    fm_extend_many_back(fm, m.prev.data(), (int)m.prev.size(),
+                                        c, vres[k].data());
+                }
+                res = vres[k].data();
+                prof_count(5, (long long)m.prev.size());
+            }
+            prof_count(2);
+            prof_count(1, c >= 0 ? (long long)m.prev.size() : 0);
+            m.curr.clear();
+            for (size_t j = 0; j < m.prev.size(); ++j) {
+                const Intv &p = m.prev[j];
+                if (c < 0 || res[j].s < calls[k].min_intv) {
+                    if (m.curr.empty()) {
+                        if (m.out.empty() || m.i + 1 < m.out.back().first)
+                            m.out.push_back({(int32_t)(m.i + 1), p});
+                    }
+                } else if (m.curr.empty() || res[j].s != m.curr.back().s) {
+                    m.curr.push_back(res[j]);
+                }
+            }
+            if (m.curr.empty() || m.i < 0) m.done = true;
+            else {
+                m.prev.swap(m.curr);
+                --m.i;
+            }
+        }
+    }
+    // emit in call order (preserves per-job seed order when both calls
+    // target the same read)
+    for (int k = 0; k < ncalls; ++k) {
+        for (auto it = ms[k].out.rbegin(); it != ms[k].out.rend(); ++it)
+            if (it->second.end - it->first >= calls[k].min_seed_len)
+                calls[k].mem->push_back({it->first, it->second.end,
+                                         it->second.x0, it->second.x1,
+                                         it->second.s});
+    }
+}
+#endif
 
 static int seed_strategy1(const StrandFM &fm, const StrandFM &fmc,
                           const uint8_t *q, int len, int x, int min_len,
@@ -1478,6 +1606,8 @@ static void lockstep_slice(const Opt &opt, const std::vector<SeedJob> &jobs,
                 if (ls[t].job < 0) live += settle(ls[t]) ? 1 : 0;
         }
     };
+    {
+    ProfScope pA(8);
     run_pool(settleA, [&](Lane &st, const Intv &o, int) {
         prof_count(0);
         if (o.s != st.ik.s) {
@@ -1495,19 +1625,27 @@ static void lockstep_slice(const Opt &opt, const std::vector<SeedJob> &jobs,
         st.ik.end = st.i + 1;
         ++st.i;
     });
-
-    // ---- phase B: backward halves replayed per job in call order
-    for (int g : group) jobs[g].mem->clear();
-    for (const LsCall &rc : calls) {
-        const SeedJob &J = jobs[rc.job];
-        prevbuf.assign(flat.begin() + rc.off, flat.begin() + rc.off + rc.n);
-        std::reverse(prevbuf.begin(), prevbuf.end());
-        tmp.clear();
-        smem_backward(fm, J.q, rc.x, start_width, prevbuf, tmp);
-        for (auto &s : tmp)
-            if (s.end - s.start >= opt.min_seed_len) J.mem->push_back(s);
     }
 
+    // ---- phase B: backward halves replayed per job in call order,
+    // two records step-locked so their dependent-chain misses overlap
+    ProfScope *pB = new ProfScope(9);
+    for (int g : group) jobs[g].mem->clear();
+    static thread_local std::vector<Intv> pb[2];
+    for (size_t r = 0; r < calls.size(); r += 2) {
+        int nc = (int)std::min<size_t>(2, calls.size() - r);
+        BackCall bc[2];
+        for (int k = 0; k < nc; ++k) {
+            const LsCall &rc = calls[r + k];
+            pb[k].assign(flat.begin() + rc.off, flat.begin() + rc.off + rc.n);
+            std::reverse(pb[k].begin(), pb[k].end());
+            bc[k] = BackCall{jobs[rc.job].q, rc.x, start_width, &pb[k],
+                             jobs[rc.job].mem, opt.min_seed_len};
+        }
+        smem_backward_pair(fm, bc, nc);
+    }
+
+    delete pB;
     // ---- phase C: pass-2 re-seeds (lane = independent task, no refill
     // sequencing: eligibility comes from the pass-1 snapshot)
     struct P2Task { int job; int x; int64_t min_intv; };
@@ -1523,6 +1661,7 @@ static void lockstep_slice(const Opt &opt, const std::vector<SeedJob> &jobs,
         }
     }
     if (!p2.empty()) {
+        ProfScope pC(10);
         flat.clear();
         calls.clear();
         static thread_local std::vector<int> rec_of_task;  // -1 = no seeds
@@ -1581,22 +1720,29 @@ static void lockstep_slice(const Opt &opt, const std::vector<SeedJob> &jobs,
             st.ik.end = st.i + 1;
             ++st.i;
         });
-        for (size_t ti = 0; ti < p2.size(); ++ti) {
-            if (rec_of_task[ti] < 0) continue;
-            const LsCall &rc = calls[rec_of_task[ti]];
-            const SeedJob &J = jobs[rc.job];
-            prevbuf.assign(flat.begin() + rc.off,
-                           flat.begin() + rc.off + rc.n);
-            std::reverse(prevbuf.begin(), prevbuf.end());
-            tmp.clear();
-            smem_backward(fm, J.q, rc.x, p2[ti].min_intv, prevbuf, tmp);
-            for (auto &s : tmp)
-                if (s.end - s.start >= opt.min_seed_len) J.mem->push_back(s);
+        static thread_local std::vector<int> live_tasks;
+        live_tasks.clear();
+        for (size_t ti = 0; ti < p2.size(); ++ti)
+            if (rec_of_task[ti] >= 0) live_tasks.push_back((int)ti);
+        for (size_t r = 0; r < live_tasks.size(); r += 2) {
+            int nc = (int)std::min<size_t>(2, live_tasks.size() - r);
+            BackCall bc[2];
+            for (int k = 0; k < nc; ++k) {
+                int ti = live_tasks[r + k];
+                const LsCall &rc = calls[rec_of_task[ti]];
+                pb[k].assign(flat.begin() + rc.off,
+                             flat.begin() + rc.off + rc.n);
+                std::reverse(pb[k].begin(), pb[k].end());
+                bc[k] = BackCall{jobs[rc.job].q, rc.x, p2[ti].min_intv,
+                                 &pb[k], jobs[rc.job].mem, opt.min_seed_len};
+            }
+            smem_backward_pair(fm, bc, nc);
         }
     }
 
     // ---- phase D: strategy-1 reseeding (pure forward, no backward)
     if (opt.max_mem_intv > 0) {
+        ProfScope pD(11);
         next_job = 0;
         for (int t = 0; t < LS_LANES; ++t) { ls[t].job = -1; ls[t].open = false; }
         auto settleD = [&](Lane &st) -> bool {
