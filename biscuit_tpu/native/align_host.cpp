@@ -1952,6 +1952,88 @@ static int fetch_seq(const Bns &b, int64_t &beg, int64_t mid, int64_t &end,
 
 struct ExtRes { int score, qle, tle, gtle, gscore, max_off; };
 
+#ifdef BT_HAVE_AVX512_OCC
+// Vectorized row kernel for sw_extend: 16 int32 cells per step.  The
+// horizontal F-chain (f = max(f - e_ins, t)) is a max-plus prefix scan —
+// u[k] = t[k] + k*e_ins, f[j] = prefixmax(u)[j-1] - (j-1)*e_ins — done in
+// 4 lane-shift/max steps per chunk with a scalar carry between chunks
+// (the same ramp trick as ops/pallas_sw.py on TPU).  Bit-exact with the
+// scalar row loop; A/B-checked per call in tests and by oracle E2E.
+static inline __m512i prefix_max_incl_epi32(__m512i v) {
+    const __m512i ninf = _mm512_set1_epi32(INT32_MIN / 2);
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 15));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 14));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 12));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 8));
+    return v;
+}
+
+// One DP row over columns [beg, end): reads h_row (shifted: h_row[j] =
+// H(i-1, j-1)) and e_row, writes H[j] and the updated e_row, returns the
+// row max m and its LAST attaining index mj (scalar tie rule).  qp = the
+// target-char row of the query profile; iota*e_ins ramps precomputed.
+static inline void sw_row_vec(const int32_t *h_row, int32_t *e_row,
+                              const int32_t *qp, int32_t *H, int beg, int end,
+                              int oe_del, int e_del, int oe_ins, int e_ins,
+                              int &m_out, int &mj_out) {
+    const __m512i vz = _mm512_setzero_si512();
+    const __m512i voedel = _mm512_set1_epi32(oe_del);
+    const __m512i vedel = _mm512_set1_epi32(e_del);
+    const __m512i voeins = _mm512_set1_epi32(oe_ins);
+    const __m512i iota = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                           11, 12, 13, 14, 15);
+    int32_t carry = (beg - 1) * e_ins;  // f[beg] = 0 by construction
+    __m512i vrowmax = vz;
+    for (int j = beg; j < end; j += 16) {
+        int nrem = end - j;
+        __mmask16 mk = nrem >= 16 ? (__mmask16)0xFFFF
+                                  : (__mmask16)((1u << nrem) - 1);
+        __m512i hd = _mm512_maskz_loadu_epi32(mk, h_row + j);
+        __m512i E = _mm512_maskz_loadu_epi32(mk, e_row + j);
+        __m512i pr = _mm512_maskz_loadu_epi32(mk, qp + j);
+        __mmask16 nz = _mm512_mask_cmpneq_epi32_mask(mk, hd, vz);
+        __m512i M = _mm512_maskz_add_epi32(nz, hd, pr);
+        // E update (independent of f)
+        __m512i tdel = _mm512_max_epi32(_mm512_sub_epi32(M, voedel), vz);
+        __m512i Eo = _mm512_max_epi32(_mm512_sub_epi32(E, vedel), tdel);
+        _mm512_mask_storeu_epi32(e_row + j, mk, Eo);
+        // F via exclusive prefix-max of u = t_ins + j*e_ins
+        __m512i jv = _mm512_add_epi32(_mm512_set1_epi32(j), iota);
+        __m512i tins = _mm512_max_epi32(_mm512_sub_epi32(M, voeins), vz);
+        __m512i u = _mm512_mask_add_epi32(
+            _mm512_set1_epi32(INT32_MIN / 2), mk, tins,
+            _mm512_mullo_epi32(jv, _mm512_set1_epi32(e_ins)));
+        __m512i incl = prefix_max_incl_epi32(u);
+        __m512i excl = _mm512_alignr_epi32(incl, _mm512_set1_epi32(carry), 15);
+        carry = _mm512_mask_reduce_max_epi32(mk, incl);
+        __m512i f = _mm512_sub_epi32(
+            excl, _mm512_mullo_epi32(_mm512_sub_epi32(jv,
+                                                      _mm512_set1_epi32(1)),
+                                     _mm512_set1_epi32(e_ins)));
+        __m512i h = _mm512_max_epi32(_mm512_max_epi32(M, E), f);
+        _mm512_mask_storeu_epi32(H + j, mk, h);
+        vrowmax = _mm512_mask_max_epi32(vrowmax, mk, vrowmax, h);
+    }
+    int m = _mm512_reduce_max_epi32(vrowmax);
+    // the scalar tie rule keeps the LAST index attaining the running max
+    int mj = end - 1;
+    if (m > 0) {
+        __m512i vm = _mm512_set1_epi32(m);
+        for (int j = ((end - 1) & ~15);; j -= 16) {
+            int lo = j < beg ? beg : j;
+            __mmask16 mk = (__mmask16)(((1u << (end - j > 16 ? 16 : end - j))
+                                        - 1) & ~((1u << (lo - j)) - 1));
+            __m512i h = _mm512_maskz_loadu_epi32(mk, H + j);
+            __mmask16 eq = _mm512_mask_cmpeq_epi32_mask(mk, h, vm);
+            if (eq) { mj = j + 31 - __builtin_clz((unsigned)eq); break; }
+            if (j <= beg) break;
+        }
+    }
+    m_out = m;
+    mj_out = mj;
+}
+#endif  // BT_HAVE_AVX512_OCC
+
 // exact ops/sw.py::sw_extend semantics
 static ExtRes sw_extend(const uint8_t *query, int qlen, const uint8_t *target,
                         int tlen, const int8_t *mat /*5x5*/, int o_del,
@@ -1977,6 +2059,20 @@ static ExtRes sw_extend(const uint8_t *query, int qlen, const uint8_t *target,
     int max_sc = h0, max_i = -1, max_j = -1, max_ie = -1, gscore = -1, max_off = 0;
     int beg = 0, end = qlen;
     std::vector<int> H(qlen);
+#ifdef BT_HAVE_AVX512_OCC
+    // vector rows pay a 5xqlen profile build; below ~2 chunks the scalar
+    // row wins (BT_SW_VEC=0 forces scalar everywhere for A/B)
+    static const bool swvec_on = !(getenv("BT_SW_VEC") &&
+                                   getenv("BT_SW_VEC")[0] == '0');
+    const bool use_vec = swvec_on && qlen >= 24;
+    static thread_local std::vector<int32_t> qp;
+    if (use_vec) {
+        qp.resize(5 * (size_t)qlen);
+        for (int c = 0; c < 5; ++c)
+            for (int j = 0; j < qlen; ++j)
+                qp[(size_t)c * qlen + j] = mat[5 * c + query[j]];
+    }
+#endif
     for (int i = 0; i < tlen; ++i) {
         if (beg < i - w) beg = i - w;
         if (end > i + w + 1) end = i + w + 1;
@@ -1991,20 +2087,31 @@ static ExtRes sw_extend(const uint8_t *query, int qlen, const uint8_t *target,
             }
             break;
         }
-        const int8_t *prof = mat + 5 * target[i];
-        int f = 0;
-        int m = 0, mj = -1;
-        for (int j = beg; j < end; ++j) {
-            int Hdiag = h_row[j];
-            int E = e_row[j];
-            int M = Hdiag ? Hdiag + prof[query[j]] : 0;
-            int h = std::max(std::max(M, E), f);
-            H[j] = h;
-            if (m > h) { /* keep mj */ } else { mj = j; m = h; }
-            int t = std::max(M - oe_del, 0);
-            e_row[j] = std::max(E - e_del, t);
-            t = std::max(M - oe_ins, 0);
-            f = std::max(f - e_ins, t);
+        int m, mj;
+#ifdef BT_HAVE_AVX512_OCC
+        if (use_vec) {
+            sw_row_vec((const int32_t *)h_row.data(), (int32_t *)e_row.data(),
+                       qp.data() + (size_t)qlen * target[i],
+                       (int32_t *)H.data(), beg, end, oe_del, e_del, oe_ins,
+                       e_ins, m, mj);
+        } else
+#endif
+        {
+            const int8_t *prof = mat + 5 * target[i];
+            int f = 0;
+            m = 0; mj = -1;
+            for (int j = beg; j < end; ++j) {
+                int Hdiag = h_row[j];
+                int E = e_row[j];
+                int M = Hdiag ? Hdiag + prof[query[j]] : 0;
+                int h = std::max(std::max(M, E), f);
+                H[j] = h;
+                if (m > h) { /* keep mj */ } else { mj = j; m = h; }
+                int t = std::max(M - oe_del, 0);
+                e_row[j] = std::max(E - e_del, t);
+                t = std::max(M - oe_ins, 0);
+                f = std::max(f - e_ins, t);
+            }
         }
         int h1_last = H[end - 1];
         // shifted store
