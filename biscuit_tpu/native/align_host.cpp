@@ -2004,8 +2004,15 @@ static inline void sw_row_vec(const int32_t *h_row, int32_t *e_row,
             _mm512_set1_epi32(INT32_MIN / 2), mk, tins,
             _mm512_mullo_epi32(jv, _mm512_set1_epi32(e_ins)));
         __m512i incl = prefix_max_incl_epi32(u);
-        __m512i excl = _mm512_alignr_epi32(incl, _mm512_set1_epi32(carry), 15);
-        carry = _mm512_mask_reduce_max_epi32(mk, incl);
+        // the incoming carry is the max-plus state over ALL prior columns:
+        // it must join every lane's exclusive scan, not just lane 0, and
+        // survive into the next chunk (an F source >16 columns back can
+        // dominate when gaps are cheap, e.g. -x ont2d O=E=1)
+        __m512i vcar = _mm512_set1_epi32(carry);
+        __m512i excl = _mm512_max_epi32(_mm512_alignr_epi32(incl, vcar, 15),
+                                        vcar);
+        carry = std::max(carry,
+                         (int32_t)_mm512_mask_reduce_max_epi32(mk, incl));
         __m512i f = _mm512_sub_epi32(
             excl, _mm512_mullo_epi32(_mm512_sub_epi32(jv,
                                                       _mm512_set1_epi32(1)),
@@ -2038,7 +2045,7 @@ static inline void sw_row_vec(const int32_t *h_row, int32_t *e_row,
 static ExtRes sw_extend(const uint8_t *query, int qlen, const uint8_t *target,
                         int tlen, const int8_t *mat /*5x5*/, int o_del,
                         int e_del, int o_ins, int e_ins, int w, int end_bonus,
-                        int zdrop, int h0) {
+                        int zdrop, int h0, int vec_mode = -1) {
     int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
     std::vector<int> h_row(qlen + 1, 0), e_row(qlen + 1, 0);
     h_row[0] = h0;
@@ -2064,7 +2071,8 @@ static ExtRes sw_extend(const uint8_t *query, int qlen, const uint8_t *target,
     // row wins (BT_SW_VEC=0 forces scalar everywhere for A/B)
     static const bool swvec_on = !(getenv("BT_SW_VEC") &&
                                    getenv("BT_SW_VEC")[0] == '0');
-    const bool use_vec = swvec_on && qlen >= 24;
+    const bool use_vec = vec_mode >= 0 ? vec_mode == 1
+                                       : (swvec_on && qlen >= 24);
     static thread_local std::vector<int32_t> qp;
     if (use_vec) {
         qp.resize(5 * (size_t)qlen);
@@ -4213,6 +4221,24 @@ void *bt_build_ilv2(const StrandFMC *s) {
 // path (tests/test_native_engine.py compares them over every rank).
 // bt_occ_cg_x8 returns 0 when the vector kernel is unavailable (non-AVX512
 // build or missing ilv2) so callers can skip.
+// Test-only sw_extend entry: vec_mode 0 forces the scalar row, 1 forces the
+// AVX-512 row, -1 uses the production heuristic. Returns 1 when the vector
+// row kernel exists in this build (so A/B tests can skip on non-AVX512).
+int bt_sw_extend(const uint8_t *query, int qlen, const uint8_t *target,
+                 int tlen, const int8_t *mat, int o_del, int e_del, int o_ins,
+                 int e_ins, int w, int end_bonus, int zdrop, int h0,
+                 int vec_mode, int32_t *out6) {
+    ExtRes r = sw_extend(query, qlen, target, tlen, mat, o_del, e_del, o_ins,
+                         e_ins, w, end_bonus, zdrop, h0, vec_mode);
+    out6[0] = r.score; out6[1] = r.qle; out6[2] = r.tle;
+    out6[3] = r.gtle; out6[4] = r.gscore; out6[5] = r.max_off;
+#ifdef BT_HAVE_AVX512_OCC
+    return 1;
+#else
+    return 0;
+#endif
+}
+
 int bt_occ_cg_x8(const StrandFMC *s, const int64_t *ranks, int c,
                  int64_t *e, int64_t *g) {
 #ifdef BT_HAVE_AVX512_OCC

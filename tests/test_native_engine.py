@@ -188,3 +188,71 @@ def test_avx512_occ_vector_exhaustive(setup):
                     f"({e8[t]},{g8[t]}) != ({es.value},{gs.value})"
                 checked += 1
     assert checked > 0
+
+
+def test_sw_extend_vector_row_fuzz():
+    """The AVX-512 sw_extend row kernel must be bit-exact with the scalar
+    row AND the Python ground truth (ops/sw.py) over random inputs under
+    every scoring regime — including cheap-gap presets (ont2d O=E=1) where
+    the F-chain propagates >16 columns and dominates (the round-2 carry bug
+    was invisible under default scoring)."""
+    import ctypes as Ct
+    from biscuit_tpu import native
+    from biscuit_tpu.ops.sw import sw_extend as py_sw_extend
+
+    L = native.lib()
+    L.bt_sw_extend.restype = Ct.c_int
+    u8p = Ct.POINTER(Ct.c_uint8)
+    i8p = Ct.POINTER(Ct.c_int8)
+    i32p = Ct.POINTER(Ct.c_int32)
+
+    def mk_mat(a, b):
+        m = np.full((5, 5), -b, np.int8)
+        for i in range(4):
+            m[i, i] = a
+        m[4, :] = -1
+        m[:, 4] = -1
+        return m
+
+    # (mat, o_del, e_del, o_ins, e_ins, w, end_bonus, zdrop)
+    regimes = [
+        (mk_mat(1, 2), 6, 1, 6, 1, 100, 5, 100),    # biscuit default
+        (mk_mat(1, 1), 1, 1, 1, 1, 100, 0, 200),    # ont2d: cheap gaps
+        (mk_mat(1, 4), 2, 1, 2, 1, 100, 50, 200),   # pacbio-ish
+        (mk_mat(2, 3), 5, 2, 3, 1, 25, 10, 50),     # asymmetric gaps, tight band
+    ]
+    rng = np.random.default_rng(11)
+    vec_available = True
+    checked = 0
+    for mat, o_del, e_del, o_ins, e_ins, w, eb, zdrop in regimes:
+        for trial in range(40):
+            qlen = int(rng.integers(24, 220))
+            tlen = int(rng.integers(8, 300))
+            # correlated sequences so extensions survive: mutate a copy
+            base = rng.integers(0, 4, max(qlen, tlen)).astype(np.uint8)
+            q = base[:qlen].copy()
+            t = base[:tlen].copy()
+            nmut = int(rng.integers(0, 1 + tlen // 4))
+            pos = rng.integers(0, tlen, nmut)
+            t[pos] = rng.integers(0, 4, nmut).astype(np.uint8)
+            h0 = int(rng.integers(1, 80))
+            out_s = np.zeros(6, np.int32)
+            out_v = np.zeros(6, np.int32)
+            args = (q.ctypes.data_as(u8p), qlen, t.ctypes.data_as(u8p), tlen,
+                    mat.ctypes.data_as(i8p), o_del, e_del, o_ins, e_ins,
+                    w, eb, zdrop, h0)
+            L.bt_sw_extend(*args, 0, out_s.ctypes.data_as(i32p))
+            r = L.bt_sw_extend(*args, 1, out_v.ctypes.data_as(i32p))
+            if not r:
+                vec_available = False
+                break
+            assert (out_s == out_v).all(), \
+                f"vec != scalar: {out_v} vs {out_s} (regime o={o_ins} " \
+                f"e={e_ins}, qlen={qlen} tlen={tlen} h0={h0} trial={trial})"
+            py = py_sw_extend(q, t, mat.astype(np.int64), o_del, e_del,
+                              o_ins, e_ins, w, eb, zdrop, h0)
+            assert tuple(int(x) for x in out_s) == tuple(int(x) for x in py)
+            checked += 1
+        if not vec_available:
+            pytest.skip("AVX-512 sw row kernel not in this build")
+    assert checked > 0
