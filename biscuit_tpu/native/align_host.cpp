@@ -14,7 +14,7 @@
 
 #include <algorithm>
 #include <atomic>
-#if defined(__AVX512F__) && defined(__AVX512VPOPCNTDQ__)
+#if defined(__AVX512F__) && defined(__AVX512BW__)
 #include <immintrin.h>
 #endif
 #include <chrono>
@@ -548,15 +548,33 @@ static void occ_cg_pair(const StrandFM &f, int64_t k, int64_t l, int c,
 // 4 gathers pull each rank's full 32-byte ilv2 block, VPOPCNTQ does the
 // counting).  Bit-exact with occ_cg_one; tests/test_native_engine.py
 // compares it against the scalar path over every rank of a small index.
-#if defined(__AVX512F__) && defined(__AVX512VPOPCNTDQ__)
+#if defined(__AVX512F__) && defined(__AVX512BW__)
 #define BT_HAVE_AVX512_OCC 1
+
+// Per-qword popcount: VPOPCNTQ where the host has it, otherwise the classic
+// vpshufb nibble-LUT + vpsadbw horizontal sum (AVX512BW) — identical result,
+// ~2 extra uops per use. Lets Skylake-class hosts run the SIMD seeder too.
+static inline __m512i bt_popcnt64(__m512i v) {
+#if defined(__AVX512VPOPCNTDQ__)
+    return _mm512_popcnt_epi64(v);
+#else
+    const __m512i lut = _mm512_broadcast_i32x4(
+        _mm_setr_epi8(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4));
+    const __m512i low = _mm512_set1_epi8(0x0f);
+    __m512i lo = _mm512_and_si512(v, low);
+    __m512i hi = _mm512_and_si512(_mm512_srli_epi16(v, 4), low);
+    __m512i cnt = _mm512_add_epi8(_mm512_shuffle_epi8(lut, lo),
+                                  _mm512_shuffle_epi8(lut, hi));
+    return _mm512_sad_epu8(cnt, _mm512_setzero_si512());
+#endif
+}
 
 static inline __m512i occ_exact_vec(__m512i y, int c) {
     const __m512i M = _mm512_set1_epi64((long long)OCC_M);
     __m512i t = _mm512_xor_si512(y, _mm512_set1_epi64((long long)OCC_MAGIC[c]));
     __m512i u = _mm512_andnot_si512(
         _mm512_or_si512(_mm512_srli_epi64(t, 1), t), M);
-    return _mm512_popcnt_epi64(u);
+    return bt_popcnt64(u);
 }
 static inline __m512i occ_gt_vec(__m512i y, int c) {
     const __m512i M = _mm512_set1_epi64((long long)OCC_M);
@@ -567,7 +585,7 @@ static inline __m512i occ_gt_vec(__m512i y, int c) {
     case 2: r = _mm512_and_si512(_mm512_and_si512(y, _mm512_srli_epi64(y, 1)), M); break;
     default: return _mm512_setzero_si512();
     }
-    return _mm512_popcnt_epi64(r);
+    return bt_popcnt64(r);
 }
 
 // Load 8 ranks' full 32-byte ilv2 blocks into 4 column vectors
@@ -663,7 +681,7 @@ static inline void occ_cg_one_x8v(const StrandFM &f, const int64_t *ranks,
     __mmask8 c_is2 = _mm512_cmpeq_epi64_mask(vc, _mm512_set1_epi64(2));
     auto exactv = [&](__m512i y) {
         __m512i t = _mm512_xor_si512(y, vmagic);
-        return _mm512_popcnt_epi64(_mm512_andnot_si512(
+        return bt_popcnt64(_mm512_andnot_si512(
             _mm512_or_si512(_mm512_srli_epi64(t, 1), t), M));
     };
     auto gtv = [&](__m512i y) {
@@ -674,7 +692,7 @@ static inline void occ_cg_one_x8v(const StrandFM &f, const int64_t *ranks,
         r = _mm512_mask_mov_epi64(r, c_is0, _mm512_or_si512(u, v));
         r = _mm512_mask_mov_epi64(r, c_is1, v);
         r = _mm512_mask_mov_epi64(r, c_is2, _mm512_and_si512(u, v));
-        return _mm512_popcnt_epi64(r);
+        return bt_popcnt64(r);
     };
     __m512i vk = _mm512_loadu_si512((const void *)ranks);
     __mmask8 ge = _mm512_cmp_epi64_mask(
