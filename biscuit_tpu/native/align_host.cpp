@@ -91,20 +91,28 @@ static void *huge_alloc(size_t sz) {
 }
 
 // --- stage profiling (BT_PROF=1): cumulative ns per stage over all threads
-static std::atomic<long long> g_prof_ns[12];
+static std::atomic<long long> g_prof_ns[16];
 static bool g_prof_on = false;
-static const char *g_prof_names[12] = {
+static const char *g_prof_names[16] = {
     "seed(collect_intv)", "chain(+sa)", "chain_flt", "extend(chain2region)",
     "merge_regions", "worker2(sam)", "sa_walk", "seed_fwd",
-    "ls_fwdA", "ls_backB", "ls_p2C", "ls_strat1D"};
+    "ls_fwdA", "ls_backB", "ls_p2C", "ls_strat1D",
+    "backB_setup", "backB_occ", "backB_post", ""};
+static bool g_prof_fine = false;  // BT_PROF=2: per-iteration sub-slots.
+// WARNING: the fine slots (12-14) fire millions of times per batch and
+// clock_gettime is a real syscall on some VMs — BT_PROF=2 can slow the
+// run several-fold and inflate the enclosing coarse slots. Use it only to
+// compare the sub-slots against each other, never to read absolute time.
 struct ProfScope {
     int slot;
     std::chrono::steady_clock::time_point t0;
     explicit ProfScope(int s) : slot(s) {
-        if (g_prof_on) t0 = std::chrono::steady_clock::now();
+        if (g_prof_on && (slot < 12 || g_prof_fine))
+            t0 = std::chrono::steady_clock::now();
+        else slot = -1;
     }
     ~ProfScope() {
-        if (g_prof_on)
+        if (slot >= 0 && g_prof_on)
             g_prof_ns[slot] += std::chrono::duration_cast<std::chrono::nanoseconds>(
                 std::chrono::steady_clock::now() - t0).count();
     }
@@ -122,7 +130,7 @@ static void prof_report(const char *tag) {
     long long tot = 0;
     for (int i = 0; i < 8; ++i) tot += g_prof_ns[i].load();
     fprintf(stderr, "[BT_PROF %s] total %.3fs:", tag, tot / 1e9);
-    for (int i = 0; i < 12; ++i) {
+    for (int i = 0; i < 16; ++i) {
         long long v = g_prof_ns[i].load();
         if (v) fprintf(stderr, " %s=%.3fs(%.0f%%)", g_prof_names[i], v / 1e9,
                        100.0 * v / tot);
@@ -1062,6 +1070,8 @@ static void smem_backward_pair(const StrandFM &fm, const BackCall *calls,
         bool any = false;
         int cls[2] = {-1, -1}, base[2] = {-1, -1};
         int n = 0;
+        {
+        ProfScope ps(12);
         for (int k = 0; k < ncalls; ++k) {
             M &m = ms[k];
             if (m.done) continue;
@@ -1077,8 +1087,10 @@ static void smem_backward_pair(const StrandFM &fm, const BackCall *calls,
                 }
             }
         }
+        }
         if (!any) break;
         if (n > 0) {
+            ProfScope po(13);
             for (int t = n; t < ((n + 7) & ~7); ++t) {
                 ks[t] = 0; lr[t] = 0; cs[t] = 0;
             }
@@ -1087,49 +1099,65 @@ static void smem_backward_pair(const StrandFM &fm, const BackCall *calls,
                 occ_cg_one_x8v(fm, lr + h, cs + h, el + h, gl + h);
             }
         }
+        ProfScope pp(14);
         for (int k = 0; k < ncalls; ++k) {
             M &m = ms[k];
             if (m.done) continue;
             int c = cls[k];
-            // extension results for this machine's step: from the shared
-            // batch slice, or its own vector batch when the combined step
-            // overflowed 16 lanes
-            const Intv *res = nullptr;
+            size_t np = m.prev.size();
+            prof_count(2);
+            prof_count(1, c >= 0 ? (long long)np : 0);
+            m.curr.clear();
             if (c >= 0) {
-                vres[k].resize(m.prev.size());
+                // extension results: the shared batch slice, or this
+                // machine's own vector batch when the combined step
+                // overflowed 16 lanes
+                const Intv *res = nullptr;
+                const int64_t *bek = nullptr, *bel = nullptr;
+                const int64_t *bgk = nullptr, *bgl = nullptr;
                 if (base[k] >= 0) {
-                    for (size_t j = 0; j < m.prev.size(); ++j) {
-                        int t = base[k] + (int)j;
-                        Intv &o = vres[k][j];
+                    bek = ek + base[k]; bel = el + base[k];
+                    bgk = gk + base[k]; bgl = gl + base[k];
+                } else {
+                    vres[k].resize(np);
+                    fm_extend_many_back(fm, m.prev.data(), (int)np, c,
+                                        vres[k].data());
+                    res = vres[k].data();
+                }
+                prof_count(5, (long long)np);
+                // prev is nested (longest match = smallest interval first)
+                // with strictly ascending sizes, and backward extension
+                // preserves containment, so extended sizes ascend along j:
+                // dying lanes (s < min_intv) form a PREFIX and the
+                // distinct-size dedup only ever compares with the last
+                // kept size. One branch-light pass replaces the generic
+                // curr-rebuild loop; kept lanes materialize their Intv
+                // lazily (dead/duplicate lanes never touch x0/x1/crosses).
+                size_t j = 0;
+                while (j < np && (res ? res[j].s : bel[j] - bek[j]) <
+                                     calls[k].min_intv)
+                    ++j;
+                if (j > 0 && (m.out.empty() || m.i + 1 < m.out.back().first))
+                    m.out.push_back({(int32_t)(m.i + 1), m.prev[0]});
+                int64_t last_s = -1;
+                for (; j < np; ++j) {
+                    int64_t s = res ? res[j].s : bel[j] - bek[j];
+                    if (s == last_s) continue;
+                    last_s = s;
+                    if (res) m.curr.push_back(res[j]);
+                    else {
                         const Intv &p = m.prev[j];
                         int64_t crosses =
-                            (p.x0 <= fm.primary && p.x0 + p.s - 1 >= fm.primary)
-                                ? 1 : 0;
-                        o.s = el[t] - ek[t];
-                        o.x0 = fm.L2[c] + 1 + ek[t];
-                        o.x1 = p.x1 + crosses + (gl[t] - gk[t]);
-                        o.end = p.end;
+                            (p.x0 <= fm.primary &&
+                             p.x0 + p.s - 1 >= fm.primary) ? 1 : 0;
+                        m.curr.push_back({fm.L2[c] + 1 + bek[j],
+                                          p.x1 + crosses + (bgl[j] - bgk[j]),
+                                          s, p.end});
                     }
-                } else {
-                    fm_extend_many_back(fm, m.prev.data(), (int)m.prev.size(),
-                                        c, vres[k].data());
                 }
-                res = vres[k].data();
-                prof_count(5, (long long)m.prev.size());
-            }
-            prof_count(2);
-            prof_count(1, c >= 0 ? (long long)m.prev.size() : 0);
-            m.curr.clear();
-            for (size_t j = 0; j < m.prev.size(); ++j) {
-                const Intv &p = m.prev[j];
-                if (c < 0 || res[j].s < calls[k].min_intv) {
-                    if (m.curr.empty()) {
-                        if (m.out.empty() || m.i + 1 < m.out.back().first)
-                            m.out.push_back({(int32_t)(m.i + 1), p});
-                    }
-                } else if (m.curr.empty() || res[j].s != m.curr.back().s) {
-                    m.curr.push_back(res[j]);
-                }
+            } else if (np) {
+                if (m.out.empty() || m.i + 1 < m.out.back().first)
+                    m.out.push_back({(int32_t)(m.i + 1), m.prev[0]});
             }
             if (m.curr.empty() || m.i < 0) m.done = true;
             else {
@@ -4609,7 +4637,8 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
             status[i] = 0;
         }
     };
-    g_prof_on = getenv("BT_PROF") && getenv("BT_PROF")[0] == '1';
+    g_prof_on = getenv("BT_PROF") && getenv("BT_PROF")[0] != '0';
+    g_prof_fine = getenv("BT_PROF") && getenv("BT_PROF")[0] == '2';
     if (n_threads <= 1) {
         run(0, n_reads);
     } else {
