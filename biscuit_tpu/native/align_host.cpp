@@ -99,34 +99,67 @@ static const char *g_prof_names[16] = {
     "ls_fwdA", "ls_backB", "ls_p2C", "ls_strat1D",
     "backB_setup", "backB_occ", "backB_post", ""};
 static bool g_prof_fine = false;  // BT_PROF=2: per-iteration sub-slots.
-// WARNING: the fine slots (12-14) fire millions of times per batch and
-// clock_gettime is a real syscall on some VMs — BT_PROF=2 can slow the
-// run several-fold and inflate the enclosing coarse slots. Use it only to
-// compare the sub-slots against each other, never to read absolute time.
+// Event counters + fine timing accumulators are THREAD-LOCAL, merged under
+// a mutex at report time: they fire tens of millions of times per batch,
+// and shared atomics turn the profile itself into a 3-4x cache-line
+// ping-pong slowdown that inflates every seeding slot (that bug shaped two
+// sessions of optimization priorities).
+static const char *g_cnt_names[8] = {
+    "fwd_ext", "back_ext", "back_steps", "smem1a", "strat1_ext",
+    "back_vec", "", ""};
+struct ProfCnt { long long c[8] = {}; long long fine_ns[4] = {}; };
+static std::mutex g_cnt_mu;
+static std::vector<ProfCnt *> g_cnt_all;
+static ProfCnt *prof_tl() {
+    static thread_local ProfCnt *p = nullptr;
+    if (!p) {
+        p = new ProfCnt;
+        std::lock_guard<std::mutex> lk(g_cnt_mu);
+        g_cnt_all.push_back(p);
+    }
+    return p;
+}
+static inline void prof_count(int slot, long long n = 1) {
+    if (g_prof_on) prof_tl()->c[slot] += n;
+}
+// The fine slots (12-14) use rdtsc (~20 cycles) instead of clock_gettime
+// (a real syscall on this VM) and report TSC cycles scaled by a nominal
+// 2.1 GHz — compare the fine slots against each other, not against the
+// coarse wall-clock slots.
 struct ProfScope {
     int slot;
     std::chrono::steady_clock::time_point t0;
+    unsigned long long c0;
     explicit ProfScope(int s) : slot(s) {
-        if (g_prof_on && (slot < 12 || g_prof_fine))
-            t0 = std::chrono::steady_clock::now();
-        else slot = -1;
+        if (!g_prof_on) { slot = -1; return; }
+        if (slot >= 12) {
+            if (!g_prof_fine) { slot = -1; return; }
+            c0 = __builtin_ia32_rdtsc();
+        } else t0 = std::chrono::steady_clock::now();
     }
     ~ProfScope() {
-        if (slot >= 0 && g_prof_on)
+        if (slot < 0) return;
+        if (slot >= 12)
+            prof_tl()->fine_ns[slot - 12] +=
+                (long long)((__builtin_ia32_rdtsc() - c0) / 2.1);
+        else
             g_prof_ns[slot] += std::chrono::duration_cast<std::chrono::nanoseconds>(
                 std::chrono::steady_clock::now() - t0).count();
     }
 };
-// event counters (BT_PROF=1): extend-call mix inside seeding
-static std::atomic<long long> g_cnt[8];
-static const char *g_cnt_names[8] = {
-    "fwd_ext", "back_ext", "back_steps", "smem1a", "strat1_ext",
-    "back_vec", "", ""};
-static inline void prof_count(int slot, long long n = 1) {
-    if (g_prof_on) g_cnt[slot] += n;
-}
 static void prof_report(const char *tag) {
     if (!g_prof_on) return;
+    long long cnt[8] = {};
+    {
+        std::lock_guard<std::mutex> lk(g_cnt_mu);
+        for (ProfCnt *p : g_cnt_all) {
+            for (int i = 0; i < 8; ++i) { cnt[i] += p->c[i]; p->c[i] = 0; }
+            for (int i = 0; i < 4; ++i) {
+                g_prof_ns[12 + i] += p->fine_ns[i];
+                p->fine_ns[i] = 0;
+            }
+        }
+    }
     long long tot = 0;
     for (int i = 0; i < 8; ++i) tot += g_prof_ns[i].load();
     fprintf(stderr, "[BT_PROF %s] total %.3fs:", tag, tot / 1e9);
@@ -136,11 +169,8 @@ static void prof_report(const char *tag) {
                        100.0 * v / tot);
         g_prof_ns[i] = 0;
     }
-    for (int i = 0; i < 8; ++i) {
-        long long v = g_cnt[i].load();
-        if (v) fprintf(stderr, " #%s=%lld", g_cnt_names[i], v);
-        g_cnt[i] = 0;
-    }
+    for (int i = 0; i < 8; ++i)
+        if (cnt[i]) fprintf(stderr, " #%s=%lld", g_cnt_names[i], cnt[i]);
     fprintf(stderr, "\n");
 }
 
