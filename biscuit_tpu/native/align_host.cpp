@@ -1070,6 +1070,42 @@ static void smem_backward(const StrandFM &fm, const uint8_t *q, int x,
 // batches are concatenated (classes stay per-call-uniform, so the
 // variable-class kernel takes lanes from both).  Bit-exact with running
 // smem_backward(a) then smem_backward(b).
+// Extended-interval fields for np (<=16) lanes of one backward step, all
+// lanes sharing class c: reads the batch counts (ek/gk/el/gl slices) and
+// prev's AoS fields via qword gathers, writes SoA s/x0/x1 (arrays of 16).
+// Bit-exact with the scalar tail of fm_extend_many_back.
+static inline void intv_fields_x8(const StrandFM &fm, const Intv *prev,
+                                  int np, int c,
+                                  const int64_t *bek, const int64_t *bgk,
+                                  const int64_t *bel, const int64_t *bgl,
+                                  int64_t *s_a, int64_t *x0_a, int64_t *x1_a) {
+    const __m512i vprim = _mm512_set1_epi64(fm.primary);
+    const __m512i vl2 = _mm512_set1_epi64(fm.L2[c] + 1);
+    const __m512i idx = _mm512_setr_epi64(0, 4, 8, 12, 16, 20, 24, 28);
+    for (int j = 0; j < np; j += 8) {
+        int m = np - j < 8 ? np - j : 8;
+        __mmask8 mk = (__mmask8)((1u << m) - 1);
+        const long long *pb = (const long long *)(prev + j);
+        const __m512i z = _mm512_setzero_si512();
+        __m512i px0 = _mm512_mask_i64gather_epi64(z, mk, idx, pb + 0, 8);
+        __m512i px1 = _mm512_mask_i64gather_epi64(z, mk, idx, pb + 1, 8);
+        __m512i ps = _mm512_mask_i64gather_epi64(z, mk, idx, pb + 2, 8);
+        __m512i vek = _mm512_loadu_si512((const void *)(bek + j));
+        __m512i vel = _mm512_loadu_si512((const void *)(bel + j));
+        __m512i vgk = _mm512_loadu_si512((const void *)(bgk + j));
+        __m512i vgl = _mm512_loadu_si512((const void *)(bgl + j));
+        __mmask8 cr = _mm512_cmple_epi64_mask(px0, vprim) &
+                      _mm512_cmple_epi64_mask(
+                          vprim, _mm512_sub_epi64(_mm512_add_epi64(px0, ps),
+                                                  _mm512_set1_epi64(1)));
+        __m512i x1v = _mm512_add_epi64(px1, _mm512_sub_epi64(vgl, vgk));
+        x1v = _mm512_mask_add_epi64(x1v, cr, x1v, _mm512_set1_epi64(1));
+        _mm512_storeu_si512((void *)(s_a + j), _mm512_sub_epi64(vel, vek));
+        _mm512_storeu_si512((void *)(x0_a + j), _mm512_add_epi64(vl2, vek));
+        _mm512_storeu_si512((void *)(x1_a + j), x1v);
+    }
+}
+
 struct BackCall {
     const uint8_t *q;
     int x;
@@ -1139,20 +1175,28 @@ static void smem_backward_pair(const StrandFM &fm, const BackCall *calls,
             prof_count(1, c >= 0 ? (long long)np : 0);
             m.curr.clear();
             if (c >= 0) {
-                // extension results: the shared batch slice, or this
-                // machine's own vector batch when the combined step
-                // overflowed 16 lanes
-                const Intv *res = nullptr;
-                const int64_t *bek = nullptr, *bel = nullptr;
-                const int64_t *bgk = nullptr, *bgl = nullptr;
-                if (base[k] >= 0) {
-                    bek = ek + base[k]; bel = el + base[k];
-                    bgk = gk + base[k]; bgl = gl + base[k];
-                } else {
+                // extension fields as SoA: vectorized from the shared
+                // batch slice, or copied from this machine's own vector
+                // batch when the combined step overflowed 16 lanes
+                alignas(64) int64_t sb[16], x0b[16], x1b[16];
+                const int64_t *s_a = sb, *x0_a = x0b, *x1_a = x1b;
+                if (base[k] >= 0) {   // shared slice: np <= 16 by batching
+                    intv_fields_x8(fm, m.prev.data(), (int)np, c,
+                                   ek + base[k], gk + base[k],
+                                   el + base[k], gl + base[k],
+                                   sb, x0b, x1b);
+                } else {              // overflow: np may exceed 16
+                    static thread_local std::vector<int64_t> sv, x0v, x1v;
+                    sv.resize(np); x0v.resize(np); x1v.resize(np);
                     vres[k].resize(np);
                     fm_extend_many_back(fm, m.prev.data(), (int)np, c,
                                         vres[k].data());
-                    res = vres[k].data();
+                    for (size_t j = 0; j < np; ++j) {
+                        sv[j] = vres[k][j].s;
+                        x0v[j] = vres[k][j].x0;
+                        x1v[j] = vres[k][j].x1;
+                    }
+                    s_a = sv.data(); x0_a = x0v.data(); x1_a = x1v.data();
                 }
                 prof_count(5, (long long)np);
                 // prev is nested (longest match = smallest interval first)
@@ -1161,29 +1205,17 @@ static void smem_backward_pair(const StrandFM &fm, const BackCall *calls,
                 // dying lanes (s < min_intv) form a PREFIX and the
                 // distinct-size dedup only ever compares with the last
                 // kept size. One branch-light pass replaces the generic
-                // curr-rebuild loop; kept lanes materialize their Intv
-                // lazily (dead/duplicate lanes never touch x0/x1/crosses).
+                // curr-rebuild loop.
                 size_t j = 0;
-                while (j < np && (res ? res[j].s : bel[j] - bek[j]) <
-                                     calls[k].min_intv)
-                    ++j;
+                while (j < np && s_a[j] < calls[k].min_intv) ++j;
                 if (j > 0 && (m.out.empty() || m.i + 1 < m.out.back().first))
                     m.out.push_back({(int32_t)(m.i + 1), m.prev[0]});
                 int64_t last_s = -1;
                 for (; j < np; ++j) {
-                    int64_t s = res ? res[j].s : bel[j] - bek[j];
-                    if (s == last_s) continue;
-                    last_s = s;
-                    if (res) m.curr.push_back(res[j]);
-                    else {
-                        const Intv &p = m.prev[j];
-                        int64_t crosses =
-                            (p.x0 <= fm.primary &&
-                             p.x0 + p.s - 1 >= fm.primary) ? 1 : 0;
-                        m.curr.push_back({fm.L2[c] + 1 + bek[j],
-                                          p.x1 + crosses + (bgl[j] - bgk[j]),
-                                          s, p.end});
-                    }
+                    if (s_a[j] == last_s) continue;
+                    last_s = s_a[j];
+                    m.curr.push_back({x0_a[j], x1_a[j], s_a[j],
+                                      m.prev[j].end});
                 }
             } else if (np) {
                 if (m.out.empty() || m.i + 1 < m.out.back().first)
