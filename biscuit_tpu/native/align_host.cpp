@@ -110,22 +110,49 @@ static const char *g_cnt_names[8] = {
 struct ProfCnt { long long c[8] = {}; long long fine_ns[4] = {}; };
 static std::mutex g_cnt_mu;
 static std::vector<ProfCnt *> g_cnt_all;
-static ProfCnt *prof_tl() {
-    static thread_local ProfCnt *p = nullptr;
-    if (!p) {
-        p = new ProfCnt;
+static long long g_cnt_dead[8];      // merged from exited threads
+static long long g_fine_dead[4];
+// Registration object lives in thread storage so exiting worker threads
+// (spawned fresh per batch) fold their counters into g_*_dead and drop out
+// of the registry — no unbounded growth across batches in long processes.
+struct ProfTLReg {
+    ProfCnt c;
+    ProfTLReg() {
         std::lock_guard<std::mutex> lk(g_cnt_mu);
-        g_cnt_all.push_back(p);
+        g_cnt_all.push_back(&c);
     }
-    return p;
+    ~ProfTLReg() {
+        std::lock_guard<std::mutex> lk(g_cnt_mu);
+        for (int i = 0; i < 8; ++i) g_cnt_dead[i] += c.c[i];
+        for (int i = 0; i < 4; ++i) g_fine_dead[i] += c.fine_ns[i];
+        g_cnt_all.erase(std::find(g_cnt_all.begin(), g_cnt_all.end(), &c));
+    }
+};
+static ProfCnt *prof_tl() {
+    static thread_local ProfTLReg r;
+    return &r.c;
 }
 static inline void prof_count(int slot, long long n = 1) {
     if (g_prof_on) prof_tl()->c[slot] += n;
 }
 // The fine slots (12-14) use rdtsc (~20 cycles) instead of clock_gettime
-// (a real syscall on this VM) and report TSC cycles scaled by a nominal
-// 2.1 GHz — compare the fine slots against each other, not against the
-// coarse wall-clock slots.
+// (a real syscall on this VM); raw TSC cycles are accumulated and scaled
+// to ns at report time with a startup-calibrated TSC frequency. Fine
+// slots print with a '~' prefix: they still measure a different clock
+// domain than the coarse steady_clock slots.
+static double tsc_ghz() {
+    static const double g = [] {
+        auto t0 = std::chrono::steady_clock::now();
+        unsigned long long c0 = __builtin_ia32_rdtsc();
+        while (std::chrono::steady_clock::now() - t0 <
+               std::chrono::milliseconds(5)) {}
+        unsigned long long c1 = __builtin_ia32_rdtsc();
+        double ns = (double)std::chrono::duration_cast<std::chrono::nanoseconds>(
+            std::chrono::steady_clock::now() - t0).count();
+        return (double)(c1 - c0) / ns;
+    }();
+    return g;
+}
 struct ProfScope {
     int slot;
     std::chrono::steady_clock::time_point t0;
@@ -140,8 +167,8 @@ struct ProfScope {
     ~ProfScope() {
         if (slot < 0) return;
         if (slot >= 12)
-            prof_tl()->fine_ns[slot - 12] +=
-                (long long)((__builtin_ia32_rdtsc() - c0) / 2.1);
+            prof_tl()->fine_ns[slot - 12] +=   // raw TSC cycles; ns at report
+                (long long)(__builtin_ia32_rdtsc() - c0);
         else
             g_prof_ns[slot] += std::chrono::duration_cast<std::chrono::nanoseconds>(
                 std::chrono::steady_clock::now() - t0).count();
@@ -149,13 +176,19 @@ struct ProfScope {
 };
 static void prof_report(const char *tag) {
     if (!g_prof_on) return;
+    const double ghz = tsc_ghz();
     long long cnt[8] = {};
     {
         std::lock_guard<std::mutex> lk(g_cnt_mu);
+        for (int i = 0; i < 8; ++i) { cnt[i] += g_cnt_dead[i]; g_cnt_dead[i] = 0; }
+        for (int i = 0; i < 4; ++i) {
+            g_prof_ns[12 + i] += (long long)(g_fine_dead[i] / ghz);
+            g_fine_dead[i] = 0;
+        }
         for (ProfCnt *p : g_cnt_all) {
             for (int i = 0; i < 8; ++i) { cnt[i] += p->c[i]; p->c[i] = 0; }
             for (int i = 0; i < 4; ++i) {
-                g_prof_ns[12 + i] += p->fine_ns[i];
+                g_prof_ns[12 + i] += (long long)(p->fine_ns[i] / ghz);
                 p->fine_ns[i] = 0;
             }
         }
@@ -165,8 +198,8 @@ static void prof_report(const char *tag) {
     fprintf(stderr, "[BT_PROF %s] total %.3fs:", tag, tot / 1e9);
     for (int i = 0; i < 16; ++i) {
         long long v = g_prof_ns[i].load();
-        if (v) fprintf(stderr, " %s=%.3fs(%.0f%%)", g_prof_names[i], v / 1e9,
-                       100.0 * v / tot);
+        if (v) fprintf(stderr, " %s%s=%.3fs(%.0f%%)", i >= 12 ? "~" : "",
+                       g_prof_names[i], v / 1e9, 100.0 * v / tot);
         g_prof_ns[i] = 0;
     }
     for (int i = 0; i < 8; ++i)
@@ -1090,10 +1123,14 @@ static inline void intv_fields_x8(const StrandFM &fm, const Intv *prev,
         __m512i px0 = _mm512_mask_i64gather_epi64(z, mk, idx, pb + 0, 8);
         __m512i px1 = _mm512_mask_i64gather_epi64(z, mk, idx, pb + 1, 8);
         __m512i ps = _mm512_mask_i64gather_epi64(z, mk, idx, pb + 2, 8);
-        __m512i vek = _mm512_loadu_si512((const void *)(bek + j));
-        __m512i vel = _mm512_loadu_si512((const void *)(bel + j));
-        __m512i vgk = _mm512_loadu_si512((const void *)(bgk + j));
-        __m512i vgl = _mm512_loadu_si512((const void *)(bgl + j));
+        // masked loads: base[k]+np can land within 8 of the end of the
+        // 16-slot batch arrays, so an unmasked 8-lane load would read
+        // past them (UB / ASan stack-overflow-read even though the
+        // garbage lanes are never stored)
+        __m512i vek = _mm512_maskz_loadu_epi64(mk, (const void *)(bek + j));
+        __m512i vel = _mm512_maskz_loadu_epi64(mk, (const void *)(bel + j));
+        __m512i vgk = _mm512_maskz_loadu_epi64(mk, (const void *)(bgk + j));
+        __m512i vgl = _mm512_maskz_loadu_epi64(mk, (const void *)(bgl + j));
         __mmask8 cr = _mm512_cmple_epi64_mask(px0, vprim) &
                       _mm512_cmple_epi64_mask(
                           vprim, _mm512_sub_epi64(_mm512_add_epi64(px0, ps),
@@ -1206,6 +1243,17 @@ static void smem_backward_pair(const StrandFM &fm, const BackCall *calls,
                 // distinct-size dedup only ever compares with the last
                 // kept size. One branch-light pass replaces the generic
                 // curr-rebuild loop.
+                // The pass depends on that ascending invariant: check it
+                // under the profiler so a future seeder change that breaks
+                // it dies loudly instead of silently diverging from the
+                // oracle (mid-array dying lanes would be kept as live).
+                if (g_prof_on)
+                    for (size_t jj = 1; jj < np; ++jj)
+                        if (s_a[jj] < s_a[jj - 1]) {
+                            fprintf(stderr, "[bt] BUG: backward-extend "
+                                    "sizes not ascending (j=%zu)\n", jj);
+                            abort();
+                        }
                 size_t j = 0;
                 while (j < np && s_a[j] < calls[k].min_intv) ++j;
                 if (j > 0 && (m.out.empty() || m.i + 1 < m.out.back().first))
@@ -4699,8 +4747,12 @@ int bt_align_se_batch(const StrandFMC *dau, const StrandFMC *par,
             status[i] = 0;
         }
     };
-    g_prof_on = getenv("BT_PROF") && getenv("BT_PROF")[0] != '0';
-    g_prof_fine = getenv("BT_PROF") && getenv("BT_PROF")[0] == '2';
+    {
+        const char *e = getenv("BT_PROF");
+        int v = e ? atoi(e) : 0;   // empty/junk values stay off
+        g_prof_on = v >= 1;
+        g_prof_fine = v >= 2;
+    }
     if (n_threads <= 1) {
         run(0, n_reads);
     } else {
