@@ -10,7 +10,14 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "_build", "libbiscuit_native.so")
+# BISCUIT_TPU_SAN=1 (read at import): AddressSanitizer+UBSan build, kept in
+# a separate .so so the sanitized and production caches never collide. The
+# Python process must have libasan/libubsan preloaded for dlopen to work —
+# tools/san_check.py handles the LD_PRELOAD re-exec and drives the whole
+# C++ surface under it.
+_SAN = os.environ.get("BISCUIT_TPU_SAN") == "1"
+_SO = os.path.join(_DIR, "_build",
+                   "libbiscuit_native_san.so" if _SAN else "libbiscuit_native.so")
 _SOURCES = [os.path.join(_DIR, f) for f in sorted(os.listdir(_DIR)) if f.endswith(".cpp")]
 
 _lib = None
@@ -46,14 +53,20 @@ def _pgo_profile_fresh() -> bool:
 def _build(instrument: bool = False) -> None:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     extra = []
-    if instrument:
+    opt = ["-O3", "-funroll-loops"]
+    if _SAN:
+        # keep optimization modest so sanitizer line info stays usable;
+        # no-sanitize-recover => first finding aborts the run
+        opt = ["-O1", "-g", "-fsanitize=address,undefined",
+               "-fno-sanitize-recover=all", "-fno-omit-frame-pointer"]
+    elif instrument:
         extra = [f"-fprofile-generate={_PGO_DIR}"]
     elif _pgo_profile_fresh():
         # profile-guided rebuild: ~10% on the align hot path (same output;
         # PGO only reorders/optimizes, it never changes semantics)
         extra = [f"-fprofile-use={_PGO_DIR}", "-fprofile-correction"]
     # c++20: the interleaved SMEM seeder (align_host.cpp) uses coroutines
-    base = ["g++", "-O3", "-funroll-loops", "-std=c++20", "-shared", "-fPIC",
+    base = ["g++", *opt, "-std=c++20", "-shared", "-fPIC",
             *extra, "-o", _SO]
     tail = _SOURCES + ["-lz", "-lpthread"]
     # -march=native turns __builtin_popcount into the POPCNT instruction
@@ -74,6 +87,11 @@ def train_pgo(train_argv) -> None:
     process; later processes pick the profiled build up automatically."""
     import shutil
 
+    if _SAN:  # sanitized builds never train/use PGO
+        if not os.path.exists(_SO) or any(
+                os.path.getmtime(s) > os.path.getmtime(_SO) for s in _SOURCES):
+            _build()
+        return
     if _pgo_profile_fresh():
         # rebuild unless the current .so is the one built with this profile
         mark = None

@@ -575,6 +575,14 @@ static inline char seq_at(const RawRec &r, int qp) {
     return NT16[(r.seq4[qp >> 1] >> ((~qp & 1) << 2)) & 0xF];
 }
 
+// cigar points into the raw BAM body, which has no alignment guarantee:
+// read ops via memcpy (compiles to one mov on x86; a direct deref is UB)
+static inline uint32_t cig_at(const uint32_t *cig, int k) {
+    uint32_t v;
+    std::memcpy(&v, (const uint8_t *)cig + 4 * (size_t)k, 4);
+    return v;
+}
+
 // parse one record at data+off; returns offset past it (or -1 on overrun)
 static int64_t parse_raw(const uint8_t *data, int64_t off, int64_t len,
                          RawRec &r) {
@@ -703,7 +711,7 @@ int64_t bt_bam_scan(const uint8_t *data, int64_t len, int64_t body_off,
             if (n >= n_out) break;
             int64_t span = 0;
             for (int k = 0; k < r.n_cigar; ++k) {
-                uint32_t v = r.cigar[k];
+                uint32_t v = cig_at(r.cigar, k);
                 uint32_t op = v & 0xF;
                 if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
                     span += v >> 4;
@@ -789,7 +797,7 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
             int64_t rpos = b.pos + 1;
             int qpos = 0;
             for (int k = 0; k < b.n_cigar; ++k) {
-                uint32_t v = b.cigar[k];
+                uint32_t v = cig_at(b.cigar, k);
                 int op = v & 0xF, ln = v >> 4;
                 if (op == 0 || op == 7 || op == 8) {
                     for (int j = 0; j < ln; ++j) {
@@ -877,7 +885,7 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
         int64_t rpos = rpos0;
         int qpos = 0;
         for (int k = 0; k < b.n_cigar; ++k) {
-            uint32_t v = b.cigar[k];
+            uint32_t v = cig_at(b.cigar, k);
             int op = v & 0xF, ln = v >> 4;
             if (op == 0 || op == 7 || op == 8) {
                 for (int j = 0; j < ln; ++j) {
@@ -1192,7 +1200,7 @@ int bt_pileup_window_raw(const btp::Conf *cf, const char *chrom_name,
                 int64_t rpos = b.pos + 1;
                 int qpos = 0;
                 for (int k = 0; k < b.n_cigar; ++k) {
-                    uint32_t v = b.cigar[k];
+                    uint32_t v = cig_at(b.cigar, k);
                     int op = v & 0xF, ln = v >> 4;
                     if (op == 0 || op == 7 || op == 8) {
                         for (int j = 0; j < ln; ++j) {
@@ -1239,7 +1247,7 @@ int bt_pileup_window_raw(const btp::Conf *cf, const char *chrom_name,
             int64_t rpos = b.pos + 1;
             int qpos = 0;
             for (int k = 0; k < b.n_cigar; ++k) {
-                uint32_t v = b.cigar[k];
+                uint32_t v = cig_at(b.cigar, k);
                 int op = v & 0xF, ln = v >> 4;
                 if (op == 0 || op == 7 || op == 8) {
                     for (int j = 0; j < ln; ++j) {
