@@ -64,10 +64,44 @@ class FileAllgather:
         return merged
 
 
+class JaxProcessAllgather:
+    """allgather(list[int]) across jax.distributed processes — the real DCN
+    collective path (multihost_utils.process_allgather), replacing the
+    FileAllgather simulation when the run was started with
+    jax.distributed.initialize (tools/dist_run.py). Variable-length lists
+    are exchanged as (count allgather, pad-to-max, value allgather, trim);
+    result is rank-ordered, so pairing decisions are partition-invariant
+    exactly as with the file barrier."""
+
+    def __init__(self):
+        import jax
+        from jax.experimental import multihost_utils
+        self._jax = jax
+        self._mh = multihost_utils
+
+    def __call__(self, values):
+        np_vals = np.asarray(list(values), dtype=np.int64)
+        counts = np.asarray(
+            self._mh.process_allgather(np.int64(len(np_vals))))
+        counts = counts.reshape(-1)
+        width = max(int(counts.max()), 1)
+        pad = np.zeros(width, np.int64)
+        pad[:len(np_vals)] = np_vals
+        allv = np.asarray(self._mh.process_allgather(pad))
+        allv = allv.reshape(len(counts), width)
+        merged = []
+        for r in range(len(counts)):
+            merged.extend(allv[r, :counts[r]].tolist())
+        return merged
+
+
 def from_env(env: str = "BISCUIT_TPU_PES_EXCHANGE"):
-    """Parse 'dir:rank:n' from the environment; None when unset."""
+    """Parse 'dir:rank:n' (file barrier) or 'jax' (jax.distributed
+    process_allgather) from the environment; None when unset."""
     spec = os.environ.get(env)
     if not spec:
         return None
+    if spec == "jax":
+        return JaxProcessAllgather()
     d, rank, n = spec.rsplit(":", 2)
     return FileAllgather(d, int(rank), int(n))

@@ -16,7 +16,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map as _shard_map
+
+try:  # jax >= 0.6 stable API; the experimental module warns on import
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 
 def shard_map(f, **kw):
