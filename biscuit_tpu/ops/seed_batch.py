@@ -1207,6 +1207,453 @@ def smem3_pool_batch(fm: FMPair, pool: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
                                    "split_len", "split_width", "lanes",
+                                   "C", "T2", "LOG_LEN", "W", "max_iters",
+                                   "claim_every"))
+def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
+                     min_seed_len: int, max_mem_intv: int,
+                     split_len: int, split_width: int, lanes: int = 4096,
+                     C: int = 32, T2: int = 16, LOG_LEN: int = 8192,
+                     W: int = 256, max_iters: int = 500000,
+                     claim_every: int = 1):
+    """The pool machine with the seed ARCHIVE replaced by an iteration-
+    indexed LOG (the round-3 HBM-traffic redesign).
+
+    Measured on the honest 5 Mbp geometry (tools/seed_diag.py): pool
+    iteration cost is t(B) ~ 37us + 22ns/lane, and the dominant per-lane
+    term was the full [6, B, S] seed-archive rewrite every iteration
+    (~26 MB of HBM traffic at B=4096, S=136 — while_loop carries written
+    through a one-hot select are re-materialized whole). Two changes
+    remove almost all of it:
+
+    * Seeds append to a log [6, LOG_LEN, W]: each iteration the <=W lanes
+      that store a seed are compacted (cumsum one-hot) into ONE [6, W] row
+      written with lax.dynamic_update_slice at row `iters` — XLA updates
+      the carry in place, so per-iteration traffic drops from O(B*S) to
+      O(W). Empty slots carry read_id -1; the decode is a flatten +
+      filter + the same (read, start, end) stable sort as before.
+    * Pass-2 tasks are APPENDED EAGERLY into a [2, B, T2] buffer when a
+      qualifying pass-1 seed is stored (end-start >= split_len, occ <=
+      split_width — memchain.c:76-85), instead of re-deriving them every
+      scan iteration from the seed planes with a [B, S] cumsum-rank scan.
+
+    Capacity spills never truncate silently: more than W stores in one
+    iteration or more than T2 tasks flag the READ for host rerun (ov_rd),
+    and log exhaustion (iters == LOG_LEN) simply stops the loop — the
+    unclaimed pool tail plus every mid-flight lane's read is reported for
+    host rerun via (next_ctr, rd, phase).
+
+    pool  [N, L+2] rows: [codes..., len, parent]
+    Returns (log [6, LOG_LEN, W] (start, end, x0, x1, size, read_id|-1),
+             ov_rd [B, 8], ov_spill bool, iters, next_ctr,
+             rd [B], phase [B])."""
+    N, Lp2 = pool.shape
+    L = Lp2 - 2
+    B = lanes
+    rdt = fm.rdt
+    msl = jnp.asarray(min_seed_len, jnp.int32)
+    PH_P3, PH_CLAIM = 4, 5
+    OVCAP = 8
+    hard_iters = min(int(max_iters), int(LOG_LEN))
+
+    # Query codes packed 8-per-int32 (one nibble each, 0-4): the per-lane
+    # query lookup (3x per iteration) is a one-hot reduce over the minor
+    # axis, and shrinking it L -> L/8 was measured as the single biggest
+    # iteration cost — 3x [B,128] one-hots were ~45us/iter at B=2048 vs
+    # ~0.3us for the VMEM-resident extend gather (tools/seed_diag.py).
+    L16 = -(-L // 8)
+    codes = pool[:, :L].astype(jnp.int32)
+    pad_c = jnp.full((N, L16 * 8 - L), 4, jnp.int32)
+    c8 = jnp.concatenate([codes, pad_c], axis=1).reshape(N, L16, 8)
+    nib_sh = (jnp.arange(8, dtype=jnp.int32) << 2)
+    pool_p = jnp.concatenate(
+        [jnp.sum(c8 << nib_sh[None, None, :], axis=2, dtype=jnp.int32),
+         pool[:, L:].astype(jnp.int32)], axis=1)        # [N, L16+2]
+
+    state = dict(
+        phase=jnp.full((B,), PH_CLAIM, jnp.int32),
+        stage=jnp.ones((B,), jnp.int32),
+        rd=jnp.full((B,), -1, jnp.int32),
+        q_cur=jnp.full((B, L16), 0x44444444, jnp.int32),
+        len_cur=jnp.zeros((B,), rdt),
+        par_cur=jnp.zeros((B,), jnp.int32),
+        next_ctr=jnp.int32(0),
+        t_idx=jnp.zeros((B,), jnp.int32),
+        x1next=jnp.zeros((B,), rdt),
+        tasks=jnp.zeros((2, B, T2), rdt),
+        n_t2=jnp.zeros((B,), jnp.int32),
+        x=jnp.zeros((B,), rdt),
+        min_intv=jnp.ones((B,), rdt),
+        i=jnp.zeros((B,), rdt),
+        ret=jnp.zeros((B,), rdt),
+        ik=jnp.zeros((4, B), rdt),
+        buf=jnp.zeros((4, B, 2 * C), rdt),
+        prev_slot=jnp.zeros((B,), jnp.int32),
+        n_prev=jnp.zeros((B,), jnp.int32),
+        n_curr=jnp.zeros((B,), jnp.int32),
+        j=jnp.zeros((B,), jnp.int32),
+        call_emits=jnp.zeros((B,), jnp.int32),
+        last_emit_start=jnp.zeros((B,), rdt),
+        rev=jnp.zeros((B,), jnp.bool_),
+        log=jnp.full((6, LOG_LEN, W), -1, rdt),
+        ov_rd=jnp.full((B, OVCAP), -1, jnp.int32),
+        ov_n=jnp.zeros((B,), jnp.int32),
+        ov_spill=jnp.bool_(False),
+        iters=jnp.int32(0),
+    )
+
+    def pick(plane, idx):
+        return _pick_oh(plane, idx)
+
+    def write(plane, idx, rows, mask):
+        Np = plane.shape[2]
+        oh = (jnp.arange(Np, dtype=jnp.int32)[None, :] == idx[:, None]) \
+            & mask[:, None]
+        return jnp.where(oh[None], rows[:, :, None], plane)
+
+    def cond(st):
+        live = (st["phase"] != PH_DONE).any() | (st["next_ctr"] < N)
+        return live & (st["iters"] < hard_iters)
+
+    # Stagger the INITIAL claims into waves: at pool start every lane
+    # would otherwise claim at iteration 0 and run phase-locked through
+    # similar 100 bp reads, producing store bursts of ~45% of all lanes in
+    # ONE iteration (measured) — far beyond any reasonable log width W.
+    # After the first read per lane, completion times spread naturally
+    # (steady-state p99 burst ~ B/40). Waves of <=128 lanes cost <STAG
+    # idle iterations once per pool.
+    STAG = max(16, B // 128)
+    lane_idx = jnp.arange(B, dtype=jnp.int32)
+
+    def step(st):
+        # ------------- CLAIM: idle lanes pull the next pool read ----------
+        idle = (st["phase"] == PH_DONE) | (st["phase"] == PH_CLAIM)
+
+        def do_claim(op):
+            q0, l0, p0, rd0, ph0, sg0, ti0, x10, nt0, nc0 = op
+            claim_try = idle & (st["iters"] >= (lane_idx % STAG))
+            order = jnp.cumsum(claim_try.astype(jnp.int32)) - 1
+            ridx = nc0 + order
+            claim = claim_try & (ridx < N)
+            nc1 = jnp.minimum(nc0 + claim_try.astype(jnp.int32).sum(),
+                              N).astype(jnp.int32)
+            rows_cl = pool_p[jnp.where(claim, ridx, 0)]  # ONE B-row gather
+            return (jnp.where(claim[:, None], rows_cl[:, :L16], q0),
+                    jnp.where(claim, rows_cl[:, L16].astype(rdt), l0),
+                    jnp.where(claim, rows_cl[:, L16 + 1], p0),
+                    jnp.where(claim, ridx, rd0),
+                    jnp.where(claim, PH_SCAN,
+                              jnp.where(idle, PH_DONE, ph0)),
+                    jnp.where(claim, 1, sg0),
+                    jnp.where(claim, 0, ti0),
+                    jnp.where(claim, jnp.zeros((), x10.dtype), x10),
+                    jnp.where(claim, 0, nt0),
+                    nc1)
+
+        ops = (st["q_cur"], st["len_cur"], st["par_cur"], st["rd"],
+               st["phase"], st["stage"], st["t_idx"], st["x1next"],
+               st["n_t2"], st["next_ctr"])
+        if claim_every > 1:
+            gate = (st["iters"] % claim_every) == 0
+            (q_cur, len_cur, par_cur, rd, phase, stage, t_idx, x1next,
+             n_t2, next_ctr) = jax.lax.cond(
+                gate & idle.any(), do_claim, lambda op: op, ops)
+        else:
+            (q_cur, len_cur, par_cur, rd, phase, stage, t_idx, x1next,
+             n_t2, next_ctr) = do_claim(ops)
+
+        lens = len_cur
+        fm_id = par_cur
+        fmc_id = 1 - par_cur
+        L2f = _sel2(fm.L2, fm_id)
+        L2c = _sel2(fm.L2, fmc_id)
+
+        def get_q(i):
+            ii = jnp.clip(i, 0, L - 1).astype(jnp.int32)
+            w = _pick_oh(q_cur, ii >> 3)          # one-hot over L/8 words
+            v = (w >> ((ii & 7) << 2)) & 15       # nibble-unpack
+            return jnp.where((i < 0) | (i >= lens), 4, v).astype(rdt)
+
+        scan12 = (phase == PH_SCAN) & (stage < 3)
+        scan3 = (phase == PH_SCAN) & (stage == 3)
+        fwd = phase == PH_FWD
+        back = phase == PH_BACK
+        p3e = phase == PH_P3
+
+        # ------------- stage-1/2 SCAN: tasks come from the eager buffer ---
+        is1 = stage == 1
+        n_tasks_cur = jnp.where(is1, 1, jnp.minimum(n_t2, T2))
+        tx = jnp.where(is1, x1next,
+                       _pick_oh(st["tasks"][0], jnp.clip(t_idx, 0, T2 - 1)))
+        tmi = jnp.where(is1, jnp.ones((B,), rdt),
+                        _pick_oh(st["tasks"][1], jnp.clip(t_idx, 0, T2 - 1)))
+        cont = is1
+        tasks_left = t_idx < n_tasks_cur
+        q_at_tx = get_q(tx)
+        task_done = scan12 & (~tasks_left)
+        task_past_end = scan12 & tasks_left & (tx >= lens)
+        task_amb = scan12 & tasks_left & (tx < lens) & (q_at_tx >= 4)
+        task_init = scan12 & tasks_left & (tx < lens) & (q_at_tx < 4)
+
+        go2 = task_done & is1
+        go3 = task_done & (stage == 2)
+        t_idx = jnp.where(go2, 0, t_idx)
+        if max_mem_intv > 0:
+            stage_n = jnp.where(go2, 2, jnp.where(go3, 3, stage))
+            x = jnp.where(go3, 0, st["x"])
+            new_phase = phase
+        else:
+            stage_n = jnp.where(go2, 2, stage)
+            x = st["x"]
+            new_phase = jnp.where(go3, PH_CLAIM, phase)
+
+        bump = task_amb & cont
+        skip = task_amb & (~cont)
+        t_idx = jnp.where(skip | task_past_end, t_idx + 1, t_idx)
+
+        c0 = jnp.clip(q_at_tx, 0, 3)
+        l2f_c0 = _pick_oh(L2f, c0)
+        ik_new12 = jnp.stack([l2f_c0 + 1, _pick_oh(L2c, 3 - c0) + 1,
+                              _pick_oh(L2f, c0 + 1) - l2f_c0, tx + 1])
+        ik = jnp.where(task_init[None], ik_new12, st["ik"])
+        x = jnp.where(task_init, tx, x)
+        min_intv = jnp.where(task_init, jnp.maximum(tmi, 1), st["min_intv"])
+        i = jnp.where(task_init, tx + 1, st["i"])
+        n_curr = jnp.where(task_init, 0, st["n_curr"])
+        new_phase = jnp.where(task_init, PH_FWD, new_phase)
+
+        # ------------- stage-3 SCAN --------------------------------------
+        qx3 = get_q(st["x"])
+        p3_end = scan3 & (st["x"] >= lens)
+        p3_start = scan3 & (st["x"] < lens) & (qx3 < 4)
+        p3_skip = scan3 & (st["x"] < lens) & (qx3 >= 4)
+        new_phase = jnp.where(p3_end, PH_CLAIM, new_phase)
+        x = jnp.where(p3_skip, st["x"] + 1, x)
+        c03 = jnp.clip(qx3, 0, 3)
+        l2f_c03 = _pick_oh(L2f, c03)
+        ik_new3 = jnp.stack([l2f_c03 + 1, _pick_oh(L2c, 3 - c03) + 1,
+                             _pick_oh(L2f, c03 + 1) - l2f_c03,
+                             jnp.zeros((B,), rdt)])
+        ik = jnp.where(p3_start[None], ik_new3, ik)
+        i = jnp.where(p3_start, st["x"] + 1, i)
+        new_phase = jnp.where(p3_start, PH_P3, new_phase)
+
+        # ------------- extension (FWD, BACK, or P3 lanes) -----------------
+        qi = get_q(st["i"])
+        jidx = jnp.where(st["rev"], st["n_prev"] - 1 - st["j"], st["j"])
+        prevj = pick(st["buf"],
+                     st["prev_slot"] * C + jnp.clip(jidx, 0, C - 1))
+        back_c = jnp.where((st["i"] < 0) | (qi > 3), -1, qi)
+        fwdlike = fwd | p3e
+        fwd_need = fwdlike & (st["i"] < lens) & (qi < 4)
+        back_need = back & (back_c >= 0) & (st["j"] < st["n_prev"])
+        need = fwd_need | back_need
+
+        which = jnp.where(fwdlike, fmc_id, fm_id)
+        x_q = jnp.where(fwdlike, st["ik"][1], prevj[0])
+        x_o = jnp.where(fwdlike, st["ik"][0], prevj[1])
+        s_in = jnp.where(fwdlike, st["ik"][2], prevj[2])
+        x_q = jnp.where(need, x_q, 1)
+        s_in = jnp.where(need, s_in, 1)
+        new_xq, new_xo, sizes = extend_sel(fm, which, x_q, x_o, s_in, back)
+        fwd_c = 3 - jnp.clip(qi, 0, 3)
+        c_sel = jnp.where(fwdlike, fwd_c, jnp.clip(back_c, 0, 3))
+        ok_q = _pick_oh(new_xq, c_sel)
+        ok_o = _pick_oh(new_xo, c_sel)
+        ok_s = _pick_oh(sizes, c_sel)
+        ok_x0 = jnp.where(fwdlike, ok_o, ok_q)
+        ok_x1 = jnp.where(fwdlike, ok_q, ok_o)
+
+        # ------------- FWD logic ------------------------------------------
+        at_end = fwd & ((st["i"] >= lens) | (qi >= 4))
+        size_changed = fwd & (st["i"] < lens) & (qi < 4) \
+            & (ok_s != st["ik"][2])
+        push_ik = at_end | size_changed
+        curr_slot = 1 - st["prev_slot"]
+
+        # ------------- BACK decisions -------------------------------------
+        back_act = back & (st["j"] < st["n_prev"])
+        keep = back_act & ((back_c < 0) | (ok_s < min_intv))
+        emit = keep & (n_curr == 0) & \
+            ((st["call_emits"] == 0) | (st["i"] + 1 < st["last_emit_start"]))
+        start = st["i"] + 1
+        end = prevj[3]
+        store = emit & (end - start >= msl)
+
+        # ------------- P3 decisions ---------------------------------------
+        p3_need = p3e & (st["i"] < lens) & (qi < 4)
+        p3_endlen = p3e & (st["i"] >= lens)
+        p3_amb = p3e & (st["i"] < lens) & (qi >= 4)
+        p3_hit = p3_need & (ok_s < max_mem_intv) & (st["i"] - st["x"] >= msl)
+        p3_store = p3_hit & (ok_s > 0)
+
+        # ------------- eager pass-2 task append (stage-1 stores only) -----
+        qual = store & is1 & (end - start >= split_len) \
+            & (prevj[2] <= split_width)
+        can_t = n_t2 < T2
+        task_rows = jnp.stack([(start + end) >> 1, prevj[2] + 1])
+        tasks = write(st["tasks"], jnp.minimum(n_t2, T2 - 1), task_rows,
+                      qual & can_t)
+        n_t2 = jnp.where(qual & can_t, n_t2 + 1, n_t2)
+
+        # ------------- seed write: compact into ONE log row ---------------
+        do_store = store | p3_store
+        seed_rows = jnp.where(
+            p3e[None],
+            jnp.stack([st["x"], st["i"] + 1, ok_x0, ok_x1, ok_s,
+                       rd.astype(rdt)]),
+            jnp.stack([start, end, prevj[0], prevj[1], prevj[2],
+                       rd.astype(rdt)]))
+        cs = jnp.cumsum(do_store.astype(jnp.int32))
+        slotw = cs - 1
+        w_ok = do_store & (slotw < W)
+        ohw = (slotw[:, None] == jnp.arange(W, dtype=jnp.int32)[None, :]) \
+            & w_ok[:, None]
+        if fm.wide:
+            # int64 values: masked-select reduce (the wide path is not the
+            # throughput path)
+            row6 = jnp.sum(jnp.where(ohw[None], seed_rows[:, :, None], 0),
+                           axis=1)
+        else:
+            # compaction as an exact f32 matmul on the MXU: each (plane,
+            # slot) output receives AT MOST ONE nonzero contribution (slot
+            # ids are unique). Values are split into four 8-bit byte
+            # planes: integers <= 255 are exact even in the MXU's bf16
+            # multiply (default precision — 16-bit halves were NOT, the
+            # rounding was observed on the real chip), and the f32
+            # accumulator reassembles each int32 exactly. The naive
+            # one-hot masked reduce materializes a [6, B, W] intermediate
+            # (~100 MB at B=8192, W=512) and dominated the iteration.
+            ohf = ohw.astype(jnp.float32)
+            u = seed_rows.astype(jnp.uint32)
+            row6 = jnp.zeros((6, W), jnp.uint32)
+            for k in range(4):
+                byt = ((u >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.float32)
+                row6 = row6 | (jax.lax.dot(byt, ohf)
+                               .astype(jnp.uint32) << (8 * k))
+            row6 = row6.astype(rdt)
+        occ_w = jnp.arange(W, dtype=jnp.int32) < jnp.minimum(cs[-1], W)
+        row6 = jnp.where(occ_w[None], row6, jnp.full_like(row6, -1))
+        log = jax.lax.dynamic_update_slice(
+            st["log"], row6[:, None, :], (jnp.int32(0), st["iters"],
+                                          jnp.int32(0)))
+        call_emits = jnp.where(emit, st["call_emits"] + 1, st["call_emits"])
+        last_emit_start = jnp.where(emit, start, st["last_emit_start"])
+
+        # interval-list growth
+        curr_last_s = pick(st["buf"][2:3],
+                           curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1))[0]
+        append = back_act & (~keep) & ((n_curr == 0) | (ok_s != curr_last_s))
+        app_rows = jnp.stack([ok_x0, ok_x1, ok_s, prevj[3]])
+        wrow = jnp.where(fwd[None], st["ik"], app_rows)
+        want_grow = push_ik | append
+        grow = want_grow & (n_curr < C)
+        buf = write(st["buf"], curr_slot * C + jnp.minimum(n_curr, C - 1),
+                    wrow, grow)
+        n_curr = jnp.where(grow, n_curr + 1, n_curr)
+
+        # per-READ overflow: flag the current read id once per event class
+        ov_now = (qual & ~can_t) | (do_store & ~w_ok) | (want_grow & ~grow)
+        ov_new = ov_now & ((st["ov_n"] == 0)
+                           | (pick(st["ov_rd"][None],
+                                   jnp.clip(st["ov_n"] - 1, 0, OVCAP - 1))[0]
+                              != rd))
+        ov_ok = st["ov_n"] < OVCAP
+        ohv = (jnp.arange(OVCAP, dtype=jnp.int32)[None, :]
+               == jnp.minimum(st["ov_n"], OVCAP - 1)[:, None]) \
+            & (ov_new & ov_ok)[:, None]
+        ov_rd = jnp.where(ohv, rd[:, None], st["ov_rd"])
+        ov_n = jnp.where(ov_new & ov_ok, st["ov_n"] + 1, st["ov_n"])
+        ov_spill = st["ov_spill"] | (ov_new & ~ov_ok).any()
+
+        small = fwd & (st["i"] < lens) & (qi < 4) & (ok_s < min_intv)
+        fwd_finish = at_end | (size_changed & small)
+        adv = (fwd & (st["i"] < lens) & (qi < 4) & (~fwd_finish)) \
+            | (p3_need & (~p3_hit))
+        ik = jnp.where(adv[None],
+                       jnp.stack([ok_x0, ok_x1, ok_s, st["i"] + 1]), ik)
+        i = jnp.where(adv, st["i"] + 1, i)
+
+        ret = jnp.where(
+            fwd_finish,
+            pick(buf[3:4], curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1))[0],
+            st["ret"])
+        rev = st["rev"] | fwd_finish
+        n_prev = jnp.where(fwd_finish, n_curr, st["n_prev"])
+        n_curr = jnp.where(fwd_finish, 0, n_curr)
+        i = jnp.where(fwd_finish, x - 1, i)
+        j = jnp.where(fwd_finish, 0, st["j"])
+        call_emits = jnp.where(fwd_finish, 0, call_emits)
+        last_emit_start = jnp.where(fwd_finish, BIG, last_emit_start)
+        new_phase = jnp.where(fwd_finish, PH_BACK, new_phase)
+
+        j = jnp.where(back_act, j + 1, j)
+        row_done = back & (j >= st["n_prev"])
+        back_done = row_done & (n_curr == 0)
+        back_next = row_done & (n_curr != 0)
+        rev = rev & ~back_next
+        prev_slot = jnp.where(back_next | fwd_finish, curr_slot,
+                              st["prev_slot"])
+        n_prev = jnp.where(back_next, n_curr, n_prev)
+        n_curr = jnp.where(back_next, 0, n_curr)
+        i = jnp.where(back_next, st["i"] - 1, i)
+        j = jnp.where(back_next, 0, j)
+
+        x1next = jnp.where(bump, tx + 1,
+                           jnp.where(back_done & cont, ret, x1next))
+        t_idx = jnp.where(back_done & (~cont), t_idx + 1, t_idx)
+        new_phase = jnp.where(back_done, PH_SCAN, new_phase)
+
+        x = jnp.where(p3_endlen, lens, x)
+        x = jnp.where(p3_amb | p3_hit, st["i"] + 1, x)
+        new_phase = jnp.where(p3_endlen | p3_amb | p3_hit, PH_SCAN, new_phase)
+
+        return dict(phase=new_phase, stage=stage_n, rd=rd, q_cur=q_cur,
+                    len_cur=len_cur, par_cur=par_cur, next_ctr=next_ctr,
+                    t_idx=t_idx, x1next=x1next, tasks=tasks, n_t2=n_t2,
+                    x=x, min_intv=min_intv, i=i, ret=ret, ik=ik,
+                    buf=buf, prev_slot=prev_slot, n_prev=n_prev,
+                    n_curr=n_curr, j=j, call_emits=call_emits,
+                    last_emit_start=last_emit_start, rev=rev, log=log,
+                    ov_rd=ov_rd, ov_n=ov_n, ov_spill=ov_spill,
+                    iters=st["iters"] + 1)
+
+    final = jax.lax.while_loop(cond, step, state)
+    return (final["log"], final["ov_rd"], final["ov_spill"],
+            final["iters"], final["next_ctr"], final["rd"], final["phase"])
+
+
+@partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
+                                   "split_len", "split_width", "lanes",
+                                   "C", "T2", "LOG_LEN", "W", "claim_every"))
+def _collect_sm_log(fm: FMPair, pool, min_seed_len: int, max_mem_intv: int,
+                    split_len: int, split_width: int, lanes: int,
+                    C: int, T2: int, LOG_LEN: int, W: int,
+                    claim_every: int = 1):
+    """Log-machine mem_collect_intv: smem4 seeder + the same device-side
+    (read, start, end) stable sort as _collect_sm_pool, decoded from the
+    iteration log instead of per-lane archives."""
+    N = pool.shape[0]
+    log, ov_rd, ov_spill, iters, next_ctr, rd_f, ph_f = smem4_pool_batch(
+        fm, pool, min_seed_len, max_mem_intv, split_len, split_width,
+        lanes=lanes, C=C, T2=T2, LOG_LEN=LOG_LEN, W=W,
+        claim_every=claim_every)
+    cap = N * 24
+    rid = log[5].reshape(-1)
+    ridkey = jnp.where(rid >= 0, rid.astype(jnp.int32), BIG)
+    cols = [log[c].reshape(-1) for c in range(5)]
+    sorted_ = jax.lax.sort([ridkey, cols[0], cols[1], cols[2],
+                            cols[3], cols[4]], num_keys=3, is_stable=True)
+    rid_sorted = sorted_[0][:cap]
+    packed = jnp.stack(sorted_[1:6], axis=-1)[:cap]
+    total = (rid >= 0).sum()
+    # forced exit (log exhausted): mid-flight lanes' reads rerun on host
+    unfinished = jnp.where(ph_f != PH_DONE, rd_f, -1)
+    return (packed, rid_sorted, total, ov_rd, ov_spill, next_ctr,
+            unfinished)
+
+
+@partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
+                                   "split_len", "split_width", "lanes",
                                    "C", "S", "T2", "claim_every"))
 def _collect_sm_pool(fm: FMPair, pool, min_seed_len: int, max_mem_intv: int,
                      split_len: int, split_width: int, lanes: int,
@@ -1395,8 +1842,51 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
     the host collect_intv's stable ks_introsort-key order."""
     B, L = reads.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    mode = os.environ.get("BISCUIT_TPU_SEEDER", "pool")
+    mode = os.environ.get("BISCUIT_TPU_SEEDER", "log")
     merged = mode != "fused"
+
+    if mode == "log":
+        # log machine: seeds stream to an iteration-indexed log instead of
+        # per-lane archives (smem4_pool_batch docstring has the economics)
+        C_m = max(32, min(160, L // 4))
+        lanes = min(int(os.environ.get("BISCUIT_TPU_SEED_LANES", "4096")),
+                    _pow2(B))
+        # log rows ~ measured iteration count (~850 lane-steps/read at
+        # L=100) with ~2x headroom (forced exit is safe: the tail reruns
+        # on the host); W bounds same-iteration store bursts — claims
+        # phase-lock similar reads, so bursts reach several times the
+        # mean store rate (measured: W=lanes/16 flagged ~5-10% of reads)
+        LOG_LEN = -(-max(2048, (B // lanes + 2) * 1100) // 1024) * 1024
+        W = 256  # staggered claims keep same-iteration bursts ~B/40
+        pool = np.full((B, L + 2), 4, np.int32)
+        pool[:, :L] = reads
+        pool[:, L] = lens
+        pool[:, L + 1] = parents
+        with _rank_ctx(fm):
+            ce = int(os.environ.get("BISCUIT_TPU_CLAIM_EVERY", "1"))
+            out = _collect_sm_log(fm, jnp.asarray(pool),
+                                  int(opt.min_seed_len),
+                                  int(opt.max_mem_intv),
+                                  split_len, int(opt.split_width),
+                                  lanes, C_m, 16, LOG_LEN, W,
+                                  claim_every=ce)
+        (packed, rid_sorted, total_j, ov_rd, ov_spill, next_ctr,
+         unfinished) = out
+        total = int(np.asarray(total_j))
+        if bool(np.asarray(ov_spill)) or total > packed.shape[0]:
+            return (np.zeros(0, np.int32), np.zeros((0, 5), np.int32),
+                    np.ones(B, bool))
+        rid = np.asarray(rid_sorted)[:total]
+        rows = np.asarray(packed)[:total]
+        ov = np.zeros(B, bool)
+        ovr = np.asarray(ov_rd).reshape(-1)
+        ov[ovr[(ovr >= 0) & (ovr < B)]] = True
+        unf = np.asarray(unfinished)
+        ov[unf[(unf >= 0) & (unf < B)]] = True
+        nc = int(np.asarray(next_ctr))
+        if nc < B:
+            ov[nc:] = True      # log exhausted: unclaimed tail reruns
+        return rid.astype(np.int32), rows, ov
 
     if mode == "pool":
         # refill machine: B persistent lanes drain the read pool

@@ -115,3 +115,73 @@ def test_collect_intv_batch_parity(setup):
         fm, fmc = (par_n, dau_n) if p else (dau_n, par_n)
         want = smem.collect_intv(opt, fm, fmc, s)
         assert got[b] == want, f"lane {b} parent={p}\n got={got[b][:5]}\nwant={want[:5]}"
+
+
+@pytest.mark.parametrize("mode", ["pool", "merged", "fused"])
+def test_seeder_modes_identical_to_log(setup, monkeypatch, mode):
+    """Every seeder generation (log default, pool, merged, fused) produces
+    the identical flat (read, rows, overflow) stream."""
+    idx, fmpair, d = setup
+    opt = MemOpt()
+    raw = read_seqs(d / "reads.fq", 48)
+    seqs = raw + [raw[1][:25]]
+    parents = [i % 2 for i in range(len(seqs))]
+    conv = [bsconvert(s, p) for s, p in zip(seqs, parents)]
+    q, lens = pad_batch(conv)
+    par = np.array(parents, np.int32)
+    monkeypatch.setenv("BISCUIT_TPU_SEED_LANES", "32")
+    monkeypatch.setenv("BISCUIT_TPU_SEEDER", "log")
+    rid_l, rows_l, ov_l = seed_batch.collect_intv_flat_sm(
+        fmpair, q, lens, par, opt)
+    monkeypatch.setenv("BISCUIT_TPU_SEEDER", mode)
+    rid_m, rows_m, ov_m = seed_batch.collect_intv_flat_sm(
+        fmpair, q, lens, par, opt)
+    assert not ov_l.any() and not ov_m.any()
+    assert (rid_l == rid_m).all() and (rows_l == rows_m).all()
+
+
+def test_log_seeder_spill_flags_not_truncates(setup):
+    """Tiny W / LOG_LEN force every spill class; affected reads are flagged
+    for host rerun and surviving rows still match the pool machine."""
+    import jax.numpy as jnp
+    idx, fmpair, d = setup
+    opt = MemOpt()
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    raw = read_seqs(d / "reads.fq", 64)
+    parents = [i % 2 for i in range(len(raw))]
+    conv = [bsconvert(s, p) for s, p in zip(raw, parents)]
+    q, lens = pad_batch(conv)
+    B, L = q.shape
+    pool = np.full((B, L + 2), 4, np.int32)
+    pool[:, :L] = q
+    pool[:, L] = lens
+    pool[:, L + 1] = parents
+    # W=2: same-iteration store bursts overflow -> reads flagged
+    out = seed_batch._collect_sm_log(
+        fmpair, jnp.asarray(pool), int(opt.min_seed_len),
+        int(opt.max_mem_intv), split_len, int(opt.split_width),
+        16, 32, 16, 4096, 2)
+    packed, rid_sorted, total, ov_rd, ov_spill, next_ctr, unf = \
+        [np.asarray(x) for x in out]
+    assert not bool(ov_spill)
+    flagged = set(ov_rd[ov_rd >= 0].tolist()) | set(unf[unf >= 0].tolist())
+    out2 = seed_batch._collect_sm_pool(
+        fmpair, jnp.asarray(pool), int(opt.min_seed_len),
+        int(opt.max_mem_intv), split_len, int(opt.split_width),
+        16, 32, 256, 16)
+    packed_p, rid_p, total_p, *_ = [np.asarray(x) for x in out2]
+    rid_l, rows_l = rid_sorted[:total], packed[:total]
+    rid_pp, rows_p = rid_p[:total_p], packed_p[:total_p]
+    keep_l = ~np.isin(rid_l, list(flagged))
+    keep_p = ~np.isin(rid_pp, list(flagged))
+    assert (rid_l[keep_l] == rid_pp[keep_p]).all()
+    assert (rows_l[keep_l] == rows_p[keep_p]).all()
+    # LOG_LEN=32: forced exit -> every mid-flight lane + unclaimed tail
+    # reported; nothing silently lost
+    out3 = seed_batch._collect_sm_log(
+        fmpair, jnp.asarray(pool), int(opt.min_seed_len),
+        int(opt.max_mem_intv), split_len, int(opt.split_width),
+        16, 32, 16, 32, 128)
+    _, _, _, ov3, _, nc3, unf3 = [np.asarray(x) for x in out3]
+    assert (np.asarray(unf3) >= 0).sum() > 0
+    assert int(nc3) < B
