@@ -26,6 +26,10 @@ from ..ops.seed_batch import (FMPair, collect_intv_batch,
                               collect_intv_flat_sm, sa_batch_np)
 from ..ops.sw_batch import sw_extend_batch
 from ..ops.pallas_sw import sw_extend_batch_pallas
+from ..ops.pallas_global import (decode_cigars, global_traceback,
+                                 sw_global_batch_pallas)
+from . import sam as sammod
+from . import trace
 from .chain import mem_chain, mem_chain_flt, mem_flt_chained_seeds
 from .pair import PeStat, pestat
 from .region import AlnRegs, chain2region_gen, drive_gen, mark_primary, matesw, merge_regions
@@ -208,6 +212,55 @@ class DeviceAligner:
         return self._mats_cache
 
     # ------------------------------------------------------------------
+    def sw_global_batch(self, opt: MemOpt, requests):
+        """Batched ksw_global2 + CIGAR on device (ops/pallas_global).
+        requests: list of (key, query, rseq, w, parent).  Returns
+        {key: (score, cigar)} bit-identical to sw.sw_global (the scalar
+        oracle; lanes whose traceback overflows max_ops fall back to it).
+        Bucketed by pow2-padded (Lq, Lt) to bound compiled shapes."""
+        out = {}
+        buckets: Dict[Tuple[int, int], list] = {}
+        for req in requests:
+            _k, q, r, w, _p = req
+            kb = (_pow2(len(q), 32), _pow2(len(r), 32))
+            buckets.setdefault(kb, []).append(req)
+        for (Lq, Lt), reqs in buckets.items():
+            B = _pow2(len(reqs), 128)
+            q = np.full((B, Lq), 4, np.int32)
+            t = np.full((B, Lt), 4, np.int32)
+            qlens = np.ones(B, np.int32)
+            tlens = np.ones(B, np.int32)
+            ws = np.ones(B, np.int32)
+            msel = np.zeros(B, np.int32)
+            for i, (_key, qq, rr, w, parent) in enumerate(reqs):
+                q[i, :len(qq)] = qq
+                qlens[i] = len(qq)
+                t[i, :len(rr)] = rr
+                tlens[i] = len(rr)
+                ws[i] = w
+                msel[i] = 1 if parent else 0
+            score, z = sw_global_batch_pallas(
+                jnp.asarray(q), jnp.asarray(qlens), jnp.asarray(t),
+                jnp.asarray(tlens), self._mats(opt), jnp.asarray(msel),
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                jnp.asarray(ws), interpret=not self.use_pallas)
+            ops, n_ops, ov = global_traceback(
+                z, jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ws))
+            scores = np.asarray(score)
+            ovh = np.asarray(ov)
+            cigars = decode_cigars(np.asarray(ops), np.asarray(n_ops))
+            for i, (key, qq, rr, w, parent) in enumerate(reqs):
+                if ovh[i]:
+                    mat = (opt.ctmat if parent else opt.gamat)
+                    out[key] = sw.sw_global(
+                        qq, rr, mat, opt.o_del, opt.e_del, opt.o_ins,
+                        opt.e_ins, int(w))
+                else:
+                    out[key] = (int(scores[i]), cigars[i])
+        return out
+
+
+    # ------------------------------------------------------------------
     def regs_for_batch(self, opt: MemOpt, seqs) -> List[AlnRegs]:
         """worker1 for a batch (SE or PE layout handled by caller policy):
         returns one AlnRegs per seq in `seqs`, each merged."""
@@ -263,6 +316,63 @@ class DeviceAligner:
         for si, s in enumerate(seqs):
             merge_regions(opt, idx, s.seq, s.l_seq, all_regs[si])
         return all_regs
+
+
+class _PendingSW(Exception):
+    """Raised by the recording global_fn: the request joined the batch."""
+
+
+def prefill_setSAM(opt: MemOpt, idx, dev: DeviceAligner, items) -> None:
+    """Fill reg.cigar/NM/ZC/ZR/md for every (seq, reg) on device before
+    reg2sam runs (alnreg_setSAM is idempotent: prefilled regions are
+    skipped by the host calls, any missed region falls back to the host
+    scalar — over-approximation is safe, under is only slower).
+
+    The band-doubling retry loop of mem_alnreg_setSAM
+    (/root/reference/src/mem_alnreg_format.c:56-70) is driven at batch
+    level: each round re-enters alnreg_setSAM with a cache-backed
+    global_fn; an uncached (region, w) records its request and raises,
+    and the round's requests run as ONE device sweep."""
+    cache = {}
+    pending = [(s, r) for s, r in items if r.n_cigar == 0]
+    rounds = 0
+    while pending:
+        rounds += 1
+        requests = []
+        seen = set()
+
+        def make_fn(reg):
+            def fn(query, rseq, w):
+                key = (id(reg), int(w))
+                if key in cache:
+                    return cache[key]
+                if key not in seen:
+                    seen.add(key)
+                    requests.append((key, query, rseq, int(w), reg.parent))
+                raise _PendingSW
+            return fn
+
+        nxt = []
+        for seq, reg in pending:
+            try:
+                sammod.alnreg_setSAM(opt, idx, seq, reg,
+                                     global_fn=make_fn(reg))
+            except _PendingSW:
+                nxt.append((seq, reg))
+        if not requests:
+            break
+        _plog(f"setSAM round {rounds}: {len(requests)} global alignments")
+        cache.update(dev.sw_global_batch(opt, requests))
+        pending = nxt
+
+
+def _setSAM_candidates(opt: MemOpt, seq, regs):
+    """Over-approximate the regions reg2sam will format (score>=T or
+    within the XA drop ratio of the best; unmapped rb/re excluded)."""
+    best = max((r.score for r in regs), default=0)
+    floor = min(opt.T, best * opt.XA_drop_ratio)
+    return [(seq, r) for r in regs
+            if r.rb >= 0 and r.re >= 0 and r.score >= floor]
 
 
 def _chain_generators(gen_parent_list):
@@ -460,13 +570,35 @@ def process_seqs_device(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
     all_regs: List[AlnRegs] = []
     for lo in range(0, len(seqs), step):
         all_regs.extend(dev.regs_for_batch(opt, seqs[lo:lo + step]))
+    # device-side CIGAR: batch-prefill alnreg_setSAM results before the
+    # host worker2 loops (skipped at -v4: the byte-exact debug traces
+    # interleave setSAM output in host order)
+    prefill = (os.environ.get("BISCUIT_TPU_DEVICE_CIGAR", "1") != "0"
+               and trace.verbose < 4)
     if not (opt.flag & MEM_F_PE):
+        if prefill:
+            items = []
+            for i, s in enumerate(seqs):
+                items.extend(_setSAM_candidates(opt, s, all_regs[i]))
+            prefill_setSAM(opt, st.idx, dev, items)
         for i, s in enumerate(seqs):
             worker2_se(opt, st, s, all_regs[i], n_processed, i, rg_id)
     else:
         n_pairs = len(seqs) >> 1
         pes = pes0 if pes0 is not None else pestat(opt, st.idx, all_regs)
+        if prefill:
+            # mate rescue mutates the region lists; run it for the whole
+            # batch first, then prefill, then worker2 skips rescue
+            if not (opt.flag & MEM_F_NO_RESCUE):
+                for i in range(n_pairs):
+                    matesw(opt, st.idx, pes,
+                           (seqs[i << 1], seqs[(i << 1) | 1]),
+                           (all_regs[i << 1], all_regs[(i << 1) | 1]))
+            items = []
+            for i, s in enumerate(seqs):
+                items.extend(_setSAM_candidates(opt, s, all_regs[i]))
+            prefill_setSAM(opt, st.idx, dev, items)
         for i in range(n_pairs):
             worker2_pe(opt, st, (seqs[i << 1], seqs[(i << 1) | 1]),
                        (all_regs[i << 1], all_regs[(i << 1) | 1]), pes,
-                       n_processed, i, rg_id)
+                       n_processed, i, rg_id, skip_rescue=prefill)

@@ -111,11 +111,14 @@ def worker2_se(opt: MemOpt, st: AlignerState, seq: BSeq, regs: AlnRegs,
 
 
 def worker2_pe(opt: MemOpt, st: AlignerState, seqs, regs_pair, pes: PeStat,
-               n_processed: int, i: int, rg_id: str = "") -> None:
+               n_processed: int, i: int, rg_id: str = "",
+               skip_rescue: bool = False) -> None:
+    """skip_rescue: the device engine runs matesw itself for the whole
+    batch before prefilling cigars on device; rescue must run once."""
     if trace.verbose >= 4:
         trace.out("\n=====> [bis_worker2] Finalizing PE read '%s' <=====\n"
                   % seqs[0].name)
-    if not (opt.flag & MEM_F_NO_RESCUE):
+    if not (opt.flag & MEM_F_NO_RESCUE) and not skip_rescue:
         matesw(opt, st.idx, pes, seqs, regs_pair)
     if trace.verbose >= 4:
         trace.out("\n\n====== [bis_worker2] Primary-marking read 1\n")

@@ -48,8 +48,14 @@ def get_rlen(cigar) -> int:
 
 
 def gen_cigar(opt: MemOpt, idx, query: np.ndarray, rb: int, re_: int,
-              parent: int, w_: int, want_cigar: bool = True) -> CigarResult:
-    """bis_bwa_gen_cigar2 (bwa.c:290-428)."""
+              parent: int, w_: int, want_cigar: bool = True,
+              global_fn=None) -> CigarResult:
+    """bis_bwa_gen_cigar2 (bwa.c:290-428).
+
+    global_fn(query, rseq, w) -> (score, cigar), if given, replaces the
+    scalar sw.sw_global call — the device engine injects a batched
+    (Pallas DP + on-device traceback) implementation through it, and a
+    recording stub that raises to collect the whole batch first."""
     res = CigarResult()
     l_query = len(query)
     l_pac = idx.l_pac
@@ -83,8 +89,12 @@ def gen_cigar(opt: MemOpt, idx, query: np.ndarray, rb: int, re_: int,
             trace.out("\n* Global query: ")
             trace.print_bases(query)
             trace.out("\n")
-        res.score, cig = sw.sw_global(query, rseq, mat, opt.o_del, opt.e_del,
-                                      opt.o_ins, opt.e_ins, w, want_cigar=want_cigar)
+        if global_fn is not None and want_cigar:
+            res.score, cig = global_fn(query, rseq, w)
+        else:
+            res.score, cig = sw.sw_global(query, rseq, mat, opt.o_del,
+                                          opt.e_del, opt.o_ins, opt.e_ins, w,
+                                          want_cigar=want_cigar)
         res.cigar = cig
         n_cigar_flag = want_cigar and cig is not None
 
@@ -140,9 +150,15 @@ def gen_cigar(opt: MemOpt, idx, query: np.ndarray, rb: int, re_: int,
     return res
 
 
-def alnreg_setSAM(opt: MemOpt, idx, seq, reg: AlnReg) -> None:
+def alnreg_setSAM(opt: MemOpt, idx, seq, reg: AlnReg,
+                  global_fn=None) -> None:
     """mem_alnreg_setSAM (mem_alnreg_format.c:40-123)."""
     if reg.n_cigar > 0:
+        # already formatted (device prefill or the early PE invocation):
+        # re-apply the orientation bit a fresh run would set — callers
+        # reset reg.flag to 0 between invocations
+        if reg.is_rev:
+            reg.flag |= 0x10
         return
     query = seq.seq
     _w1 = infer_bw(reg.qe - reg.qb, reg.re - reg.rb, reg.truesc, opt.a, opt.o_del, opt.e_del)
@@ -158,7 +174,8 @@ def alnreg_setSAM(opt: MemOpt, idx, seq, reg: AlnReg) -> None:
     res = None
     for i in range(3):
         w = min(w, opt.w << 2)
-        res = gen_cigar(opt, idx, query[reg.qb:reg.qe], reg.rb, reg.re, reg.parent, w)
+        res = gen_cigar(opt, idx, query[reg.qb:reg.qe], reg.rb, reg.re,
+                        reg.parent, w, global_fn=global_fn)
         if trace.verbose >= 4:
             trace.out("[mem_alnreg_setSAM] w=%d, global_sc=%d, local_sc=%d\n"
                       % (w, res.score, reg.truesc))
