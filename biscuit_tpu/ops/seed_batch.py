@@ -265,6 +265,110 @@ def extend_sel(fm: FMPair, which: jnp.ndarray, x_q: jnp.ndarray,
     return new_xq, new_xo, sizes
 
 
+def _pick0(plane: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """plane [..., N, B] -> [..., B]: element idx[b] of axis -2 via a
+    one-hot multiply-reduce.  The B-minor ("transposed") counterpart of
+    _pick_oh: with B a multiple of 128 every tile is dense, whereas a
+    [B, N] layout pads N up to 128 lanes and burns 128/N of the VPU on
+    every masked pass (N is 4-64 for all the state-machine planes)."""
+    N = plane.shape[-2]
+    oh = jnp.arange(N, dtype=jnp.int32)[:, None] == idx[None, :]
+    return jnp.sum(jnp.where(oh, plane, 0), axis=-2)
+
+
+def _write0(plane: jnp.ndarray, idx: jnp.ndarray, rows: jnp.ndarray,
+            mask: jnp.ndarray) -> jnp.ndarray:
+    """plane [K, N, B]: plane[:, idx[b], b] = rows[:, b] where mask[b],
+    as a one-hot masked select over the dense B-minor layout."""
+    N = plane.shape[1]
+    oh = (jnp.arange(N, dtype=jnp.int32)[:, None] == idx[None, :]) \
+        & mask[None, :]
+    return jnp.where(oh[None], rows[:, None, :], plane)
+
+
+def _sel2T(pair: jnp.ndarray, which: jnp.ndarray) -> jnp.ndarray:
+    """pair [2, K] selected per lane -> [K, B] (B-minor)."""
+    w = (which == 1)[None, :]
+    return jnp.where(w, pair[1][:, None], pair[0][:, None])
+
+
+def _occ4_from_rowT(rowT: jnp.ndarray, kk: jnp.ndarray) -> jnp.ndarray:
+    """_occ4_from_row with component-major operands: rowT [8, B] uint32
+    ([12, B] wide), kk [B] -> counts [4, B].  Same bit math; every
+    elementwise op runs on dense [4, B]/[1, B] tiles instead of the
+    [B, 4]-padded-to-[B, 128] layout."""
+    if rowT.shape[0] == 12:
+        acc = (rowT[0:4].astype(jnp.int64)
+               | (rowT[4:8].astype(jnp.int64) << 32))
+        w4 = rowT[8:]
+    else:
+        acc = rowT[:4].astype(jnp.int32)
+        w4 = rowT[4:]
+    w_idx = ((kk >> 4) & 3).astype(jnp.int32)[None, :]
+    t_low = (~kk & 15).astype(jnp.uint32)[None, :]
+    jj = jnp.arange(4, dtype=jnp.int32)[:, None]
+    sel_part = jj == w_idx
+    active = jj <= w_idx
+    wm = jnp.where(sel_part, (w4 >> (t_low << 1)) << (t_low << 1), w4)
+    inv = ~wm
+    lo1 = wm & jnp.uint32(0x55555555)
+    c0 = jax.lax.population_count(
+        ((inv >> 1) & inv) & jnp.uint32(0x55555555)).astype(jnp.int32)
+    c1 = jax.lax.population_count((inv >> 1) & lo1).astype(jnp.int32)
+    c2 = jax.lax.population_count(
+        (wm >> 1) & (inv & jnp.uint32(0x55555555))).astype(jnp.int32)
+    c3 = jax.lax.population_count((wm >> 1) & lo1).astype(jnp.int32)
+    corr = jnp.where(sel_part, t_low.astype(jnp.int32), 0)
+    counts = jnp.stack([
+        jnp.sum(jnp.where(active, c0 - corr, 0), axis=0),
+        jnp.sum(jnp.where(active, c1, 0), axis=0),
+        jnp.sum(jnp.where(active, c2, 0), axis=0),
+        jnp.sum(jnp.where(active, c3, 0), axis=0),
+    ], axis=0)
+    return acc + counts
+
+
+def occ4_selT(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """occ4_sel returning counts component-major [4, B] (B-minor layout
+    for the state machines).  One row gather + one [8, B] transpose."""
+    k = k.astype(fm.rdt)
+    is_neg = k < 0
+    is_full = k == fm.seq_len
+    ksafe = jnp.clip(k, 0, fm.seq_len - 1)
+    prim = _sel2(fm.primary, which)
+    kk = ksafe - (ksafe >= prim).astype(fm.rdt)
+    n64 = fm.tab.shape[1]
+    row = fm.tab.reshape(2 * n64, fm.tab.shape[-1])[which * n64 + (kk >> 6)]
+    res = _occ4_from_rowT(row.T, kk)
+    totalsT = _sel2T(fm.L2[:, 1:5] - fm.L2[:, 0:4], which)
+    res = jnp.where(is_full[None], totalsT, res)
+    res = jnp.where(is_neg[None], 0, res)
+    return res
+
+
+def extend_selT(fm: FMPair, which: jnp.ndarray, x_q: jnp.ndarray,
+                x_o: jnp.ndarray, s: jnp.ndarray, is_back: jnp.ndarray):
+    """extend_sel with component-major outputs (new_xq, new_xo, sizes each
+    [4, B]); same single 2B-row fused gather."""
+    wb = jnp.broadcast_to(which, x_q.shape)
+    occ2 = occ4_selT(fm, jnp.concatenate([wb, wb]),
+                     jnp.concatenate([x_q - 1, x_q - 1 + s]))
+    B = x_q.shape[0]
+    tk, tl = occ2[:, :B], occ2[:, B:]
+    sizes = tl - tk
+    L2wT = _sel2T(fm.L2[:, :4], which)
+    new_xq = L2wT + 1 + tk
+    prim = _sel2(fm.primary, which)
+    crosses = ((x_q <= prim) & (x_q + s - 1 >= prim)).astype(jnp.int32)
+    b3 = x_o + crosses
+    b2 = b3 + sizes[3]
+    b1 = b2 + sizes[2]
+    b0 = b1 + sizes[1]
+    new_xo = jnp.stack([b0, b1, b2, b3], axis=0)
+    del is_back  # axis selection is done by the caller
+    return new_xq, new_xo, sizes
+
+
 def _onehot_write(arr: jnp.ndarray, idx: jnp.ndarray, row: jnp.ndarray,
                   mask: jnp.ndarray) -> jnp.ndarray:
     """arr[b, idx[b], :] = row[b] where mask[b], WITHOUT a scatter.
@@ -1269,24 +1373,30 @@ def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
         [jnp.sum(c8 << nib_sh[None, None, :], axis=2, dtype=jnp.int32),
          pool[:, L:].astype(jnp.int32)], axis=1)        # [N, L16+2]
 
+    # Every 2-D per-lane plane is stored B-MINOR ([N, B], not [B, N]): TPU
+    # tiles the two minor dims to (8, 128), so a [B, N] layout with N in
+    # 4-64 pads N up to 128 lanes and burns 128/N of every masked pass.
+    # With B-minor all tiles are dense; the one-hot picks/writes run 2-32x
+    # less VPU traffic (measured as the dominant iteration cost at
+    # B >= 2048, tools/seed_diag.py).
     state = dict(
         phase=jnp.full((B,), PH_CLAIM, jnp.int32),
         stage=jnp.ones((B,), jnp.int32),
         rd=jnp.full((B,), -1, jnp.int32),
-        q_cur=jnp.full((B, L16), 0x44444444, jnp.int32),
+        q_cur=jnp.full((L16, B), 0x44444444, jnp.int32),
         len_cur=jnp.zeros((B,), rdt),
         par_cur=jnp.zeros((B,), jnp.int32),
         next_ctr=jnp.int32(0),
         t_idx=jnp.zeros((B,), jnp.int32),
         x1next=jnp.zeros((B,), rdt),
-        tasks=jnp.zeros((2, B, T2), rdt),
+        tasks=jnp.zeros((2, T2, B), rdt),
         n_t2=jnp.zeros((B,), jnp.int32),
         x=jnp.zeros((B,), rdt),
         min_intv=jnp.ones((B,), rdt),
         i=jnp.zeros((B,), rdt),
         ret=jnp.zeros((B,), rdt),
         ik=jnp.zeros((4, B), rdt),
-        buf=jnp.zeros((4, B, 2 * C), rdt),
+        buf=jnp.zeros((4, 2 * C, B), rdt),
         prev_slot=jnp.zeros((B,), jnp.int32),
         n_prev=jnp.zeros((B,), jnp.int32),
         n_curr=jnp.zeros((B,), jnp.int32),
@@ -1295,20 +1405,14 @@ def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
         last_emit_start=jnp.zeros((B,), rdt),
         rev=jnp.zeros((B,), jnp.bool_),
         log=jnp.full((6, LOG_LEN, W), -1, rdt),
-        ov_rd=jnp.full((B, OVCAP), -1, jnp.int32),
+        ov_rd=jnp.full((OVCAP, B), -1, jnp.int32),
         ov_n=jnp.zeros((B,), jnp.int32),
         ov_spill=jnp.bool_(False),
         iters=jnp.int32(0),
     )
 
-    def pick(plane, idx):
-        return _pick_oh(plane, idx)
-
-    def write(plane, idx, rows, mask):
-        Np = plane.shape[2]
-        oh = (jnp.arange(Np, dtype=jnp.int32)[None, :] == idx[:, None]) \
-            & mask[:, None]
-        return jnp.where(oh[None], rows[:, :, None], plane)
+    pick = _pick0
+    write = _write0
 
     def cond(st):
         live = (st["phase"] != PH_DONE).any() | (st["next_ctr"] < N)
@@ -1336,10 +1440,10 @@ def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
             claim = claim_try & (ridx < N)
             nc1 = jnp.minimum(nc0 + claim_try.astype(jnp.int32).sum(),
                               N).astype(jnp.int32)
-            rows_cl = pool_p[jnp.where(claim, ridx, 0)]  # ONE B-row gather
-            return (jnp.where(claim[:, None], rows_cl[:, :L16], q0),
-                    jnp.where(claim, rows_cl[:, L16].astype(rdt), l0),
-                    jnp.where(claim, rows_cl[:, L16 + 1], p0),
+            rows_cl = pool_p[jnp.where(claim, ridx, 0)].T  # ONE B-row gather
+            return (jnp.where(claim[None, :], rows_cl[:L16], q0),
+                    jnp.where(claim, rows_cl[L16].astype(rdt), l0),
+                    jnp.where(claim, rows_cl[L16 + 1], p0),
                     jnp.where(claim, ridx, rd0),
                     jnp.where(claim, PH_SCAN,
                               jnp.where(idle, PH_DONE, ph0)),
@@ -1364,12 +1468,12 @@ def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
         lens = len_cur
         fm_id = par_cur
         fmc_id = 1 - par_cur
-        L2f = _sel2(fm.L2, fm_id)
-        L2c = _sel2(fm.L2, fmc_id)
+        L2f = _sel2T(fm.L2, fm_id)                # [5, B]
+        L2c = _sel2T(fm.L2, fmc_id)
 
         def get_q(i):
             ii = jnp.clip(i, 0, L - 1).astype(jnp.int32)
-            w = _pick_oh(q_cur, ii >> 3)          # one-hot over L/8 words
+            w = _pick0(q_cur, ii >> 3)            # one-hot over L/8 words
             v = (w >> ((ii & 7) << 2)) & 15       # nibble-unpack
             return jnp.where((i < 0) | (i >= lens), 4, v).astype(rdt)
 
@@ -1383,9 +1487,9 @@ def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
         is1 = stage == 1
         n_tasks_cur = jnp.where(is1, 1, jnp.minimum(n_t2, T2))
         tx = jnp.where(is1, x1next,
-                       _pick_oh(st["tasks"][0], jnp.clip(t_idx, 0, T2 - 1)))
+                       _pick0(st["tasks"][0], jnp.clip(t_idx, 0, T2 - 1)))
         tmi = jnp.where(is1, jnp.ones((B,), rdt),
-                        _pick_oh(st["tasks"][1], jnp.clip(t_idx, 0, T2 - 1)))
+                        _pick0(st["tasks"][1], jnp.clip(t_idx, 0, T2 - 1)))
         cont = is1
         tasks_left = t_idx < n_tasks_cur
         q_at_tx = get_q(tx)
@@ -1411,9 +1515,9 @@ def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
         t_idx = jnp.where(skip | task_past_end, t_idx + 1, t_idx)
 
         c0 = jnp.clip(q_at_tx, 0, 3)
-        l2f_c0 = _pick_oh(L2f, c0)
-        ik_new12 = jnp.stack([l2f_c0 + 1, _pick_oh(L2c, 3 - c0) + 1,
-                              _pick_oh(L2f, c0 + 1) - l2f_c0, tx + 1])
+        l2f_c0 = _pick0(L2f, c0)
+        ik_new12 = jnp.stack([l2f_c0 + 1, _pick0(L2c, 3 - c0) + 1,
+                              _pick0(L2f, c0 + 1) - l2f_c0, tx + 1])
         ik = jnp.where(task_init[None], ik_new12, st["ik"])
         x = jnp.where(task_init, tx, x)
         min_intv = jnp.where(task_init, jnp.maximum(tmi, 1), st["min_intv"])
@@ -1429,9 +1533,9 @@ def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
         new_phase = jnp.where(p3_end, PH_CLAIM, new_phase)
         x = jnp.where(p3_skip, st["x"] + 1, x)
         c03 = jnp.clip(qx3, 0, 3)
-        l2f_c03 = _pick_oh(L2f, c03)
-        ik_new3 = jnp.stack([l2f_c03 + 1, _pick_oh(L2c, 3 - c03) + 1,
-                             _pick_oh(L2f, c03 + 1) - l2f_c03,
+        l2f_c03 = _pick0(L2f, c03)
+        ik_new3 = jnp.stack([l2f_c03 + 1, _pick0(L2c, 3 - c03) + 1,
+                             _pick0(L2f, c03 + 1) - l2f_c03,
                              jnp.zeros((B,), rdt)])
         ik = jnp.where(p3_start[None], ik_new3, ik)
         i = jnp.where(p3_start, st["x"] + 1, i)
@@ -1454,12 +1558,13 @@ def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
         s_in = jnp.where(fwdlike, st["ik"][2], prevj[2])
         x_q = jnp.where(need, x_q, 1)
         s_in = jnp.where(need, s_in, 1)
-        new_xq, new_xo, sizes = extend_sel(fm, which, x_q, x_o, s_in, back)
+        new_xq, new_xo, sizes = extend_selT(fm, which, x_q, x_o, s_in,
+                                            back)
         fwd_c = 3 - jnp.clip(qi, 0, 3)
         c_sel = jnp.where(fwdlike, fwd_c, jnp.clip(back_c, 0, 3))
-        ok_q = _pick_oh(new_xq, c_sel)
-        ok_o = _pick_oh(new_xo, c_sel)
-        ok_s = _pick_oh(sizes, c_sel)
+        ok_q = _pick0(new_xq, c_sel)
+        ok_o = _pick0(new_xo, c_sel)
+        ok_s = _pick0(sizes, c_sel)
         ok_x0 = jnp.where(fwdlike, ok_o, ok_q)
         ok_x1 = jnp.where(fwdlike, ok_q, ok_o)
 
@@ -1540,8 +1645,8 @@ def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
         last_emit_start = jnp.where(emit, start, st["last_emit_start"])
 
         # interval-list growth
-        curr_last_s = pick(st["buf"][2:3],
-                           curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1))[0]
+        curr_last_s = _pick0(st["buf"][2],
+                             curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1))
         append = back_act & (~keep) & ((n_curr == 0) | (ok_s != curr_last_s))
         app_rows = jnp.stack([ok_x0, ok_x1, ok_s, prevj[3]])
         wrow = jnp.where(fwd[None], st["ik"], app_rows)
@@ -1554,14 +1659,14 @@ def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
         # per-READ overflow: flag the current read id once per event class
         ov_now = (qual & ~can_t) | (do_store & ~w_ok) | (want_grow & ~grow)
         ov_new = ov_now & ((st["ov_n"] == 0)
-                           | (pick(st["ov_rd"][None],
-                                   jnp.clip(st["ov_n"] - 1, 0, OVCAP - 1))[0]
+                           | (_pick0(st["ov_rd"],
+                                     jnp.clip(st["ov_n"] - 1, 0, OVCAP - 1))
                               != rd))
         ov_ok = st["ov_n"] < OVCAP
-        ohv = (jnp.arange(OVCAP, dtype=jnp.int32)[None, :]
-               == jnp.minimum(st["ov_n"], OVCAP - 1)[:, None]) \
-            & (ov_new & ov_ok)[:, None]
-        ov_rd = jnp.where(ohv, rd[:, None], st["ov_rd"])
+        ohv = (jnp.arange(OVCAP, dtype=jnp.int32)[:, None]
+               == jnp.minimum(st["ov_n"], OVCAP - 1)[None, :]) \
+            & (ov_new & ov_ok)[None, :]
+        ov_rd = jnp.where(ohv, rd[None, :], st["ov_rd"])
         ov_n = jnp.where(ov_new & ov_ok, st["ov_n"] + 1, st["ov_n"])
         ov_spill = st["ov_spill"] | (ov_new & ~ov_ok).any()
 
@@ -1575,7 +1680,7 @@ def smem4_pool_batch(fm: FMPair, pool: jnp.ndarray,
 
         ret = jnp.where(
             fwd_finish,
-            pick(buf[3:4], curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1))[0],
+            _pick0(buf[3], curr_slot * C + jnp.clip(n_curr - 1, 0, C - 1)),
             st["ret"])
         rev = st["rev"] | fwd_finish
         n_prev = jnp.where(fwd_finish, n_curr, st["n_prev"])
