@@ -49,6 +49,36 @@ def _plog(msg):
         print(f"[device-engine {time.time():.1f}] {msg}", file=sys.stderr, flush=True)
 
 
+# stage wall-clock accumulator (BISCUIT_TPU_PROFILE=1): device-dispatching
+# stages (seed, sa, extend, cigar) vs host stages (chain, worker2) — the
+# "device share of align time" figure (VERDICT r2 item 2)
+_STAGE_T: Dict[str, float] = {}
+_DEVICE_STAGES = ("seed", "sa", "extend", "cigar")
+
+
+class _stage:
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        _STAGE_T[self.name] = (_STAGE_T.get(self.name, 0.0)
+                               + time.perf_counter() - self.t0)
+
+
+def stage_report() -> Dict[str, float]:
+    """Per-stage seconds + the device share; printed by the CLI at end of
+    run under BISCUIT_TPU_PROFILE=1."""
+    total = sum(_STAGE_T.values())
+    dev = sum(_STAGE_T.get(k, 0.0) for k in _DEVICE_STAGES)
+    rep = dict(_STAGE_T)
+    rep["total_s"] = total
+    rep["device_share"] = dev / total if total else 0.0
+    return rep
+
+
 SA_PREFETCH_CAP = 64
 
 
@@ -285,20 +315,24 @@ class DeviceAligner:
                     if not opt.parent:
                         lane_plan.append((i, 1))
         lanes = [(seqs[i], p) for i, p in lane_plan]
-        seeds, lookups = self._collect_seeds(opt, lanes)
+        with _stage("seed"):
+            seeds, lookups = self._collect_seeds(opt, lanes)
 
         # chaining (host) + build extension generators
         all_regs: List[AlnRegs] = [AlnRegs() for _ in seqs]
         gens = []
-        for li, (si, parent) in enumerate(lane_plan):
-            s = seqs[si]
-            fm, fmc = st.fm_pair(parent)
-            chns = mem_chain(opt, fm, fmc, idx, s.l_seq, bsconvert(s, parent),
-                             parent, seeds_intv=seeds[li], sa_lookup=lookups[li])
-            chns = mem_chain_flt(opt, chns)
-            mem_flt_chained_seeds(opt, idx, s.l_seq, s.seq, chns, parent)
-            gens.append((chain2region_gen(opt, idx, s.l_seq, s.seq, parent,
-                                          chns, all_regs[si]), parent))
+        with _stage("chain"):
+            for li, (si, parent) in enumerate(lane_plan):
+                s = seqs[si]
+                fm, fmc = st.fm_pair(parent)
+                chns = mem_chain(opt, fm, fmc, idx, s.l_seq,
+                                 bsconvert(s, parent), parent,
+                                 seeds_intv=seeds[li], sa_lookup=lookups[li])
+                chns = mem_chain_flt(opt, chns)
+                mem_flt_chained_seeds(opt, idx, s.l_seq, s.seq, chns, parent)
+                gens.append((chain2region_gen(opt, idx, s.l_seq, s.seq,
+                                              parent, chns, all_regs[si]),
+                             parent))
         # The reference runs a read's two strand passes sequentially
         # (bwamem.c:327-333): the second pass's containment checks must see
         # the first pass's regions, and chain2region_gen captures reg0 =
@@ -309,12 +343,14 @@ class DeviceAligner:
         by_read: Dict[int, List] = {}
         for gen_parent, (si, _p) in zip(gens, lane_plan):
             by_read.setdefault(si, []).append(gen_parent)
-        self._extend_scheduled(
-            opt, [_chain_generators(lst) for lst in by_read.values()])
+        with _stage("extend"):
+            self._extend_scheduled(
+                opt, [_chain_generators(lst) for lst in by_read.values()])
         _plog("extension done")
 
-        for si, s in enumerate(seqs):
-            merge_regions(opt, idx, s.seq, s.l_seq, all_regs[si])
+        with _stage("chain"):
+            for si, s in enumerate(seqs):
+                merge_regions(opt, idx, s.seq, s.l_seq, all_regs[si])
         return all_regs
 
 
@@ -577,12 +613,14 @@ def process_seqs_device(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
                and trace.verbose < 4)
     if not (opt.flag & MEM_F_PE):
         if prefill:
-            items = []
+            with _stage("cigar"):
+                items = []
+                for i, s in enumerate(seqs):
+                    items.extend(_setSAM_candidates(opt, s, all_regs[i]))
+                prefill_setSAM(opt, st.idx, dev, items)
+        with _stage("worker2"):
             for i, s in enumerate(seqs):
-                items.extend(_setSAM_candidates(opt, s, all_regs[i]))
-            prefill_setSAM(opt, st.idx, dev, items)
-        for i, s in enumerate(seqs):
-            worker2_se(opt, st, s, all_regs[i], n_processed, i, rg_id)
+                worker2_se(opt, st, s, all_regs[i], n_processed, i, rg_id)
     else:
         n_pairs = len(seqs) >> 1
         pes = pes0 if pes0 is not None else pestat(opt, st.idx, all_regs)
@@ -590,15 +628,23 @@ def process_seqs_device(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
             # mate rescue mutates the region lists; run it for the whole
             # batch first, then prefill, then worker2 skips rescue
             if not (opt.flag & MEM_F_NO_RESCUE):
-                for i in range(n_pairs):
-                    matesw(opt, st.idx, pes,
-                           (seqs[i << 1], seqs[(i << 1) | 1]),
-                           (all_regs[i << 1], all_regs[(i << 1) | 1]))
-            items = []
-            for i, s in enumerate(seqs):
-                items.extend(_setSAM_candidates(opt, s, all_regs[i]))
-            prefill_setSAM(opt, st.idx, dev, items)
-        for i in range(n_pairs):
-            worker2_pe(opt, st, (seqs[i << 1], seqs[(i << 1) | 1]),
-                       (all_regs[i << 1], all_regs[(i << 1) | 1]), pes,
-                       n_processed, i, rg_id, skip_rescue=prefill)
+                with _stage("rescue"):
+                    for i in range(n_pairs):
+                        matesw(opt, st.idx, pes,
+                               (seqs[i << 1], seqs[(i << 1) | 1]),
+                               (all_regs[i << 1], all_regs[(i << 1) | 1]))
+            with _stage("cigar"):
+                items = []
+                for i, s in enumerate(seqs):
+                    items.extend(_setSAM_candidates(opt, s, all_regs[i]))
+                prefill_setSAM(opt, st.idx, dev, items)
+        with _stage("worker2"):
+            for i in range(n_pairs):
+                worker2_pe(opt, st, (seqs[i << 1], seqs[(i << 1) | 1]),
+                           (all_regs[i << 1], all_regs[(i << 1) | 1]), pes,
+                           n_processed, i, rg_id, skip_rescue=prefill)
+    if PROFILE:
+        rep = stage_report()
+        _plog("stages: " + ", ".join(
+            f"{k}={v:.2f}s" for k, v in rep.items() if k != "device_share")
+            + f", device_share={rep['device_share']:.2f}")

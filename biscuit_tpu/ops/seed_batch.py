@@ -2081,6 +2081,44 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
     return lane_of[order], rows[order], ov
 
 
+def sm_compute_closure(fm: FMPair, pool: np.ndarray, opt):
+    """Zero-arg closure running the PRODUCTION seeding machine (selected by
+    BISCUIT_TPU_SEEDER, same parameter derivation as collect_intv_flat_sm)
+    with device-resident input, returning device arrays only.  Used for
+    compute-only benchmarking (tools/tpu_regress.py, bench.py): transfers
+    excluded, dispatch amortized by the caller's slope timer.
+    Returns (run_fn, mode_name)."""
+    B = pool.shape[0]
+    L = pool.shape[1] - 2
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    mode = os.environ.get("BISCUIT_TPU_SEEDER", "log")
+    pj = jnp.asarray(pool)
+    ce = int(os.environ.get("BISCUIT_TPU_CLAIM_EVERY", "1"))
+    C_m = max(32, min(160, L // 4))
+    lanes = min(int(os.environ.get("BISCUIT_TPU_SEED_LANES", "4096")),
+                _pow2(B))
+    if mode == "log":
+        LOG_LEN = -(-max(2048, (B // lanes + 2) * 1100) // 1024) * 1024
+        W = 256
+
+        def run():
+            with _rank_ctx(fm):
+                return _collect_sm_log(fm, pj, int(opt.min_seed_len),
+                                       int(opt.max_mem_intv), split_len,
+                                       int(opt.split_width), lanes, C_m,
+                                       16, LOG_LEN, W, claim_every=ce)[0]
+    else:
+        S_m = max(64, min(1024, 24 * max(1, B // lanes) + 40))
+
+        def run():
+            with _rank_ctx(fm):
+                return _collect_sm_pool(fm, pj, int(opt.min_seed_len),
+                                        int(opt.max_mem_intv), split_len,
+                                        int(opt.split_width), lanes, C_m,
+                                        S_m, 16, claim_every=ce)[0]
+    return run, mode
+
+
 def collect_intv_batch(fm: FMPair, reads, lens, parents, opt,
                        C: int = 160, S: int = 96):
     """Device-backed mem_collect_intv over a batch (state-machine kernels).

@@ -113,6 +113,90 @@ def check_pallas_sw(res):
     return ok
 
 
+def check_pallas_global(res):
+    """Banded GLOBAL alignment + device traceback (ops/pallas_global) vs
+    the scalar oracle sw.sw_global (exact ksw_global2): identical
+    (score, cigar) per lane; DP GCUPS and traceback reads/s recorded."""
+    import jax.numpy as jnp
+    from biscuit_tpu.ops import sw
+    from biscuit_tpu.ops.pallas_global import (decode_cigars,
+                                               global_traceback,
+                                               sw_global_batch_pallas)
+
+    B, Lq, Lt = 512, 128, 160
+    rng = np.random.default_rng(3)
+    mat = np.full((2, 5, 5), -2, np.int32)
+    for i in range(4):
+        mat[:, i, i] = 1
+    mat[:, 4, :] = 0
+    mat[:, :, 4] = 0
+    mat[1, 1, 3] = 1
+    o_del, e_del, o_ins, e_ins = 6, 1, 6, 1
+
+    q = np.full((B, Lq), 4, np.int32)
+    t = np.full((B, Lt), 4, np.int32)
+    qlens = np.zeros(B, np.int32)
+    tlens = rng.integers(60, Lt + 1, B).astype(np.int32)
+    msel = rng.integers(0, 2, B).astype(np.int32)
+    for b in range(B):
+        # mutate a reference-derived query so tracebacks carry real indels
+        base = rng.integers(0, 4, tlens[b]).astype(np.int32)
+        t[b, :tlens[b]] = base
+        qq = list(base)
+        for _ in range(rng.integers(0, 7)):
+            p = int(rng.integers(0, len(qq)))
+            e = rng.integers(0, 3)
+            if e == 0:
+                qq[p] = int(rng.integers(0, 4))      # substitution -> M run split
+            elif e == 1 and len(qq) > 40:
+                del qq[p:p + int(rng.integers(1, 4))]  # deletion -> D
+            elif len(qq) < Lq - 4:
+                qq[p:p] = [int(rng.integers(0, 4))
+                           for _ in range(rng.integers(1, 4))]  # insertion -> I
+        qq = qq[:Lq]            # band covers the implied tail deletion
+        q[b, :len(qq)] = qq
+        qlens[b] = len(qq)
+    # callers guarantee w >= |qlen - tlen| (sam.infer_bw), else the band
+    # cannot reach the corner and the traceback invariant breaks
+    ws = np.maximum(rng.integers(8, 60, B),
+                    np.abs(qlens - tlens) + 2).astype(np.int32)
+
+    score, z = sw_global_batch_pallas(
+        jnp.asarray(q), jnp.asarray(qlens), jnp.asarray(t),
+        jnp.asarray(tlens), jnp.asarray(mat), jnp.asarray(msel),
+        o_del, e_del, o_ins, e_ins, jnp.asarray(ws))
+    ops, n_ops, ov = global_traceback(z, jnp.asarray(qlens),
+                                      jnp.asarray(tlens), jnp.asarray(ws))
+    scores = np.asarray(score)
+    cigars = decode_cigars(np.asarray(ops), np.asarray(n_ops))
+    ovh = np.asarray(ov)
+    ok = True
+    n_ov = int(ovh.sum())
+    for b in range(B):
+        if ovh[b]:
+            continue            # overflow lanes fall back to host (tested)
+        ss, cc = sw.sw_global(q[b, :qlens[b]], t[b, :tlens[b]], mat[msel[b]],
+                              o_del, e_del, o_ins, e_ins, int(ws[b]))
+        if int(scores[b]) != ss or cigars[b] != list(cc):
+            ok = False
+            break
+
+    dp = lambda: sw_global_batch_pallas(
+        jnp.asarray(q), jnp.asarray(qlens), jnp.asarray(t),
+        jnp.asarray(tlens), jnp.asarray(mat), jnp.asarray(msel),
+        o_del, e_del, o_ins, e_ins, jnp.asarray(ws))[0]
+    tdp = _timeit(dp)
+    ttb = _timeit(lambda: global_traceback(
+        z, jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ws))[0])
+    res["pallas_global"] = {
+        "bit_identical": ok,
+        "overflow_lanes": n_ov,
+        "dp_gcups": round(B * Lq * Lt / tdp / 1e9, 2),
+        "traceback_reads_per_s": round(B / ttb, 1),
+    }
+    return ok
+
+
 def check_occ4(res):
     import jax
     import jax.numpy as jnp
@@ -157,9 +241,9 @@ def check_device_seeding(res):
     from biscuit_tpu.align import smem
     from biscuit_tpu.config import MemOpt
     from biscuit_tpu.ops.fm import FMNumpy
-    from biscuit_tpu.ops.seed_batch import (FMPair, _collect_sm_pool,
-                                            collect_intv_batch,
-                                            collect_intv_flat_sm)
+    from biscuit_tpu.ops.seed_batch import (FMPair, collect_intv_batch,
+                                            collect_intv_flat_sm,
+                                            sm_compute_closure)
     import jax.numpy as jnp
 
     import tempfile
@@ -193,24 +277,17 @@ def check_device_seeding(res):
     collect_intv_flat_sm(fm, reads, lens, parents, opt)
     dt = time.perf_counter() - t0
 
-    # compute-only: the production pool-machine program with
-    # device-resident inputs (lane refill, see smem3_pool_batch)
-    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    # compute-only: the PRODUCTION machine (BISCUIT_TPU_SEEDER) with
+    # device-resident inputs
     pool = np.full((B, L + 2), 4, np.int32)
     pool[:, :L] = reads
     pool[:, L] = lens
     pool[:, L + 1] = parents
-    pj = jnp.asarray(pool)
-    lanes = min(4096, B)  # tpu_seed_sweep.json + N=8k sweep: wider is faster
-    S = max(64, min(1024, 24 * max(1, B // lanes) + 40))
-
-    def run():
-        return _collect_sm_pool(fm, pj, int(opt.min_seed_len),
-                                int(opt.max_mem_intv), split_len,
-                                int(opt.split_width), lanes, 32, S, 16)[0]
+    run, mode = sm_compute_closure(fm, pool, opt)
     tc = _timeit(run, n=4)
     res["device_seeding"] = {
         "seed_sets_identical": ok,
+        "seeder_mode": mode,
         "reads_per_s": round(B / dt, 1),
         "reads_per_s_compute": round(B / tc, 1),
     }
@@ -227,7 +304,7 @@ def seed_compute_reads_per_s(st, fq, n_reads=4096):
     from biscuit_tpu.align.pipeline import bsconvert
     from biscuit_tpu.config import MemOpt
     from biscuit_tpu.io.fastq import fastq_iter, read_batch
-    from biscuit_tpu.ops.seed_batch import FMPair, _collect_sm_pool
+    from biscuit_tpu.ops.seed_batch import FMPair, sm_compute_closure
 
     fm = FMPair.from_index(st.idx)
     opt = MemOpt()
@@ -242,19 +319,11 @@ def seed_compute_reads_per_s(st, fq, n_reads=4096):
         q[i, :s.l_seq] = bsconvert(s, p)
         lens[i] = s.l_seq
         parents[i] = p
-    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
     pool = np.full((B, L + 2), 4, np.int32)
     pool[:, :L] = q
     pool[:, L] = lens
     pool[:, L + 1] = parents
-    pj = jnp.asarray(pool)
-    lanes = min(4096, B)  # tpu_seed_sweep.json + N=8k sweep: wider is faster
-    S = max(64, min(1024, 24 * max(1, B // lanes) + 40))
-
-    def run():
-        return _collect_sm_pool(fm, pj, int(opt.min_seed_len),
-                                int(opt.max_mem_intv), split_len,
-                                int(opt.split_width), lanes, 32, S, 16)[0]
+    run, _mode = sm_compute_closure(fm, pool, opt)
     t = _timeit(run, n=4)
     return round(len(seqs) / t, 1)
 
@@ -269,6 +338,7 @@ def main():
     }
     ok = True
     for name, fn in (("pallas_sw", check_pallas_sw),
+                     ("pallas_global", check_pallas_global),
                      ("occ4_fused_gather", check_occ4),
                      ("device_seeding", check_device_seeding)):
         try:
