@@ -77,7 +77,9 @@ def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
     h1_first = jnp.where(beg == 0, -(o_del + e_del * (i + 1)), MINUS_INF)
 
     qv = query_ref[...]
-    tb = target_ref[0, :]
+    # whole target block resident (Lt x 128 x 4B); dynamic one-row slice —
+    # a (1, B_TILE) row block fails Mosaic's (8, 128) tiling requirement
+    tb = target_ref[pl.ds(i, 1), :][0, :]
     S = jnp.zeros((Lq, B), jnp.int32)
     for t in range(5):
         St = jnp.zeros((Lq, B), jnp.int32)
@@ -168,7 +170,7 @@ def sw_global_batch_pallas(query, qlens, target, tlens, mats, matsel,
                 o_ins=o_ins, e_ins=e_ins),
         grid=grid,
         in_specs=[lane(Lq),
-                  pl.BlockSpec((1, B_TILE), lambda b, i: (i, b)),
+                  pl.BlockSpec((Lt, B_TILE), lambda b, i: (0, b)),
                   lane(25), lane(1), lane(1), lane(1)],
         out_specs=[lane(1),
                    pl.BlockSpec((1, Lq, B_TILE), lambda b, i: (i, 0, b))],

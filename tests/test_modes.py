@@ -80,6 +80,54 @@ def test_tview_dump(data):
     assert any(c in body for c in ".,")
 
 
+def test_tview_color_modes(data):
+    """All four color modes (-c t/m/b/n) dump deterministic per-cell attr
+    lines (tview.c:346-371,460-480,503-519): digit = color pair, letter
+    A-J = pair+underline."""
+    d, fa = data
+    outs = {}
+    for mode in "tmbn":
+        r = run(["tview", "-g", "chr1:200", "-w", "60", "-c", mode,
+                 str(d / "aln.bam"), fa])
+        lines = r.stdout.splitlines()
+        assert lines[0].startswith("chr1:200-")
+        assert len(lines[1]) == 60          # reference line
+        assert len(lines[2]) <= 60          # its attr line
+        outs[mode] = lines
+
+    # bisulfite: reference C/G colored 1 (blue) or I (CpG red+underline)
+    ref_attr_t = outs["t"][2]
+    ref_line = outs["t"][1]
+    for i, c in enumerate(ref_line):
+        if c in "CG":
+            assert ref_attr_t[i] in "1I", (i, c, ref_attr_t[i])
+        else:
+            assert ref_attr_t[i] == ".", (i, c)
+    assert "I" in ref_attr_t                # at least one CpG in 60bp
+
+    # nucleotide mode: ref attrs = base int + 5, every base colored
+    ref_attr_n = outs["n"][2]
+    want = {"A": "5", "C": "6", "G": "7", "T": "8", "N": "9"}
+    assert all(ref_attr_n[i] == want[c] for i, c in enumerate(ref_line))
+
+    # mapq mode: read rows get a single read-level pair 1-4 (dots aside)
+    seen_pairs = set()
+    for attr_line in outs["m"][4::2]:
+        seen_pairs |= set(attr_line) - {"."}
+    assert seen_pairs and seen_pairs <= set("1234ABCD")
+
+    # baseq mode: per-base pairs 1-4
+    seen_b = set()
+    for attr_line in outs["b"][4::2]:
+        seen_b |= set(attr_line) - {"."}
+    assert seen_b and seen_b <= set("1234ABCD")
+
+    # read char lines identical across NON-bisulfite modes (bisulfite mode
+    # additionally exempts queried cytosines from the dot view, so its
+    # char lines legitimately differ)
+    assert outs["m"][3::2] == outs["n"][3::2] == outs["b"][3::2]
+
+
 def test_verbose_pileup(data):
     d, fa = data
     r = run(["pileup", "-v", "1", "-o", str(d / "verb.vcf"), fa, str(d / "aln.bam")])
