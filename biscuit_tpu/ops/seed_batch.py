@@ -1947,7 +1947,11 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
     the host collect_intv's stable ks_introsort-key order."""
     B, L = reads.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    mode = os.environ.get("BISCUIT_TPU_SEEDER", "log")
+    # default pool: on the honest 5 Mbp geometry (real reads, DRAM-resident
+    # occ tables) pool measures 25.0k reads/s compute-only vs merged 25.0k
+    # and log 22.4k (r3 chip sweep); the log machine only wins on the
+    # 100 kbp toy index where its denser compaction isn't gather-bound.
+    mode = os.environ.get("BISCUIT_TPU_SEEDER", "pool")
     merged = mode != "fused"
 
     if mode == "log":
@@ -2091,7 +2095,7 @@ def sm_compute_closure(fm: FMPair, pool: np.ndarray, opt):
     B = pool.shape[0]
     L = pool.shape[1] - 2
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    mode = os.environ.get("BISCUIT_TPU_SEEDER", "log")
+    mode = os.environ.get("BISCUIT_TPU_SEEDER", "pool")
     pj = jnp.asarray(pool)
     ce = int(os.environ.get("BISCUIT_TPU_CLAIM_EVERY", "1"))
     C_m = max(32, min(160, L // 4))
