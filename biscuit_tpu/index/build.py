@@ -44,8 +44,31 @@ def converted_doubled(codes: np.ndarray, parent: bool) -> np.ndarray:
     return out
 
 
+def _use_bwt_merge(n: int) -> bool:
+    """Semi-external blockwise construction (native/bwt_merge.cpp) replaces
+    the in-memory SA-IS when the full suffix array would dominate peak
+    memory. Default: any strand past the int32-SA limit (where SA-IS would
+    need 8 bytes/char ≈ 50 GB at human scale; the reference handles this
+    regime with incremental BWT-SW, lib/aln/bwt_gen.c). BISCUIT_TPU_BWT_MERGE
+    forces it on (1) or off (0) at any size for testing."""
+    import os
+    v = os.environ.get("BISCUIT_TPU_BWT_MERGE")
+    if v is not None:
+        return v == "1"
+    return n >= (1 << 31) - 16
+
+
 def build_strand(codes: np.ndarray, parent: bool) -> StrandIndex:
     doubled = converted_doubled(codes, parent)
+    n = len(doubled)
+    if _use_bwt_merge(n):
+        from .fmindex import (build_strand_index_from_parts, default_sa_intv,
+                              index_is_wide)
+        intv = default_sa_intv(wide=index_is_wide(n))
+        words, occ_cp, primary, sa = native.bwt_merge(doubled, intv)
+        del doubled
+        return build_strand_index_from_parts(words, occ_cp, primary, n,
+                                             sa, intv)
     sa = native.suffix_array(doubled)
     bwt_codes, primary = native.bwt_from_sa(doubled, sa)
     return build_strand_index(doubled, sa, bwt_codes, primary)

@@ -258,6 +258,35 @@ def index_is_wide(seq_len: int) -> bool:
     return seq_len >= (1 << 31) - 1024
 
 
+def build_strand_index_from_parts(words: np.ndarray, occ_cp_u64: np.ndarray,
+                                  primary: int, seq_len: int,
+                                  sa_samples_i64: np.ndarray,
+                                  sa_intv: int) -> StrandIndex:
+    """Assemble a StrandIndex from pre-built artifacts (the semi-external
+    bwt_merge path, native/bwt_merge.cpp) — no full SA, no uint8 BWT codes.
+    Dtype conventions match build_strand_index: uint32 checkpoints below
+    2^32 chars, uint32 SA samples with the 0xFFFFFFFF sentinel below 2^31."""
+    totals = occ_cp_u64[-1].astype(np.int64)
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = np.cumsum(totals)
+    occ_cp = occ_cp_u64.astype(
+        np.uint32 if seq_len < (1 << 32) else np.int64)
+    if index_is_wide(seq_len):
+        sa_samples = sa_samples_i64
+    else:
+        sa_samples = sa_samples_i64.astype(np.int64).astype(np.uint32)
+        sa_samples[0] = np.uint32(0xFFFFFFFF)
+    return StrandIndex(
+        words=words,
+        occ_cp=occ_cp,
+        L2=L2,
+        primary=primary,
+        seq_len=seq_len,
+        sa_samples=sa_samples,
+        sa_intv=sa_intv,
+    )
+
+
 def build_strand_index(doubled_codes: np.ndarray, sa: np.ndarray, bwt_codes: np.ndarray,
                        primary: int) -> StrandIndex:
     """Assemble a StrandIndex from a suffix array + $-removed BWT codes."""

@@ -140,6 +140,11 @@ def _declare(L: ctypes.CDLL) -> None:
     L.bwt_from_sa_i64.restype = ctypes.c_int64
     L.bwt_from_sa_i32.argtypes = [u8p, i32p, u8p, ctypes.c_int64]
     L.bwt_from_sa_i32.restype = ctypes.c_int64
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    L.bwt_merge_build.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                  u32p, u64p, ctypes.c_int64, i64p]
+    L.bwt_merge_build.restype = ctypes.c_int64
 
 
 def _sa_alloc(n: int, dtype) -> np.ndarray:
@@ -176,6 +181,31 @@ def suffix_array(text: np.ndarray, alphabet_size: int = 4) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"sais failed rc={rc}")
     return sa
+
+
+def bwt_merge(text: np.ndarray, sa_intv: int, block_size: int | None = None):
+    """Blockwise semi-external BWT construction (native/bwt_merge.cpp):
+    returns (words uint32, occ_cp uint64[nb+1,4], primary, sa_samples int64)
+    without ever materializing the full suffix array. Peak memory is
+    O(text + block) — ~27 bytes/char of BLOCK (not text), so a 6.2 G-char
+    human doubled strand builds in <16 GB instead of the ~50 GB an int64
+    SA-IS needs. Byte-identical artifacts to the SA-IS path
+    (tests/test_bwt_merge.py)."""
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    n = len(text)
+    if block_size is None:
+        block_size = int(os.environ.get("BISCUIT_TPU_BWT_BLOCK",
+                                        str(192 * 1024 * 1024)))
+    block_size = max(2, min(block_size, 1 << 29))
+    words = np.empty((n + 15) // 16, dtype=np.uint32)
+    nb = (n + 127) // 128
+    occ_cp = np.empty((nb + 1) * 4, dtype=np.uint64)
+    sa = np.empty((n + sa_intv) // sa_intv, dtype=np.int64)
+    primary = lib().bwt_merge_build(text, n, block_size, words, occ_cp,
+                                    sa_intv, sa)
+    if primary < 0:
+        raise RuntimeError(f"bwt_merge_build failed rc={primary}")
+    return words, occ_cp.reshape(nb + 1, 4), int(primary), sa
 
 
 def bwt_from_sa(text: np.ndarray, sa: np.ndarray):
