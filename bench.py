@@ -154,8 +154,15 @@ def bench_device_kernel():
 
     B, Lq, Lt = 512, 128, 192
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.integers(0, 4, (B, Lq)), jnp.int32)
-    t = jnp.asarray(rng.integers(0, 4, (B, Lt)), jnp.int32)
+    qn = rng.integers(0, 4, (B, Lq)).astype(np.int32)
+    # targets extend the query with ~5% mutations: every lane survives all
+    # rows, so the kernel's all-done early exit can't inflate the nominal
+    # cell count (random-vs-random lanes die to m==0 within a few rows)
+    tn = rng.integers(0, 4, (B, Lt)).astype(np.int32)
+    tn[:, :Lq] = np.where(rng.random((B, Lq)) < 0.05,
+                          rng.integers(0, 4, (B, Lq)), qn)
+    q = jnp.asarray(qn)
+    t = jnp.asarray(tn)
     qlens = jnp.full((B,), Lq, jnp.int32)
     tlens = jnp.full((B,), Lt, jnp.int32)
     mat = np.zeros((2, 5, 5), np.int32)

@@ -569,6 +569,8 @@ struct RawRec {  // views into the BAM record body
     const uint8_t *qual;          // raw phred; qual[0]==0xFF => absent
     const uint8_t *tags; int64_t tags_len;
     int32_t nm, as_, bs_known, mate_len_mc;  // mate_len_mc -1 => no MC
+    const uint8_t *mm;            // MM/Mm Z-tag value (NUL-terminated), or null
+    const uint8_t *ml; int32_t ml_n;  // ML/Ml B,C array view, or null
 };
 
 static inline char seq_at(const RawRec &r, int qp) {
@@ -617,11 +619,17 @@ static int64_t parse_raw(const uint8_t *data, int64_t off, int64_t len,
     q += l_seq;
     r.tags = q;
     r.tags_len = (data + off + 4 + bs) - q;
-    // tag scan: NM/AS (i-family), YD (A), ZS, XG, MC
+    // tag scan: NM/AS (i-family), YD (A), ZS, XG, MC, MM/Mm + ML/Ml
     r.nm = INT32_MIN;
     r.as_ = INT32_MIN;
     r.bs_known = -1;
     r.mate_len_mc = -1;
+    r.mm = nullptr;
+    r.ml = nullptr;
+    r.ml_n = 0;
+    const uint8_t *mm_u = nullptr, *mm_l = nullptr;
+    const uint8_t *ml_u = nullptr, *ml_l = nullptr;
+    int32_t mln_u = 0, mln_l = 0;
     int bs_src = 3;  // priority: 0 = YD, 1 = ZS, 2 = XG, 3 = none
     const uint8_t *t = r.tags;
     const uint8_t *tend = r.tags + r.tags_len;
@@ -673,6 +681,16 @@ static int64_t parse_raw(const uint8_t *data, int64_t off, int64_t len,
                    && vlen >= 3) {
             if (v[0] == 'C' && v[1] == 'T') { r.bs_known = 0; bs_src = 2; }
             else if (v[0] == 'G' && v[1] == 'A') { r.bs_known = 1; bs_src = 2; }
+        } else if (t0 == 'M' && (t1 == 'M' || t1 == 'm') && typ == 'Z') {
+            if (t1 == 'M') mm_u = v; else mm_l = v;
+        } else if ((t0 == 'M' && t1 == 'L') || (t0 == 'M' && t1 == 'l')) {
+            if (typ == 'B' && v + 5 <= tend
+                && ((char)v[0] == 'C' || (char)v[0] == 'c')) {
+                int32_t n;
+                std::memcpy(&n, v + 1, 4);
+                if (t1 == 'L') { ml_u = v + 5; mln_u = n; }
+                else { ml_l = v + 5; mln_l = n; }
+            }
         } else if (t0 == 'M' && t1 == 'C' && typ == 'Z') {
             // reference length from the mate cigar (MDN=X consume ref)
             int64_t n = 0, cur = 0;
@@ -689,7 +707,88 @@ static int64_t parse_raw(const uint8_t *data, int64_t off, int64_t len,
         }
         t = v + vlen;
     }
+    r.mm = mm_u ? mm_u : mm_l;             // MM preferred over Mm
+    r.ml = ml_u ? ml_u : ml_l;
+    r.ml_n = ml_u ? mln_u : mln_l;
     return off + 4 + bs;
+}
+
+static inline char comp_char(char c) {    // pileup/common.py:_COMP
+    switch (c) {
+        case 'A': return 'T'; case 'C': return 'G';
+        case 'G': return 'C'; case 'T': return 'A';
+        case 'a': return 't'; case 'c': return 'g';
+        case 'g': return 'c'; case 't': return 'a';
+        default: return c;
+    }
+}
+
+// modBAM MM/ML -> per-stored-qpos qual (subcmds/epiread.py:modbam_quals,
+// porting epiread.c:586-617's bam_parse_basemod2 consumption). mq[qpos]
+// holds the ML byte, -1 when ML is absent, INT16_MIN when the position has
+// no call. Returns 0, or -4 (not an 'm' modification) / -5 (canonical base
+// not C/G) matching the Python SystemExit cases.
+static int modbam_fill(const RawRec &b, std::vector<int16_t> &mq,
+                       int &strand, char &canonical) {
+    mq.assign(b.l_qseq, INT16_MIN);
+    strand = 0;
+    canonical = 'C';
+    if (!b.mm || !b.mm[0]) return 0;
+    const char *p = (const char *)b.mm;
+    canonical = p[0];
+    if (!p[1]) return -4;
+    strand = p[1] == '+' ? 0 : 1;
+    bool has_m = false;
+    while (*p && *p != ',' && *p != ';') { if (*p == 'm') has_m = true; ++p; }
+    if (!has_m) return -4;
+    if (canonical != 'C' && canonical != 'G') return -5;
+    bool rev = (b.flag & FLAG_REVERSE) != 0;
+    int L = b.l_qseq;
+    std::vector<int32_t> positions;  // of `canonical` in ORIGINAL orientation
+    positions.reserve(L);
+    for (int i = 0; i < L; ++i) {
+        char c = rev ? comp_char(seq_at(b, L - 1 - i)) : seq_at(b, i);
+        if (c == canonical) positions.push_back(i);
+    }
+    int64_t idx = -1;
+    int k = 0;
+    while (*p == ',') {            // first ';'-spec only, like the Python
+        ++p;
+        int64_t d = 0;
+        while (*p >= '0' && *p <= '9') d = d * 10 + (*p++ - '0');
+        idx += d + 1;
+        if (idx >= (int64_t)positions.size()) break;
+        int opos = positions[idx];
+        int spos = rev ? L - 1 - opos : opos;
+        mq[spos] = (b.ml && k < b.ml_n) ? (int16_t)b.ml[k] : (int16_t)-1;
+        ++k;
+    }
+    return 0;
+}
+
+// bisc_utils.h:227-251 via subcmds/epiread.py:is_modbam_cpg
+static inline int modbam_is_cpg(int flag, int strand, char canonical,
+                                char qb, char rb, int64_t pos,
+                                const char *chrom, int64_t seqlen,
+                                int64_t rs_beg, int64_t rs_end) {
+    auto gb = [&](int64_t p) -> char {
+        return (p >= 1 && p <= seqlen) ? chrom[p - 1] : 'N';
+    };
+    bool rv = (flag & FLAG_REVERSE) != 0;
+    if (canonical == 'C' && strand == 0) {
+        if (qb == 'G' && rv) {
+            if (rb == 'G' && pos - 1 >= rs_beg && gb(pos - 1) == 'C') return 1;
+        } else if (qb == 'C' && !rv) {
+            if (rb == 'C' && pos + 1 <= rs_end && gb(pos + 1) == 'G') return 1;
+        }
+    } else if (canonical == 'G' && strand == 1) {
+        if (qb == 'C' && rv) {
+            if (rb == 'C' && pos + 1 <= rs_end && gb(pos + 1) == 'G') return 1;
+        } else if (qb == 'G' && !rv) {
+            if (rb == 'G' && pos - 1 >= rs_beg && gb(pos - 1) == 'C') return 1;
+        }
+    }
+    return 0;
 }
 
 }  // namespace btp
@@ -742,6 +841,7 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
                           int32_t filter_empty, int32_t max_read_length,
                           int32_t mode, int32_t print_all_locations,
                           int32_t have_snps,
+                          int32_t use_modbam, double modbam_prob,
                           const char *chrom_name, const char *chrom,
                           int64_t seqlen, int64_t rs_beg, int64_t rs_end,
                           int64_t beg, int64_t end,
@@ -774,6 +874,7 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
     // faithful quirk and the joined char string prints in full)
     std::vector<int64_t> hcg_p, gch_p, cg_p, snp_p;
     std::string hcg_c, gch_c, cg_c, snp_c;
+    std::vector<int16_t> modq;  // modBAM per-qpos ML qual (INT16_MIN = none)
     RawRec b;
     for (int64_t ri = 0; ri < n_recs; ++ri) {
         if (parse_raw(data, rec_offs[ri], data_len, b) < 0) continue;
@@ -827,9 +928,19 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
             }
             if (bss < 0) bss = nC2T >= nG2A ? 0 : 1;
             int cnt_ret = bss ? cnt_c : cnt_g;
-            if (cnt_ret > cf->max_retention) continue;
+            // modBAM reads ignore bisulfite strand and retention entirely
+            // (subcmds/epiread.py:221-224)
+            if (use_modbam) bss = 0;
+            else if (cnt_ret > cf->max_retention) continue;
         }
         if (b.l_qseq >= max_read_length) return -2;  // too-long read
+
+        int mstrand = 0;
+        char mcanon = 'C';
+        if (use_modbam) {
+            int rc = modbam_fill(b, modq, mstrand, mcanon);
+            if (rc != 0) return rc;
+        }
 
         int32_t mate_len = b.mate_len_mc >= 0 ? b.mate_len_mc
                                               : (int32_t)read_len_ref;
@@ -904,6 +1015,27 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
                         s_cg[qjd] = s_vr[qjd] = s_gc[qjd] = 'F';
                         continue;
                     }
+                    if (use_modbam) {
+                        // MM/ML call path (subcmds/epiread.py:282-294,
+                        // porting epiread.c:755-774); GC/HCG untouched
+                        int16_t qv = qj < (int)modq.size() ? modq[qj]
+                                                           : INT16_MIN;
+                        if (qv != INT16_MIN) {
+                            int cpg = modbam_is_cpg(b.flag, mstrand, mcanon,
+                                                    qb, rb, rp, chrom, seqlen,
+                                                    rs_beg, rs_end);
+                            double prob = qv >= 0 ? (qv + 0.5) / 256.0 : -1.0;
+                            if (mode) cg_p.push_back(rp);
+                            if (cpg && qv >= 0 && prob > modbam_prob) {
+                                s_cg[qjd] = 'M'; rle_set = true;
+                                if (mode) cg_c += 'C';
+                            } else if (cpg && qv >= 0
+                                       && prob < 1.0 - modbam_prob) {
+                                s_cg[qjd] = 'U'; rle_set = true;
+                                if (mode) cg_c += 'T';
+                            } else if (mode) cg_c += 'N';
+                        }
+                    } else {
                     if (bss && rb == 'G' && rp - 1 >= rs_beg) {
                         char rb0 = getb(rp - 1);
                         if (is_nome) {
@@ -958,6 +1090,7 @@ int bt_epiread_window_raw(const btp::Conf *cf, int32_t is_nome,
                             }
                         }
                     }
+                    }  // !use_modbam
                     int sp = n_snps ? snp_at(rp) : 0;
                     if (sp) {
                         if (mode) { snp_p.push_back(rp); snp_c += qb; }

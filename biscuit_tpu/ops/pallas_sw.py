@@ -44,7 +44,27 @@ def _sw_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
                w_ref, h0_ref, rows_ref, out_ref, *, Lq, Lt,
                o_del, e_del, o_ins, e_ins, zdrop):
     """One program = B_TILE lanes. query [Lq, B], target [Lt, B],
-    matb [25, B] per-lane scoring matrix, scalars [1, B]. out [8, B]."""
+    matb [25, B] per-lane scoring matrix, scalars [1, B]. out [8, B].
+
+    The scalar oracle narrows the band from BOTH sides per row
+    (ops/sw.py:192-196). The two sides differ in kind:
+      * end-narrowing is SEMANTIC: F can propagate past last_nz+1, and ksw
+        truncates it at last_nz+2 by construction — so the end carry and
+        its last_nz reduction are kept (simplified: the first-nz lower
+        bound is redundant for a max, and the empty-band fallback is
+        unobservable because m==0 breaks the lane the same row).
+      * beg-narrowing is value-transparent: cells left of first_nz are
+        provably zero under this kernel's explicit zeroing (M/E/F are
+        jm-masked and newh overwrites the out-of-band prefix), F receives
+        nothing from a zero prefix, and the h[beg]=h1_first seed is only
+        nonzero while the oracle's beg is still 0. So the beg carry and
+        the first_nz reduction are dropped; beg_i = max(0, i-w). The
+        oracle's beg-driven collapse fires only after an all-dead row,
+        which m==0 already broke, so collapse = (i-w >= end_i) observably
+        matches.
+    Verified against the scalar/XLA oracles over narrowing-adversarial
+    cases in tests/test_pallas_sw.py (tiny w, long targets, mid-band death,
+    tail regrowth)."""
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     B = B_TILE
@@ -55,7 +75,8 @@ def _sw_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
     tlens = tlens_ref[0, :]
     w = w_ref[0, :]
     h0 = h0_ref[0, :]
-    n_rows = rows_ref[0, 0]
+    # per-tile trip count: no lane of this tile runs past its own target
+    n_rows = jnp.minimum(rows_ref[0, 0], jnp.max(tlens))
     qv = query_ref[...]          # [Lq, B]
 
     # first H row (ksw.c:395-397): closed-form decay chain
@@ -76,15 +97,15 @@ def _sw_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
     jc_e = jcell * e_ins          # loop-invariant F-scan ramps
     jc1_e = (jcell - 1) * e_ins
 
-    def row(i, st):
-        (h, e, beg, end, mx, max_i, max_j, max_ie, gscore, max_off, done) = st
-        i = jnp.int32(i)
+    def row(st):
+        (i, h, e, end, mx, max_i, max_j, max_ie, gscore, max_off, done) = st
         done_b = done != 0  # carry keeps int32 (Mosaic can't carry i1 vectors)
         act = (~done_b) & (i < tlens)
-        beg_i = jnp.maximum(beg, i - w)
+        beg_i = jnp.maximum(i - w, 0)
         end_i = jnp.minimum(jnp.minimum(end, i + w + 1), qlens)
         collapsed = act & (beg_i >= end_i)
         run = act & (beg_i < end_i)
+        at_tail = end_i == qlens
 
         tb = target_ref[jnp.minimum(i, Lt - 1), :]                 # [B]
         # score row from the precomputed query profiles: 5-term select on
@@ -103,13 +124,13 @@ def _sw_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
         tF = jnp.maximum(M - oe_ins, 0)
         b_arr = jnp.where(jm, tF + jc_e, NEG)
         cm_shift = _prefix_max_excl(b_arr, Lq)
-        F = jnp.maximum(cm_shift - jc1_e, 0)
-        F = jnp.where(jm, F, 0)
-        H = jnp.where(jm, jnp.maximum(jnp.maximum(M, E), F), 0)
+        F = jnp.where(jm, jnp.maximum(cm_shift - jc1_e, 0), 0)
+        # M, E, F are all zero outside jm, so H needs no extra mask
+        H = jnp.maximum(jnp.maximum(M, E), F)
 
-        m_val = jnp.max(jnp.where(jm, H, NEG), axis=0)
-        m_val = jnp.where(m_val == NEG, 0, m_val)
-        mj = jnp.max(jnp.where(jm & (H == m_val[None, :]), jcell, -1), axis=0)
+        m_val = jnp.maximum(jnp.max(H, axis=0), 0)
+        # when m_val > 0 its witnesses are in-band; when 0 mj is unused
+        mj = jnp.max(jnp.where(H == m_val[None, :], jcell, -1), axis=0)
         h1_last = jnp.max(
             jnp.where(jcell == (end_i - 1)[None, :], H, NEG), axis=0)
         h1_last = jnp.where(run & (h1_last != NEG), h1_last, 0)
@@ -122,11 +143,11 @@ def _sw_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
         h_out = jnp.where(run[None, :], newh, h)
         e_out = jnp.where(run[None, :], newe, e)
 
-        reach = run & (end_i == qlens)
+        reach = run & at_tail
         gup = reach & (gscore <= h1_last)
         gscore = jnp.where(gup, h1_last, gscore)
         max_ie = jnp.where(gup, i, max_ie)
-        cq = collapsed & (end_i == qlens) & (gscore <= h1_first)
+        cq = collapsed & at_tail & (gscore <= h1_first)
         gscore = jnp.where(cq, jnp.maximum(gscore, h1_first), gscore)
         max_ie = jnp.where(cq, i, max_ie)
 
@@ -145,29 +166,32 @@ def _sw_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
             | ((~dgt) & (mx - m_val - (dj - di) * e_ins > zdrop))
         zbrk = run & (~improved) & (zdrop > 0) & zd & (~brk0)
 
+        # end carry: ksw truncates F at last_nz + 2 (semantic, see above);
+        # the first-nz lower bound is redundant for a max (no nz left of
+        # it), and last_nz = -1 only happens on a lane m==0 just broke
         nz = (h_out != 0) | (e_out != 0)
-        f_rng = (jfull >= beg_i[None, :]) & (jfull < end_i[None, :])
-        first_nz = jnp.min(jnp.where(f_rng & nz, jfull, BIGJ), axis=0)
-        new_beg = jnp.where(first_nz == BIGJ, end_i, first_nz)
-        b_rng = (jfull >= new_beg[None, :]) & (jfull <= end_i[None, :])
-        last_nz = jnp.max(jnp.where(b_rng & nz, jfull, -1), axis=0)
-        new_end = jnp.where(last_nz >= new_beg,
-                            jnp.minimum(last_nz + 2, qlens),
-                            jnp.minimum(new_beg + 1, qlens))
-        beg_out = jnp.where(run, new_beg, beg_i)
+        last_nz = jnp.max(
+            jnp.where(nz & (jfull <= end_i[None, :]), jfull, -1), axis=0)
+        new_end = jnp.minimum(last_nz + 2, qlens)
         end_out = jnp.where(run, new_end, end_i)
 
         done_n = (done_b | collapsed | brk0 | zbrk).astype(jnp.int32)
-        return (h_out, e_out, beg_out, end_out, mx_n, max_i_n, max_j_n,
+        return (i + 1, h_out, e_out, end_out, mx_n, max_i_n, max_j_n,
                 max_ie, gscore, max_off_n, done_n)
 
-    st0 = (h_row0, jnp.zeros((Lq + 1, B), jnp.int32),
-           jnp.zeros((B,), jnp.int32), qlens.astype(jnp.int32),
+    st0 = (jnp.int32(0), h_row0, jnp.zeros((Lq + 1, B), jnp.int32),
+           qlens.astype(jnp.int32),
            h0.astype(jnp.int32), jnp.full((B,), -1, jnp.int32),
            jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32),
            jnp.full((B,), -1, jnp.int32), jnp.zeros((B,), jnp.int32),
            jnp.zeros((B,), jnp.int32))
-    fin = jax.lax.fori_loop(0, n_rows, row, st0)
+
+    def cond(st):
+        # early exit once every lane broke/collapsed (the oracle's per-lane
+        # break): real batches die early under z-drop
+        return (st[0] < n_rows) & (jnp.min(st[10]) == 0)
+
+    fin = jax.lax.while_loop(cond, row, st0)
     (_, _, _, _, mx, max_i, max_j, max_ie, gscore, max_off, _) = fin
     out = jnp.stack([mx, max_j + 1, max_i + 1, max_ie + 1, gscore, max_off,
                      jnp.zeros_like(mx), jnp.zeros_like(mx)])

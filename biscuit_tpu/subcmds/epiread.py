@@ -622,7 +622,8 @@ def process_window_native(rawbam, rs: RefCache, conf: EpireadConf,
     rc = L.bt_epiread_window_raw(
         C.byref(cc), conf.comm.is_nome, conf.filter_empty_epiread,
         conf.max_read_length, mode, conf.print_all_locations,
-        1 if snp_table is not None else 0, chrm.encode(),
+        1 if snp_table is not None else 0,
+        conf.use_modbam, C.c_double(conf.modbam_prob), chrm.encode(),
         rs.arr.ctypes.data_as(C.c_void_p), rs.seqlen,
         C.c_int64(rs.beg), C.c_int64(rs.end),
         C.c_int64(beg), C.c_int64(end),
@@ -637,6 +638,10 @@ def process_window_native(rawbam, rs: RefCache, conf: EpireadConf,
         raise SystemExit(
             f"ERROR: Read longer than max read length "
             f"({conf.max_read_length}). Rerun with larger -L value")
+    if rc == -4:
+        raise SystemExit("ERROR: must be a methylation modification ('m')")
+    if rc == -5:
+        raise SystemExit("ERROR: modification must fall on a C or G")
     if rc != 0:
         raise RuntimeError(f"bt_epiread_window_raw rc={rc}")
     try:
@@ -734,7 +739,11 @@ def main(argv):
     # default epiBED mode on BAM input runs on the C++ raw-record engine
     import os as _os
     from ..io.sambam import _is_bam
-    use_native = (not conf.use_modbam
+    # modBAM (-M) runs natively too (MM/ML parsed in parse_raw); the
+    # modBAM+NOMe combination stays on the Python walk — the reference's
+    # -M ignores the NOMe contexts and leaves the GC RLE ragged, a surface
+    # with no oracle coverage to pin the native port against
+    use_native = (not (conf.use_modbam and conf.comm.is_nome)
                   and _os.environ.get("BISCUIT_TPU_PILEUP", "native") == "native"
                   and _is_bam(bamfn))
     if use_native:

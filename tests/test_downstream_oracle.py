@@ -259,11 +259,15 @@ def test_qc_identical(ds, tmp_path):
         assert (od / f).read_text() == (md / f).read_text(), f
 
 
+@pytest.mark.parametrize("engine", ["native", "python"])
 @pytest.mark.parametrize("flags", [[], ["-y", "0.5"]])
-def test_epiread_modbam_identical(ds, tmp_path, flags):
+def test_epiread_modbam_identical(ds, tmp_path, flags, engine, monkeypatch):
     """epiread -M (MM/ML modBAM calls, epiread.c:586-617,755-774) byte-diff
     vs the reference compiled against the shim's real MM/ML parser
-    (tools/oracle/down/hts_shim.c bam_parse_basemod2)."""
+    (tools/oracle/down/hts_shim.c bam_parse_basemod2). Both the C++
+    raw-record engine (round 3) and the Python walk stay pinned."""
+    monkeypatch.setenv("BISCUIT_TPU_PILEUP",
+                       "native" if engine == "native" else "numpy")
     d, fa, bam = ds
     genome = {}
     name = None
