@@ -269,8 +269,10 @@ def build_strand_index_from_parts(words: np.ndarray, occ_cp_u64: np.ndarray,
     totals = occ_cp_u64[-1].astype(np.int64)
     L2 = np.zeros(5, dtype=np.int64)
     L2[1:] = np.cumsum(totals)
-    occ_cp = occ_cp_u64.astype(
-        np.uint32 if seq_len < (1 << 32) else np.int64)
+    # wide strands keep 64-bit checkpoints: view, don't copy (1.55 GB at
+    # the human strand); counts never reach 2^63 so the reinterpret is safe
+    occ_cp = (occ_cp_u64.view(np.int64) if seq_len >= (1 << 32)
+              else occ_cp_u64.astype(np.uint32))
     if index_is_wide(seq_len):
         sa_samples = sa_samples_i64
     else:

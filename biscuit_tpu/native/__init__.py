@@ -194,8 +194,10 @@ def bwt_merge(text: np.ndarray, sa_intv: int, block_size: int | None = None):
     text = np.ascontiguousarray(text, dtype=np.uint8)
     n = len(text)
     if block_size is None:
+        # 128M: the block working set (~23 B/char of BLOCK) stays ~2.9 GB,
+        # which keeps the whole human-strand build inside a 32 GB budget
         block_size = int(os.environ.get("BISCUIT_TPU_BWT_BLOCK",
-                                        str(192 * 1024 * 1024)))
+                                        str(128 * 1024 * 1024)))
     block_size = max(2, min(block_size, 1 << 29))
     words = np.empty((n + 15) // 16, dtype=np.uint32)
     nb = (n + 127) // 128

@@ -398,6 +398,22 @@ int64_t bwt_merge_build(const uint8_t *T, int64_t n, int64_t block_size,
         e = b;
     }
 
+    // ---- free the block working set before the export + SA walk: at a
+    // 6.2 G-char strand these vectors are ~4.4 GB that would otherwise
+    // overlap the output arrays' residency (32 GB budget at human scale)
+    {
+        std::vector<int32_t>().swap(SA);
+        std::vector<int32_t>().swap(SAb);
+        std::vector<uint8_t>().swap(X);
+        std::vector<uint8_t>().swap(U);
+        std::vector<int32_t>().swap(Z);
+        std::vector<int32_t>().swap(xr);
+        std::vector<int64_t>().swap(R);
+        std::vector<int64_t>().swap(ins);
+        HugeBuf empty;
+        nxt.buf.swap(empty);  // drop the ping-pong twin (cur stays live)
+    }
+
     // ---- export words + occ checkpoints ----
     {
         int64_t nw = (n + 15) / 16;
