@@ -582,7 +582,12 @@ def process_seqs_hybrid(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
                         seeder=sdr)
 
 
-DEVICE_BATCH = 2048  # reads per device sweep (bounds SMEM machine buffers)
+# reads per device sweep. The lane-refill pool pays its straggler tail once
+# per POOL, so deeper sweeps amortize it (r3 chip sweep at 5 Mbp: 4k-entry
+# pools 32.1k, 32k-entry pools 44.8k reads/s compute-only); each read
+# contributes up to 2 pool entries (both conversions), so 16384 reads hits
+# the measured 32k-entry sweet spot.
+DEVICE_BATCH = int(os.environ.get("BISCUIT_TPU_DEVICE_BATCH", "16384"))
 
 
 def process_seqs_device(opt: MemOpt, st: AlignerState, seqs, n_processed: int,

@@ -294,12 +294,15 @@ def check_device_seeding(res):
     return ok
 
 
-def seed_compute_reads_per_s(st, fq, n_reads=4096):
+def seed_compute_reads_per_s(st, fq, n_reads=32768):
     """On-chip throughput of the production fused seeder with transfers
     excluded: real reads, device-resident inputs, outputs left on device,
     dispatch latency amortized. Used by bench.py for the compute-only
     device metric (VERDICT: 'reads/s through seed kernels, transfers
-    excluded')."""
+    excluded'). n_reads=32768 on 4096 lanes: the refill pool pays the
+    straggler tail once per POOL, so deeper pools amortize it (r3 chip
+    sweep at 5 Mbp: N=4k 32.1k, N=16k 42.6k, N=32k 44.8k reads/s —
+    past the whole-host C++ engine's 44.1k; N=64k regresses to 28.7k)."""
     import jax.numpy as jnp
     from biscuit_tpu.align.pipeline import bsconvert
     from biscuit_tpu.config import MemOpt
