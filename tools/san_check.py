@@ -100,6 +100,33 @@ def main():
         print("[san] bsstrand/bsconv/qc (vectorized + native scan) ...")
         run(["bsstrand", fa, bam])
         run(["qc", fa, bam, os.path.join(td, "qc_out")])
+        print("[san] epiread -M (modBAM MM/ML native parse, r3) ...")
+        modsam = os.path.join(td, "mod.sam")
+        seq = "ACGTCGATCGCGTACGCTAGCTCGCGATCGATCGGCTAGC"
+        with open(sam_path) as f:
+            hdr = "".join(l for l in f if l.startswith("@SQ") or
+                          l.startswith("@HD"))
+        with open(modsam, "w") as f:
+            f.write(hdr)
+            f.write("m0\t0\tchr1\t101\t60\t40M\t*\t0\t0\t" + seq +
+                    "\tIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIII"
+                    "\tNM:i:0\tMM:Z:C+m,0,1,0;\tML:B:C,250,5,128\n")
+            f.write("m1\t16\tchr1\t201\t60\t40M\t*\t0\t0\t" + seq +
+                    "\tIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIII"
+                    "\tNM:i:0\tMM:Z:C+m?,2,0;\n")  # ML absent
+        modbam_p = os.path.join(td, "mod.bam")
+        run(["sort", "-o", modbam_p, modsam])
+        run(["epiread", "-M", "-@", "1", fa, modbam_p])
+        print("[san] bwt_merge (semi-external BWT builder, r3) ...")
+        import numpy as np
+        sys.path.insert(0, REPO)
+        from biscuit_tpu import native
+        rng = np.random.default_rng(7)
+        for n, blk in ((5000, 64), (20000, 700), (999, 2)):
+            text = rng.integers(0, 4, n).astype(np.uint8)
+            native.bwt_merge(text, 4, blk)
+        # periodic adversary (gamma fallback paths)
+        native.bwt_merge(np.zeros(4096, np.uint8), 4, 100)
         del sam_se
     print("[san] CLEAN: no ASan/UBSan findings across the native surface")
 
