@@ -254,39 +254,56 @@ class DeviceAligner:
             _k, q, r, w, _p = req
             kb = (_pow2(len(q), 32), _pow2(len(r), 32))
             buckets.setdefault(kb, []).append(req)
-        for (Lq, Lt), reqs in buckets.items():
-            B = _pow2(len(reqs), 128)
-            q = np.full((B, Lq), 4, np.int32)
-            t = np.full((B, Lt), 4, np.int32)
-            qlens = np.ones(B, np.int32)
-            tlens = np.ones(B, np.int32)
-            ws = np.ones(B, np.int32)
-            msel = np.zeros(B, np.int32)
-            for i, (_key, qq, rr, w, parent) in enumerate(reqs):
-                q[i, :len(qq)] = qq
-                qlens[i] = len(qq)
-                t[i, :len(rr)] = rr
-                tlens[i] = len(rr)
-                ws[i] = w
-                msel[i] = 1 if parent else 0
-            score, z = sw_global_batch_pallas(
-                jnp.asarray(q), jnp.asarray(qlens), jnp.asarray(t),
-                jnp.asarray(tlens), self._mats(opt), jnp.asarray(msel),
-                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                jnp.asarray(ws), interpret=not self.use_pallas)
-            ops, n_ops, ov = global_traceback(
-                z, jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ws))
-            scores = np.asarray(score)
-            ovh = np.asarray(ov)
-            cigars = decode_cigars(np.asarray(ops), np.asarray(n_ops))
-            for i, (key, qq, rr, w, parent) in enumerate(reqs):
-                if ovh[i]:
-                    mat = (opt.ctmat if parent else opt.gamat)
-                    out[key] = sw.sw_global(
-                        qq, rr, mat, opt.o_del, opt.e_del, opt.o_ins,
-                        opt.e_ins, int(w))
-                else:
-                    out[key] = (int(scores[i]), cigars[i])
+        for (Lq, Lt), all_reqs in buckets.items():
+            # bound the on-device direction tensor (~Lt*Lq*B bytes packed;
+            # an unchunked prefill round could pad one bucket to tens of
+            # thousands of lanes and OOM HBM next to the resident FM
+            # tables): sweep the bucket in pow2 lane chunks
+            z_budget = int(os.environ.get("BISCUIT_TPU_GLOBAL_Z_MB",
+                                          "512")) << 20
+            per_lane = max(1, Lq * Lt)  # z bytes per lane (4-packed int32)
+            max_lanes = 128
+            while max_lanes * 2 * per_lane <= z_budget and max_lanes < 16384:
+                max_lanes *= 2
+            for c0 in range(0, len(all_reqs), max_lanes):
+                out.update(self._sw_global_chunk(
+                    opt, Lq, Lt, all_reqs[c0:c0 + max_lanes]))
+        return out
+
+    def _sw_global_chunk(self, opt: MemOpt, Lq: int, Lt: int, reqs):
+        out = {}
+        B = _pow2(len(reqs), 128)
+        q = np.full((B, Lq), 4, np.int32)
+        t = np.full((B, Lt), 4, np.int32)
+        qlens = np.ones(B, np.int32)
+        tlens = np.ones(B, np.int32)
+        ws = np.ones(B, np.int32)
+        msel = np.zeros(B, np.int32)
+        for i, (_key, qq, rr, w, parent) in enumerate(reqs):
+            q[i, :len(qq)] = qq
+            qlens[i] = len(qq)
+            t[i, :len(rr)] = rr
+            tlens[i] = len(rr)
+            ws[i] = w
+            msel[i] = 1 if parent else 0
+        score, z = sw_global_batch_pallas(
+            jnp.asarray(q), jnp.asarray(qlens), jnp.asarray(t),
+            jnp.asarray(tlens), self._mats(opt), jnp.asarray(msel),
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            jnp.asarray(ws), interpret=not self.use_pallas)
+        ops, n_ops, ov = global_traceback(
+            z, jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ws))
+        scores = np.asarray(score)
+        ovh = np.asarray(ov)
+        cigars = decode_cigars(np.asarray(ops), np.asarray(n_ops))
+        for i, (key, qq, rr, w, parent) in enumerate(reqs):
+            if ovh[i]:
+                mat = (opt.ctmat if parent else opt.gamat)
+                out[key] = sw.sw_global(
+                    qq, rr, mat, opt.o_del, opt.e_del, opt.o_ins,
+                    opt.e_ins, int(w))
+            else:
+                out[key] = (int(scores[i]), cigars[i])
         return out
 
 

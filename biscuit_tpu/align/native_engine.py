@@ -110,17 +110,9 @@ class NativeAligner:
     def __init__(self, st: AlignerState):
         self.st = st
         idx = st.idx
-        self.lib = native.lib()
-        self.lib.bt_worker1_batch.restype = C.c_int
+        self.lib = native.lib()  # argtypes centralized in native._declare
         # keep buffers alive
         self._bufs = []
-
-        self.lib.bt_build_ilv.restype = C.c_void_p
-        self.lib.bt_build_ilv2.restype = C.c_void_p
-        self.lib.bt_buf_free.restype = None
-        self.lib.bt_buf_free.argtypes = [C.c_void_p]
-        self.lib.bt_hugify.restype = C.c_void_p
-        self.lib.bt_hugify.argtypes = [C.c_void_p, C.c_int64]
         self._ilv_ptrs = []
 
         def hugify(arr):
@@ -321,8 +313,6 @@ class NativeAligner:
         optional (SeedInjC, keepalive) pair from DeviceSeeder."""
         n = len(seqs)
         L = self.lib
-        L.bt_align_se_batch.restype = C.c_int
-        L.bt_buf_free.restype = None
         m = self._marshal_reads(seqs)
         rgb = rg_id.encode()
         out_buf = C.c_void_p()
@@ -351,8 +341,6 @@ class NativeAligner:
         rerun the whole batch in Python) and the PeStat used."""
         n = len(seqs)
         L = self.lib
-        L.bt_align_pe_batch.restype = C.c_int
-        L.bt_buf_free.restype = None
         m = self._marshal_reads(seqs)
         rgb = rg_id.encode()
         o3 = Opt3C()

@@ -129,6 +129,15 @@ def lib() -> ctypes.CDLL:
 
 
 def _declare(L: ctypes.CDLL) -> None:
+    """Central argtypes/restype declarations for EVERY export.
+
+    This is the single source of ABI truth: without argtypes ctypes passes a
+    bare Python int as a 32-bit c_int, leaving the upper half of an int64_t
+    register slot undefined — which silently dropped ~half of pooled native
+    epiread output in round 3 (and could read out of bounds). Every bt_*
+    entry point must be declared here; tests/test_native_abi.py asserts no
+    export is missing from this table.
+    """
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -145,6 +154,103 @@ def _declare(L: ctypes.CDLL) -> None:
     L.bwt_merge_build.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                   u32p, u64p, ctypes.c_int64, i64p]
     L.bwt_merge_build.restype = ctypes.c_int64
+
+    # Pointer params are declared c_void_p: it accepts every call-site form
+    # in use (bytes, None, byref(Structure), ctypes arrays, string buffers,
+    # numpy .ctypes.data_as(...)) while rejecting raw ndarrays (callers use
+    # explicit data pointers). Scalars carry their exact C width so bare
+    # Python ints can never truncate again.
+    P, i32, i64, f64 = (ctypes.c_void_p, ctypes.c_int32,
+                        ctypes.c_int64, ctypes.c_double)
+
+    # --- align_host.cpp ---
+    L.bt_buf_free.argtypes = [P]
+    L.bt_buf_free.restype = None
+    L.bt_hugify.argtypes = [P, i64]
+    L.bt_hugify.restype = P
+    L.bt_build_ilv.argtypes = [P]
+    L.bt_build_ilv.restype = P
+    L.bt_build_ilv2.argtypes = [P]
+    L.bt_build_ilv2.restype = P
+    L.bt_sw_extend.argtypes = [P, i32, P, i32, P, i32, i32, i32, i32,
+                               i32, i32, i32, i32, i32, P]
+    L.bt_sw_extend.restype = i32
+    L.bt_occ_cg_x8.argtypes = [P, P, i32, P, P]
+    L.bt_occ_cg_x8.restype = i32
+    L.bt_occ_cg_x8v.argtypes = [P, P, P, P, P]
+    L.bt_occ_cg_x8v.restype = i32
+    L.bt_occ_cg_scalar.argtypes = [P, i64, i32, P, P]
+    L.bt_occ_cg_scalar.restype = i32
+    L.bt_occ_bench.argtypes = [P, i64, i32, i32]
+    L.bt_occ_bench.restype = i64
+    L.bt_worker1_batch.argtypes = [P, P, P, P, P, P, P, i32, P, i32, P, i32]
+    L.bt_worker1_batch.restype = i32
+    L.bt_align_se_batch.argtypes = (
+        [P] * 5 +                      # dau, par, bns, optc, o2c
+        [P] * 3 + [P] * 3 + [P] * 3 +  # reads/offs/lens ×{clipped,full,qual}
+        [P] * 3 + [P, P, P] +          # names triple, clip5, clip3, py_only
+        [P, P] +                       # ann_names_cat, ann_name_offs
+        [P, i32, i64, i32, i32] +      # rg, rg_len, n_processed, n, threads
+        [P] +                          # inj
+        [P, P, P])                     # out_buf, out_lens, status
+    L.bt_align_se_batch.restype = i32
+    L.bt_align_pe_batch.argtypes = (
+        [P] * 6 +                      # dau, par, bns, optc, o2c, o3c
+        [P] * 3 + [P] * 3 + [P] * 3 +
+        [P] * 3 + [P, P, P] +
+        [P, P] +
+        [P, i32, i64, i32, i32] +
+        [P, i32] +                     # pes_io, pes_given
+        [P] +                          # inj
+        [P, P, P])
+    L.bt_align_pe_batch.restype = i32
+
+    # --- pileup_native.cpp ---
+    L.bt_bam_scan.argtypes = [P, i64, i64, P, P, P, P, i64]
+    L.bt_bam_scan.restype = i64
+    L.bt_pileup_window.argtypes = [P, P, P, i64, i64, i64, i32, P, i32,
+                                   P, P, P, P, P, P, P, P]
+    L.bt_pileup_window.restype = i32
+    L.bt_pileup_window_raw.argtypes = [P, P, P, i64, i64, i64, i32,
+                                       P, P, P, P, P, P, P, P]
+    L.bt_pileup_window_raw.restype = i32
+    L.bt_epiread_window_raw.argtypes = [
+        P, i32, i32, i32, i32, i32, i32,   # cf, nome, filt, maxlen, mode,
+                                           # print_all, have_snps
+        i32, f64,                          # use_modbam, modbam_prob
+        P, P, i64, i64, i64,               # chrom_name, chrom, seqlen,
+                                           # rs_beg, rs_end
+        i64, i64, i64, i64,                # beg, end, print_w_beg/end
+        P, i64, P, i64,                    # data, data_len, rec_offs, n_recs
+        P, P, i64,                         # snp_locs, snp_meth, n_snps
+        P, P]                              # out_buf, out_len
+    L.bt_epiread_window_raw.restype = i32
+
+    # --- streams_native.cpp ---
+    L.bt_stream_free.argtypes = [P]
+    L.bt_stream_free.restype = None
+    L.bt_vcf2bed_ctxt.argtypes = [ctypes.c_char_p, i64, i32, i32, i32,
+                                  ctypes.c_char_p, i32p, i32,
+                                  ctypes.POINTER(ctypes.c_int64)]
+    L.bt_vcf2bed_ctxt.restype = P
+    L.bt_mergecg_new.argtypes = [i32, i32, i32]
+    L.bt_mergecg_new.restype = P
+    L.bt_mergecg_set_ref.argtypes = [P, ctypes.c_char_p, ctypes.c_char_p, i64]
+    L.bt_mergecg_set_ref.restype = None
+    L.bt_mergecg_feed.argtypes = [P, ctypes.c_char_p, i64]
+    L.bt_mergecg_feed.restype = i64
+    L.bt_mergecg_need_chrom.argtypes = [P]
+    L.bt_mergecg_need_chrom.restype = ctypes.c_char_p
+    L.bt_mergecg_error.argtypes = [P]
+    L.bt_mergecg_error.restype = i32
+    L.bt_mergecg_errmsg.argtypes = [P]
+    L.bt_mergecg_errmsg.restype = ctypes.c_char_p
+    L.bt_mergecg_take_output.argtypes = [P, ctypes.POINTER(ctypes.c_int64)]
+    L.bt_mergecg_take_output.restype = P
+    L.bt_mergecg_finish.argtypes = [P]
+    L.bt_mergecg_finish.restype = None
+    L.bt_mergecg_free.argtypes = [P]
+    L.bt_mergecg_free.restype = None
 
 
 def _sa_alloc(n: int, dtype) -> np.ndarray:

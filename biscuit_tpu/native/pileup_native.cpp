@@ -688,6 +688,11 @@ static int64_t parse_raw(const uint8_t *data, int64_t off, int64_t len,
                 && ((char)v[0] == 'C' || (char)v[0] == 'c')) {
                 int32_t n;
                 std::memcpy(&n, v + 1, 4);
+                // clamp to the bytes actually present: a truncated/corrupt
+                // record's declared count must not drive modbam_fill past
+                // the record body
+                n = (int32_t)std::max<int64_t>(
+                    0, std::min<int64_t>(n, tend - (v + 5)));
                 if (t1 == 'L') { ml_u = v + 5; mln_u = n; }
                 else { ml_l = v + 5; mln_l = n; }
             }

@@ -43,12 +43,16 @@ B_TILE = 128
 
 
 def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
-                 w_ref, score_ref, z_ref, h_scr, e_scr, *, Lq,
+                 w_ref, score_ref, z_ref, h_scr, e_scr, prof_scr, *, Lq,
                  o_del, e_del, o_ins, e_ins):
     """Grid (b_tile, i): one target row for B_TILE lanes per step.
     query [Lq, B], target row [1, B], matb [25, B], scalars [1, B].
-    score [1, B] (final h[qlen]); z row [1, Lq, B] int32 direction bytes.
-    h_scr [Lq+1, B], e_scr [Lq, B] persist across i steps."""
+    score [1, B] (final h[qlen]); z block [1, Lq, B] int32 holds FOUR
+    packed direction bytes per word (target rows 4t..4t+3 at bit 8*(i&3)):
+    the block's index_map revisits the same block for 4 consecutive grid
+    steps, so it stays in VMEM and flushes to HBM once — 1 byte/cell of
+    write traffic instead of 4. h_scr [Lq+1, B], e_scr [Lq, B] and the
+    query score profiles prof_scr [5*Lq, B] persist across i steps."""
     i = pl.program_id(1)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
@@ -70,22 +74,26 @@ def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
                       -(o_ins + e_ins * jfull), MINUS_INF)).astype(jnp.int32)
         h_scr[...] = h0
         e_scr[...] = jnp.full((Lq, B), MINUS_INF, jnp.int32)
+        # query profiles (pallas_sw trick): the 25-term select runs ONCE
+        # here; every row then needs only a 5-term select on the target char
+        qv0 = query_ref[...]
+        for t in range(5):
+            Pt = jnp.zeros((Lq, B), jnp.int32)
+            for q in range(5):
+                Pt = jnp.where(qv0 == q, matb_ref[t * 5 + q, :][None, :], Pt)
+            prof_scr[pl.ds(t * Lq, Lq), :] = Pt
 
     run = i < tlens                                     # [B]
     beg = jnp.maximum(i - w, 0)
     end = jnp.minimum(jnp.minimum(i + w + 1, qlens), Lq)
     h1_first = jnp.where(beg == 0, -(o_del + e_del * (i + 1)), MINUS_INF)
 
-    qv = query_ref[...]
     # whole target block resident (Lt x 128 x 4B); dynamic one-row slice —
     # a (1, B_TILE) row block fails Mosaic's (8, 128) tiling requirement
     tb = target_ref[pl.ds(i, 1), :][0, :]
     S = jnp.zeros((Lq, B), jnp.int32)
     for t in range(5):
-        St = jnp.zeros((Lq, B), jnp.int32)
-        for q in range(5):
-            St = jnp.where(qv == q, matb_ref[t * 5 + q, :][None, :], St)
-        S = jnp.where((tb == t)[None, :], St, S)
+        S = jnp.where((tb == t)[None, :], prof_scr[pl.ds(t * Lq, Lq), :], S)
 
     h = h_scr[...]
     e = e_scr[...]
@@ -118,8 +126,12 @@ def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
     d = jnp.where(H > ME, 2, d)
     d = d | (((E - e_del) > (M - oe_del)).astype(jnp.int32) << 2)
     d = d | (((F - e_ins) > (M - oe_ins)).astype(jnp.int32) << 5)
-    z_ref[...] = jnp.where(run[None, :], jnp.where(jm, d, 0),
-                           0)[None]
+    d = jnp.where(run[None, :] & jm, d, 0)
+    # pack 4 rows per int32 word: bits 8*(i&3). The z block (index i//4)
+    # is revisited for 4 consecutive steps, so the OR accumulates in VMEM.
+    sub = (i & 3) << 3
+    word = (d << sub)[None]
+    z_ref[...] = jnp.where(sub == 0, word, z_ref[...] | word)
 
     # stores: h[beg]=h1_first; h[j+1]=H(j) for j in band; e[j] in band,
     # e[end]=MINUS_INF (ops/sw.py:186-190)
@@ -144,10 +156,12 @@ def sw_global_batch_pallas(query, qlens, target, tlens, mats, matsel,
                            w, interpret: bool = False):
     """Banded global DP for a padded batch.  query [B, Lq], target [B, Lt]
     (codes 0-4, pad 4), per-lane band w [B].  Returns (score [B] int32,
-    z [Lt, Lq, Bp] int32 direction bytes) — z stays on device for
+    z [ceil(Lt/4), Lq, Bp] int32 with four packed direction bytes per word,
+    target row i at bits 8*(i&3)) — z stays on device for
     global_traceback."""
     B, Lq = query.shape
     Lt = target.shape[1]
+    Lt4 = (Lt + 3) // 4
     mat_b = mats[matsel].reshape(B, 25)
     Bp = (B + B_TILE - 1) // B_TILE * B_TILE
     pad = Bp - B
@@ -173,11 +187,12 @@ def sw_global_batch_pallas(query, qlens, target, tlens, mats, matsel,
                   pl.BlockSpec((Lt, B_TILE), lambda b, i: (0, b)),
                   lane(25), lane(1), lane(1), lane(1)],
         out_specs=[lane(1),
-                   pl.BlockSpec((1, Lq, B_TILE), lambda b, i: (i, 0, b))],
+                   pl.BlockSpec((1, Lq, B_TILE), lambda b, i: (i // 4, 0, b))],
         out_shape=[jax.ShapeDtypeStruct((1, Bp), jnp.int32),
-                   jax.ShapeDtypeStruct((Lt, Lq, Bp), jnp.int32)],
+                   jax.ShapeDtypeStruct((Lt4, Lq, Bp), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((Lq + 1, B_TILE), jnp.int32),
-                        pltpu.VMEM((Lq, B_TILE), jnp.int32)],
+                        pltpu.VMEM((Lq, B_TILE), jnp.int32),
+                        pltpu.VMEM((5 * Lq, B_TILE), jnp.int32)],
         interpret=interpret,
     )(qT, tT, mT, ql, tl, wv)
     return score[0, :B], z
@@ -186,13 +201,14 @@ def sw_global_batch_pallas(query, qlens, target, tlens, mats, matsel,
 @partial(jax.jit, static_argnames=("max_ops",))
 def global_traceback(z, qlens, tlens, w, max_ops: int = 64):
     """Traceback over the direction bytes (ops/sw.py:203-218), whole batch
-    in lockstep.  z [Lt, Lq, Bp] from sw_global_batch_pallas; returns
+    in lockstep.  z [Lt4, Lq, Bp] from sw_global_batch_pallas (4 packed
+    bytes per word, target row i at bits 8*(i&3)); returns
     (ops [max_ops, B] int32 packed op|len<<4 in REFERENCE order,
     n_ops [B], overflow [B] bool).  One per-lane row-gather per step."""
-    Lt, Lq, Bp = z.shape
+    Lt4, Lq, Bp = z.shape
     B = qlens.shape[0]
-    # per-lane rows: flatten to [Bp, Lt*Lq] so each step is one row-gather
-    zb = z.reshape(Lt * Lq, Bp).T
+    # per-lane rows: flatten to [Bp, Lt4*Lq] so each step is one row-gather
+    zb = z.reshape(Lt4 * Lq, Bp).T
     i0 = tlens.astype(jnp.int32) - 1
     k0 = jnp.minimum(i0 + w.astype(jnp.int32) + 1, qlens.astype(jnp.int32)) - 1
 
@@ -230,8 +246,9 @@ def global_traceback(z, qlens, tlens, w, max_ops: int = 64):
         act = (st["i"] >= 0) & (st["k"] >= 0)
         isafe = jnp.where(act, st["i"], 0)
         ksafe = jnp.where(act, st["k"], 0)
-        row = isafe * Lq + ksafe
-        byte = jnp.take_along_axis(zb[:B], row[:, None], axis=1)[:, 0]
+        row = (isafe >> 2) * Lq + ksafe
+        word = jnp.take_along_axis(zb[:B], row[:, None], axis=1)[:, 0]
+        byte = (word >> ((isafe & 3) << 3)) & 0xFF
         which = (byte >> (st["which"] << 1)) & 3
         is_m = act & (which == 0)
         is_d = act & (which == 1)

@@ -175,7 +175,10 @@ def _sw_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
         new_end = jnp.minimum(last_nz + 2, qlens)
         end_out = jnp.where(run, new_end, end_i)
 
-        done_n = (done_b | collapsed | brk0 | zbrk).astype(jnp.int32)
+        # target exhaustion counts as done too, so the all-done early exit
+        # fires on mixed-length tiles (not only when every lane z-drops)
+        done_n = (done_b | collapsed | brk0 | zbrk
+                  | (i + 1 >= tlens)).astype(jnp.int32)
         return (i + 1, h_out, e_out, end_out, mx_n, max_i_n, max_j_n,
                 max_ie, gscore, max_off_n, done_n)
 

@@ -2140,6 +2140,9 @@ def sm_compute_closure(fm: FMPair, pool: np.ndarray, opt):
                      _collect_sm_log(f, p, *sp4, lanes=lanes, C=C_m, T2=16,
                                      LOG_LEN=LOG_LEN, W=W, claim_every=ce)[0])
     else:
+        # only "log" and "pool" have compute-only closures; report the
+        # machine that actually runs so tpu_regress/bench labels stay honest
+        mode = "pool"
         S_m = max(64, min(1024, 24 * max(1, B // lanes) + 40))
         fn = _fm_jit(fm, ("pool",) + sp4 + (lanes, C_m, S_m, 16, ce),
                      lambda f: lambda p:

@@ -105,8 +105,7 @@ class RawBam(RawBamBase):
         from ..io import bgzf
         from ..io.sambam import _parse_bam_header
 
-        L = native.lib()
-        L.bt_bam_scan.restype = C.c_int64
+        L = native.lib()  # argtypes/restype centralized in native._declare
         self.data = bgzf.decompress(path)
         self.header, body_off = _parse_bam_header(self.data)
         n = L.bt_bam_scan(self.data, len(self.data), body_off,
@@ -207,7 +206,6 @@ class RawBamStream(RawBamBase):
                 buf += nxt
         blob = bytes(buf)
         L = native.lib()
-        L.bt_bam_scan.restype = C.c_int64
         n = L.bt_bam_scan(blob, len(blob), 0, None, None, None, None,
                           C.c_int64(0))
         if n == 0:
@@ -231,10 +229,7 @@ def pileup_window_native_raw(rawbams, rs: RefCache, conf, tid: int, chrm: str,
                              beg: int, end: int, betasum_context,
                              cnt_context) -> str:
     """Raw-BAM window: C++ parses records from the shared blob."""
-    L = native.lib()
-    L.bt_pileup_window_raw.restype = C.c_int
-    L.bt_buf_free.restype = None
-    L.bt_buf_free.argtypes = [C.c_void_p]
+    L = native.lib()  # argtypes/restype centralized in native._declare
 
     rs.fetch(chrm, beg - 100 if beg > 100 else 1, end + 100)
     chrom = rs.arr
@@ -288,10 +283,7 @@ def pileup_window_native(bams, rs: RefCache, conf, tid: int, chrm: str,
                          beg: int, end: int, betasum_context,
                          cnt_context) -> str:
     """Drop-in for engine.pileup_window (non-verbose)."""
-    L = native.lib()
-    L.bt_pileup_window.restype = C.c_int
-    L.bt_buf_free.restype = None
-    L.bt_buf_free.argtypes = [C.c_void_p]
+    L = native.lib()  # argtypes/restype centralized in native._declare
 
     rs.fetch(chrm, beg - 100 if beg > 100 else 1, end + 100)
     chrom = rs.arr  # uppercased uint8 array

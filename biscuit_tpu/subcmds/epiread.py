@@ -568,10 +568,7 @@ def process_window_native(rawbam, rs: RefCache, conf: EpireadConf,
     from .. import native
     from ..pileup.native import ConfC
 
-    L = native.lib()
-    L.bt_epiread_window_raw.restype = C.c_int
-    L.bt_buf_free.restype = None
-    L.bt_buf_free.argtypes = [C.c_void_p]
+    L = native.lib()  # argtypes/restype centralized in native._declare
 
     flank = conf.max_read_length if conf.max_read_length > 1000 else 1000
     snp_beg = beg - flank if beg > flank else 1

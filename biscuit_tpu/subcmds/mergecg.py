@@ -94,24 +94,7 @@ def mergecg_native(ref_fa: str, bed_path: str, min_depth: int,
     import ctypes as C
     from .. import native
 
-    L = native.lib()
-    L.bt_mergecg_new.argtypes = [C.c_int32, C.c_int32, C.c_int32]
-    L.bt_mergecg_new.restype = C.c_void_p
-    L.bt_mergecg_set_ref.argtypes = [C.c_void_p, C.c_char_p, C.c_char_p,
-                                     C.c_int64]
-    L.bt_mergecg_feed.argtypes = [C.c_void_p, C.c_char_p, C.c_int64]
-    L.bt_mergecg_feed.restype = C.c_int64
-    L.bt_mergecg_need_chrom.argtypes = [C.c_void_p]
-    L.bt_mergecg_need_chrom.restype = C.c_char_p
-    L.bt_mergecg_error.argtypes = [C.c_void_p]
-    L.bt_mergecg_error.restype = C.c_int32
-    L.bt_mergecg_errmsg.argtypes = [C.c_void_p]
-    L.bt_mergecg_errmsg.restype = C.c_char_p
-    L.bt_mergecg_take_output.argtypes = [C.c_void_p, C.POINTER(C.c_int64)]
-    L.bt_mergecg_take_output.restype = C.c_void_p
-    L.bt_mergecg_finish.argtypes = [C.c_void_p]
-    L.bt_mergecg_free.argtypes = [C.c_void_p]
-    L.bt_stream_free.argtypes = [C.c_void_p]
+    L = native.lib()  # argtypes/restype centralized in native._declare
 
     rc = RefCache(ref_fa)
     h = L.bt_mergecg_new(min_depth, int(nome_mode), int(show_mu))

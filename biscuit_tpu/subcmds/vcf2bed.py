@@ -97,13 +97,7 @@ def vcf2bed_ctxt_native(path: str, target_idx, mincov: int, showctxt: bool,
     import numpy as np
     from .. import native
 
-    L = native.lib()
-    L.bt_vcf2bed_ctxt.argtypes = [
-        C.c_char_p, C.c_int64, C.c_int32, C.c_int32, C.c_int32, C.c_char_p,
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"), C.c_int32,
-        C.POINTER(C.c_int64)]
-    L.bt_vcf2bed_ctxt.restype = C.c_void_p
-    L.bt_stream_free.argtypes = [C.c_void_p]
+    L = native.lib()  # argtypes/restype centralized in native._declare
 
     sidx = np.asarray(target_idx, np.int32)
     ob = out.buffer if hasattr(out, "buffer") else out

@@ -114,6 +114,18 @@ def test_epiread_pooled_matches_serial(pipeline):
     assert out1 == out3 and out1.count("\n") > 100
 
 
+def test_epiread_native_fresh_subprocess_loop(pipeline):
+    """Regression trap for the round-3 ctypes int64 ABI bug: the undefined
+    upper register half was a PER-PROCESS coin flip, so a single lucky run
+    proved nothing. Run the pooled native window path in several fresh
+    subprocesses; every one must emit the identical full output."""
+    d, fa = pipeline
+    outs = [run(["epiread", "-@", "2", "-s", "7000", fa, str(d / "aln.bam")],
+                cwd=REPO) for _ in range(4)]
+    assert outs[0].count("\n") > 100
+    assert all(o == outs[0] for o in outs[1:])
+
+
 def test_vcf2bed_and_mergecg(pipeline):
     d, fa = pipeline
     bed = run(["vcf2bed", "-t", "cg", str(d / "plp.vcf")], cwd=REPO)
