@@ -727,21 +727,26 @@ def main(argv):
     if conf.epiread_old and conf.epiread_pair:
         print("-O and -P are not compatible", file=sys.stderr)
         return 1
+    if conf.use_modbam and conf.comm.is_nome:
+        # The reference SEGFAULTS on -M -N (epiread.c:761: the modBAM branch
+        # pushes into cg_p, which is NULL in NOMe mode) and modBAM 'm' calls
+        # carry no GC-accessibility channel, so there are no semantics to
+        # implement. Refuse cleanly instead of emitting empty output.
+        print("-M and -N are not compatible: modBAM methylation calls carry "
+              "no NOMe GC-accessibility channel", file=sys.stderr)
+        return 1
     if not (0.0 <= conf.modbam_prob <= 1.0):
         print("Minimum modification probability must be between 0.0 and 1.0",
               file=sys.stderr)
         return 1
     reffn, bamfn = args[0], args[1]
     snp_table = read_episnp(snp_bed) if snp_bed else None
-    # default epiBED mode on BAM input runs on the C++ raw-record engine
+    # default epiBED mode on BAM input runs on the C++ raw-record engine;
+    # modBAM (-M) runs natively too (MM/ML parsed in parse_raw).
+    # -M -N is rejected above (the reference segfaults on it).
     import os as _os
     from ..io.sambam import _is_bam
-    # modBAM (-M) runs natively too (MM/ML parsed in parse_raw); the
-    # modBAM+NOMe combination stays on the Python walk — the reference's
-    # -M ignores the NOMe contexts and leaves the GC RLE ragged, a surface
-    # with no oracle coverage to pin the native port against
-    use_native = (not (conf.use_modbam and conf.comm.is_nome)
-                  and _os.environ.get("BISCUIT_TPU_PILEUP", "native") == "native"
+    use_native = (_os.environ.get("BISCUIT_TPU_PILEUP", "native") == "native"
                   and _is_bam(bamfn))
     if use_native:
         from ..pileup.native import raw_bam_open

@@ -259,6 +259,65 @@ def test_qc_identical(ds, tmp_path):
         assert (od / f).read_text() == (md / f).read_text(), f
 
 
+def test_epiread_modbam_nome_pinned(ds, tmp_path):
+    """-M -N has NO reference behavior to match: the reference segfaults
+    (epiread.c:761 pushes into cg_p, which is only allocated in non-NOMe
+    mode — NULL deref at the first modified base). Pin that fact against
+    the compiled oracle, and pin our clean refusal (modBAM 'm' calls carry
+    no GC-accessibility channel, so the combination is semantically empty
+    anyway)."""
+    d, fa, bam = ds
+    mbam = _make_modbam(ds, tmp_path)
+    r = subprocess.run([ORACLE_DOWN, "epiread", "-M", "-N", fa, mbam],
+                       capture_output=True, text=True)
+    assert r.returncode < 0, (
+        f"reference no longer crashes on -M -N (rc={r.returncode}); "
+        f"its output must now be pinned instead of the refusal")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    m = subprocess.run([sys.executable, "-m", "biscuit_tpu.cli", "epiread",
+                        "-M", "-N", fa, mbam],
+                       capture_output=True, text=True, cwd=REPO, env=env)
+    assert m.returncode == 1
+    assert "-M and -N are not compatible" in m.stderr
+
+
+def _make_modbam(ds, tmp_path):
+    """Synthesize a small sorted modBAM over the ds genome (shared by the
+    -M oracle tests)."""
+    d, fa, bam = ds
+    genome = {}
+    name = None
+    for line in open(fa):
+        if line.startswith(">"):
+            name = line[1:].split()[0]
+            genome[name] = []
+        else:
+            genome[name].append(line.strip())
+    genome = {k: "".join(v) for k, v in genome.items()}
+    chrom = sorted(genome)[0]
+    ref = genome[chrom]
+    rows = []
+    for rid, (start, flag, deltas, mls) in enumerate([
+            (100, 0, [0, 1, 0], [250, 5, 128]),
+            (400, 16, [2, 0], [255, 0])]):
+        seq = ref[start:start + 60]
+        mm = "C+m" + "".join(",%d" % x for x in deltas) + ";"
+        ml = "ML:B:C," + ",".join(str(v) for v in mls)
+        rows.append("\t".join(
+            ["nr%d" % rid, str(flag), chrom, str(start + 1), "60", "60M",
+             "*", "0", "0", seq, "I" * 60, "NM:i:0", "MM:Z:" + mm, ml]))
+    sam = tmp_path / "nmod.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        + "".join("@SQ\tSN:%s\tLN:%d\n" % (k, len(v))
+                  for k, v in sorted(genome.items()))
+        + "\n".join(rows) + "\n")
+    mbam = str(tmp_path / "nmod.bam")
+    run_ours(["sort", "-o", mbam, str(sam)])
+    return mbam
+
+
 @pytest.mark.parametrize("engine", ["native", "python"])
 @pytest.mark.parametrize("flags", [[], ["-y", "0.5"]])
 def test_epiread_modbam_identical(ds, tmp_path, flags, engine, monkeypatch):
