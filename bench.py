@@ -260,22 +260,28 @@ def main():
         from biscuit_tpu.align.native_engine import NativeAligner, process_seqs_native
         nat = NativeAligner(st)
         # steady-state: first pass warms the lazy .so build and allocators;
-        # report the best of three passes (the rig carries background load)
-        dt = float("inf")
+        # ALL pass times are recorded (run-to-run variance on this rig is
+        # real ambient load — claims must be stated against the band)
+        times = []
         for _ in range(3):
             t0 = time.time()
             process_seqs_native(opt, st, seqs, 0, engine=nat)
-            dt = min(dt, time.time() - t0)
+            times.append(time.time() - t0)
+        dt = min(times)
+        align_runs = sorted(round(len(seqs) / t, 2) for t in times)
     else:
         t0 = time.time()
         process_seqs(opt, st, seqs, 0)
         dt = time.time() - t0
+        align_runs = [round(len(seqs) / dt, 2)]
     rps = len(seqs) / dt
 
     out = {
         "metric": "align_reads_per_sec",
         "value": round(rps, 2),
         "unit": "reads/s",
+        "runs": align_runs,                     # ascending; value == max
+        "median": align_runs[len(align_runs) // 2],
         "genome_bp": genome,
         "n_reads": n_reads,
         "threads": opt.n_threads,
@@ -317,12 +323,37 @@ def main():
             out["device_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
             # on-chip seeding throughput, transfers excluded (the tunneled
-            # link is a rig artifact, not a property of the kernels)
+            # link is a rig artifact, not a property of the kernels).
+            # N>=3 runs: the 5 Mbp device-vs-host comparison must be stated
+            # against the run-to-run band, not a single draw.
             from tools.tpu_regress import seed_compute_reads_per_s
-            out["device_seed_reads_per_sec_compute"] = \
-                seed_compute_reads_per_s(st, fq)
+            seed_runs = sorted(seed_compute_reads_per_s(st, fq)
+                               for _ in range(3))
+            out["device_seed_reads_per_sec_compute"] = seed_runs[-1]
+            out["device_seed_runs"] = seed_runs
+            out["device_seed_median"] = seed_runs[len(seed_runs) // 2]
         except Exception as e:
             out["device_seed_error"] = f"{type(e).__name__}: {e}"[:200]
+        # 50 Mbp device-seeding entry (round-3 VERDICT #2: BENCH must carry
+        # a 50 Mbp device number): separate genome+index, compute-only
+        if os.environ.get("BENCH_DEVICE_50M", "1") != "0":
+            try:
+                d50 = tempfile.mkdtemp(prefix="btbench50")
+                subprocess.run(
+                    [sys.executable,
+                     os.path.join(here, "tools", "make_testdata.py"), d50,
+                     "--genome-size", "50000000", "--n-reads", "32768"],
+                    check=True, capture_output=True)
+                fa50 = os.path.join(d50, "genome.fa")
+                fq50 = os.path.join(d50, "reads.fq")
+                idx50 = build_index(fa50)
+                st50 = AlignerState(idx50)
+                runs50 = sorted(seed_compute_reads_per_s(st50, fq50)
+                                for _ in range(3))
+                out["device_seed_50mbp_reads_per_sec_compute"] = runs50[-1]
+                out["device_seed_50mbp_runs"] = runs50
+            except Exception as e:
+                out["device_seed_50mbp_error"] = f"{type(e).__name__}: {e}"[:200]
         if on_tpu:
             try:
                 gcups, util = bench_device_kernel()

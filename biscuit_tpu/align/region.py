@@ -566,23 +566,47 @@ def is_proper_pair(idx, r1: AlnReg, r2: AlnReg, pes) -> bool:
     return isize is not None and pes.low <= isize <= pes.high
 
 
-def _matesw_core(opt: MemOpt, idx, pes, reg: AlnReg, l_ms: int, ms: np.ndarray,
-                 mregs: AlnRegs) -> None:
-    """mem_alnreg_matesw_core (mem_alnreg.c:395-493)."""
+def _matesw_prepare(opt: MemOpt, idx, pes, reg: AlnReg, l_ms: int,
+                    ms: np.ndarray):
+    """The order-independent half of mem_alnreg_matesw_core
+    (mem_alnreg.c:395-434): window derivation, reference fetch and the
+    early returns that depend only on (reg, pes, idx) — NOT on the evolving
+    mate region list. Returns None when the call can never mutate mregs,
+    else (rev, ref, parent, rb, re_) — everything the SW kernel needs, so
+    a device batch can precompute every candidate's alignment upfront."""
     l_pac = idx.l_pac
-    for mr in mregs:
-        isize = alnreg_isize(idx, reg, mr)
-        if isize is not None and pes.low <= isize <= pes.high:
-            return
     rev = np.where(ms < 4, 3 - ms, 4)[::-1].astype(np.uint8)
     rb = max(0, reg.rb + pes.low - l_ms)
     re_ = min(l_pac << 1, reg.rb + pes.high)
     if rb >= re_:
-        return
+        return None
     ref, rid, rb, re_ = bnsmod.fetch_seq(idx, rb, (rb + re_) >> 1, re_)
     if reg.rid != rid or re_ - rb < opt.min_seed_len:
-        return
+        return None
     parent = reg.bss ^ (1 if reg.rb < l_pac else 0)
+    return rev, ref, parent, rb, re_
+
+
+def _matesw_skip(idx, pes, reg: AlnReg, mregs: AlnRegs) -> bool:
+    """The order-DEPENDENT early return (mem_alnreg.c:399-404): a mate
+    region already pairing properly with reg exists — evaluated against
+    the CURRENT mregs at replay time."""
+    for mr in mregs:
+        isize = alnreg_isize(idx, reg, mr)
+        if isize is not None and pes.low <= isize <= pes.high:
+            return True
+    return False
+
+
+def _matesw_core(opt: MemOpt, idx, pes, reg: AlnReg, l_ms: int, ms: np.ndarray,
+                 mregs: AlnRegs) -> None:
+    """mem_alnreg_matesw_core (mem_alnreg.c:395-493)."""
+    if _matesw_skip(idx, pes, reg, mregs):
+        return
+    prep = _matesw_prepare(opt, idx, pes, reg, l_ms, ms)
+    if prep is None:
+        return
+    rev, ref, parent, rb, re_ = prep
     # reference picks the u8 striped kernel for short reads (bwamem.c-style
     # xtra |= KSW_XBYTE when l_ms * a < 250, mem_alnreg.c:433) — 16-lane
     # padding + 255 saturation semantics
@@ -590,6 +614,14 @@ def _matesw_core(opt: MemOpt, idx, pes, reg: AlnReg, l_ms: int, ms: np.ndarray,
                       opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                       xstart=True, xsubo=opt.min_seed_len * opt.a,
                       xbyte=l_ms * opt.a < 250)
+    _matesw_apply(opt, idx, pes, reg, l_ms, aln, prep, mregs)
+
+
+def _matesw_apply(opt: MemOpt, idx, pes, reg: AlnReg, l_ms: int, aln,
+                  prep, mregs: AlnRegs) -> None:
+    """Post-SW half of mem_alnreg_matesw_core (mem_alnreg.c:436-493)."""
+    l_pac = idx.l_pac
+    rev, ref, parent, rb, re_ = prep
     if trace.verbose >= 4:
         trace.out("[mem_alnreg_matesw_core] Try adding matesw-ed region %d-%d."
                   " score:%d\n" % (rb, re_, aln.score))
@@ -642,3 +674,74 @@ def matesw(opt: MemOpt, idx, pes, seqs, regs_pair) -> None:
                 break
             _matesw_core(opt, idx, pes, r, seqs[1 - i].l_seq, seqs[1 - i].seq,
                          regs_pair[1 - i])
+
+
+def matesw_candidates(opt: MemOpt, idx, pes, seqs, regs_pair):
+    """Enumerate a pair's mate-rescue calls in exact matesw() order, with
+    the order-independent prep resolved. Returns
+    [(reg, l_ms, prep, mate_idx), ...] — prep is None for calls that can
+    never mutate anything (kept so the replay order stays byte-exact)."""
+    good = [[], []]
+    for i in range(2):
+        regs = regs_pair[i]
+        for r in regs:
+            if regs and r.score >= regs[0].score - opt.pen_unpaired:
+                good[i].append(r)
+    cands = []
+    for i in range(2):
+        for j, r in enumerate(good[i]):
+            if j >= opt.max_matesw:
+                break
+            prep = _matesw_prepare(opt, idx, pes, r, seqs[1 - i].l_seq,
+                                   seqs[1 - i].seq)
+            cands.append((r, seqs[1 - i].l_seq, prep, 1 - i))
+    return cands
+
+
+def matesw_batch(opt: MemOpt, idx, pes, pairs, sw_batch_fn) -> None:
+    """Batched mem_alnreg_matesw over many pairs: every candidate's
+    ksw_align2 runs in ONE device batch (sw_batch_fn — e.g.
+    ops/sw_local.sw_align_batch), then the sequential per-pair semantics
+    (the proper-pair early return checks the EVOLVING mate list; insertions
+    re-sort it) replay on host with the precomputed alignments. The SW
+    inputs depend only on (reg, pes, mate seq), so precomputing them is
+    exact; per-pair call order is preserved, so output is bit-identical to
+    calling matesw() per pair.
+
+    pairs: [(seqs2, regs_pair), ...]; sw_batch_fn(reqs, xsubo) takes
+    [(query, target, parent, xbyte), ...] and returns KswResults."""
+    all_cands = []   # (pair_idx, reg, l_ms, prep, mate_idx, slot, snapshot)
+    reqs = []
+    for pi, (seqs, regs_pair) in enumerate(pairs):
+        for reg, l_ms, prep, mi in matesw_candidates(opt, idx, pes, seqs,
+                                                     regs_pair):
+            slot = -1
+            if prep is not None:
+                rev, ref, parent, _rb, _re = prep
+                slot = len(reqs)
+                reqs.append((rev, ref, int(parent), l_ms * opt.a < 250))
+            # prep depends on (reg.rb, reg.rid, reg.bss): an EARLIER rescue
+            # of the same pair can patch those via sort_deduplicate, so the
+            # replay re-derives prep when the snapshot went stale (rare;
+            # host-SW fallback keeps bit-identity)
+            all_cands.append((pi, reg, l_ms, prep, mi, slot,
+                              (reg.rb, reg.rid, reg.bss)))
+    if not reqs:
+        # no SW work, but order-dependent skips/empty preps still replay
+        # as no-ops — nothing can mutate, so just return
+        return
+    alns = sw_batch_fn(reqs, opt.min_seed_len * opt.a)
+    for pi, reg, l_ms, prep, mi, slot, snap in all_cands:
+        regs_pair = pairs[pi][1]
+        seqs = pairs[pi][0]
+        if (reg.rb, reg.rid, reg.bss) != snap:
+            # stale: replay this call entirely on host (exact)
+            _matesw_core(opt, idx, pes, reg, l_ms, seqs[mi].seq,
+                         regs_pair[mi])
+            continue
+        if prep is None:
+            continue
+        if _matesw_skip(idx, pes, reg, regs_pair[mi]):
+            continue
+        _matesw_apply(opt, idx, pes, reg, l_ms, alns[slot], prep,
+                      regs_pair[mi])

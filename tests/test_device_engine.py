@@ -64,3 +64,62 @@ def test_pe_device_matches_host(small_dataset, tmp_path_factory, oracle):
     process_seqs_device(opt2, st, dev_seqs, 0)
     for h, v in zip(host_seqs, dev_seqs):
         assert h.sam == v.sam, f"{h.name}\nhost: {h.sam}\ndev : {v.sam}"
+
+
+def test_matesw_batch_matches_sequential(tmp_path_factory):
+    """matesw_batch (one device dispatch + host replay) must leave region
+    lists identical to the sequential per-pair matesw loop — including the
+    order-dependent skip checks and dedup insertions."""
+    import copy
+    import subprocess
+    import sys
+
+    from conftest import REPO
+    from biscuit_tpu.align.pair import pestat
+    from biscuit_tpu.align.region import matesw, matesw_batch
+
+    d = tmp_path_factory.mktemp("msw")
+    subprocess.run(
+        [sys.executable, f"{REPO}/tools/make_testdata.py", str(d),
+         "--genome-size", "60000", "--n-reads", "240", "--pe", "--seed", "23",
+         "--snp-rate", "0.02"],
+        check=True, capture_output=True)
+    idx = build_index(str(d / "genome.fa"))
+    st = AlignerState(idx)
+    seqs = read_batch(fastq_iter(str(d / "reads_1.fq")),
+                      fastq_iter(str(d / "reads_2.fq")), 1 << 60)
+    # force rescues: periodic mismatches in every 3rd mate-2 destroy its
+    # seeds (no exact >=19-mer survives) while SW can still align it near
+    # its mate — exactly the situation matesw exists for
+    for i in range(1, len(seqs), 6):
+        s = seqs[i]
+        mut = s.seq.copy()
+        mut[::9] = (mut[::9] + 1) % 4
+        s.seq = mut
+        s.seq0 = mut
+    opt = MemOpt()
+    opt.flag |= MEM_F_PE
+    dev = DeviceAligner(st)
+    regs = dev.regs_for_batch(opt, seqs)
+    pes = pestat(opt, st.idx, regs)
+    n_pairs = len(seqs) >> 1
+    regs_a = copy.deepcopy(regs)
+    regs_b = copy.deepcopy(regs)
+    for i in range(n_pairs):
+        matesw(opt, st.idx, pes, (seqs[i << 1], seqs[(i << 1) | 1]),
+               (regs_a[i << 1], regs_a[(i << 1) | 1]))
+    pairs = [((seqs[i << 1], seqs[(i << 1) | 1]),
+              (regs_b[i << 1], regs_b[(i << 1) | 1]))
+             for i in range(n_pairs)]
+    matesw_batch(opt, st.idx, pes, pairs, dev.sw_local_batch_fn(opt))
+    n_rescued = 0
+    for i in range(len(seqs)):
+        la, lb = regs_a[i], regs_b[i]
+        assert len(la) == len(lb), f"read {i}: {len(la)} vs {len(lb)} regions"
+        if len(la) != len(regs[i]):
+            n_rescued += 1
+        for a, b in zip(la, lb):
+            for f in ("rb", "re", "qb", "qe", "rid", "score", "truesc",
+                      "csub", "sub", "seedcov", "secondary", "bss", "parent"):
+                assert getattr(a, f) == getattr(b, f), f"read {i} field {f}"
+    assert n_rescued > 0, "dataset produced no rescues; strengthen the setup"
