@@ -30,7 +30,8 @@ from ..ops.pallas_global import (decode_cigars, global_traceback,
                                  sw_global_batch_pallas)
 from . import sam as sammod
 from . import trace
-from .chain import mem_chain, mem_chain_flt, mem_flt_chained_seeds
+from .chain import (mem_chain, mem_chain_batch, mem_chain_flt,
+                    mem_flt_chained_seeds)
 from .pair import PeStat, pestat
 from .region import (AlnRegs, chain2region_gen, drive_gen, mark_primary,
                      matesw, matesw_batch, merge_regions)
@@ -354,16 +355,28 @@ class DeviceAligner:
         with _stage("seed"):
             seeds, lookups = self._collect_seeds(opt, lanes)
 
-        # chaining (host) + build extension generators
+        # chaining: the B-tree scan runs on device as a lockstep plane
+        # machine (ops/chain_batch.py); capacity-overflow lanes (and the
+        # byte-exact -v4 trace mode) rerun the host path
         all_regs: List[AlnRegs] = [AlnRegs() for _ in seqs]
         gens = []
+        dev_chains = [None] * len(lane_plan)
+        if (os.environ.get("BISCUIT_TPU_DEVICE_CHAIN", "1") != "0"
+                and trace.verbose < 4):
+            with _stage("chain_scan"):
+                jobs = [(seqs[si].l_seq, parent, seeds[li], lookups[li])
+                        for li, (si, parent) in enumerate(lane_plan)]
+                dev_chains = mem_chain_batch(opt, idx, jobs)
         with _stage("chain"):
             for li, (si, parent) in enumerate(lane_plan):
                 s = seqs[si]
-                fm, fmc = st.fm_pair(parent)
-                chns = mem_chain(opt, fm, fmc, idx, s.l_seq,
-                                 bsconvert(s, parent), parent,
-                                 seeds_intv=seeds[li], sa_lookup=lookups[li])
+                chns = dev_chains[li]
+                if chns is None:
+                    fm, fmc = st.fm_pair(parent)
+                    chns = mem_chain(opt, fm, fmc, idx, s.l_seq,
+                                     bsconvert(s, parent), parent,
+                                     seeds_intv=seeds[li],
+                                     sa_lookup=lookups[li])
                 chns = mem_chain_flt(opt, chns)
                 mem_flt_chained_seeds(opt, idx, s.l_seq, s.seq, chns, parent)
                 gens.append((chain2region_gen(opt, idx, s.l_seq, s.seq,

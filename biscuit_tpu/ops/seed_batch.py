@@ -940,12 +940,14 @@ def smem3_batch(fm: FMPair, q: jnp.ndarray, lens: jnp.ndarray,
 @partial(jax.jit, static_argnames=("min_seed_len", "max_mem_intv",
                                    "split_len", "split_width", "lanes",
                                    "C", "S", "T2", "max_iters",
-                                   "claim_every"))
+                                   "claim_every", "_force_iters",
+                                   "_ablate_gather"))
 def smem3_pool_batch(fm: FMPair, pool: jnp.ndarray,
                      min_seed_len: int, max_mem_intv: int,
                      split_len: int, split_width: int, lanes: int = 1024,
                      C: int = 32, S: int = 128, T2: int = 16,
-                     max_iters: int = 500000, claim_every: int = 1):
+                     max_iters: int = 500000, claim_every: int = 1,
+                     _force_iters: int = 0, _ablate_gather: bool = False):
     """smem3_batch with LANE REFILL: B persistent lanes drain an N-read
     pool, each lane claiming the next read the moment it finishes its own.
 
@@ -967,6 +969,14 @@ def smem3_pool_batch(fm: FMPair, pool: jnp.ndarray,
     rest) and flags its current read id in `ov_rd`; the caller reruns
     flagged reads on the host. Reads with len 0 (padding) terminate in a
     few iterations and emit nothing.
+
+    Diagnostics only (tools/seed_diag.py; NEVER production): the machine
+    is lockstep SIMD, so per-iteration cost is data-independent except
+    for gather locality. _force_iters=K runs exactly K iterations with
+    the claim recycling pool reads (ridx mod N) so gather traffic stays
+    realistic; _ablate_gather=True replaces the extend_sel + claim row
+    gathers with same-shape VPU fakes. t(full) - t(ablated) over the
+    same forced K isolates the gather share of iteration cost.
 
     pool  [N, L+2] int32/rdt rows: [codes..., len, parent]
     Returns (seeds [B, S, 6] (start, end, x0, x1, size, read_id),
@@ -1025,6 +1035,8 @@ def smem3_pool_batch(fm: FMPair, pool: jnp.ndarray,
         return jnp.where(oh[None], rows[:, :, None], plane)
 
     def cond(st):
+        if _force_iters > 0:
+            return st["iters"] < _force_iters
         # pool reads only matter while some lane can still claim them; if
         # every lane's seed buffer filled, stop (the host reruns the
         # unclaimed tail — see next_ctr in the return value)
@@ -1044,11 +1056,21 @@ def smem3_pool_batch(fm: FMPair, pool: jnp.ndarray,
             q0, l0, p0, rd0, rb0, ph0, sg0, ti0, x10, nc0 = op
             claim_try = idle & lane_ok
             order = jnp.cumsum(claim_try.astype(jnp.int32)) - 1
-            ridx = nc0 + order
-            claim = claim_try & (ridx < N)
-            nc1 = jnp.minimum(nc0 + claim_try.astype(jnp.int32).sum(),
-                              N).astype(jnp.int32)
-            rows_cl = pool[jnp.where(claim, ridx, 0)]   # ONE B-row gather
+            if _force_iters > 0:        # diag: recycle the pool forever
+                ridx = (nc0 + order) % N
+                claim = claim_try
+                nc1 = ((nc0 + claim_try.astype(jnp.int32).sum()) % N
+                       ).astype(jnp.int32)
+            else:
+                ridx = nc0 + order
+                claim = claim_try & (ridx < N)
+                nc1 = jnp.minimum(nc0 + claim_try.astype(jnp.int32).sum(),
+                                  N).astype(jnp.int32)
+            if _ablate_gather:
+                rows_cl = (jnp.zeros((B, Lp2), pool.dtype)
+                           + ridx[:, None].astype(pool.dtype))
+            else:
+                rows_cl = pool[jnp.where(claim, ridx, 0)]  # ONE B-row gather
             return (jnp.where(claim[:, None], rows_cl[:, :L], q0),
                     jnp.where(claim, rows_cl[:, L], l0),
                     jnp.where(claim, rows_cl[:, L + 1].astype(jnp.int32),
@@ -1177,7 +1199,13 @@ def smem3_pool_batch(fm: FMPair, pool: jnp.ndarray,
         s_in = jnp.where(fwdlike, st["ik"][2], prevj[2])
         x_q = jnp.where(need, x_q, 1)
         s_in = jnp.where(need, s_in, 1)
-        new_xq, new_xo, sizes = extend_sel(fm, which, x_q, x_o, s_in, back)
+        if _ablate_gather:
+            new_xq = jnp.stack([x_q + 1, x_q + 2, x_q + 3, x_q + 4], -1)
+            new_xo = jnp.stack([x_o + 1, x_o + 2, x_o + 3, x_o + 4], -1)
+            sizes = jnp.stack([jnp.maximum(s_in - 1, 0)] * 4, -1)
+        else:
+            new_xq, new_xo, sizes = extend_sel(fm, which, x_q, x_o, s_in,
+                                               back)
         fwd_c = 3 - jnp.clip(qi, 0, 3)
         c_sel = jnp.where(fwdlike, fwd_c, jnp.clip(back_c, 0, 3))
         ok_q = _pick_oh(new_xq, c_sel)

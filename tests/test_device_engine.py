@@ -123,3 +123,45 @@ def test_matesw_batch_matches_sequential(tmp_path_factory):
                       "csub", "sub", "seedcov", "secondary", "bss", "parent"):
                 assert getattr(a, f) == getattr(b, f), f"read {i} field {f}"
     assert n_rescued > 0, "dataset produced no rescues; strengthen the setup"
+
+
+def test_chain_scan_matches_host(small_dataset):
+    """mem_chain_batch (device lockstep tree scan + log replay) must yield
+    Chain lists identical to the sequential host mem_chain for every lane:
+    same chains, order, seed lists, extras, rid/is_alt/frac_rep."""
+    from biscuit_tpu.align.chain import mem_chain, mem_chain_batch
+    from biscuit_tpu.align.pipeline import bsconvert
+    from biscuit_tpu.align.device_engine import DeviceAligner
+
+    idx = build_index(str(small_dataset / "genome.fa"))
+    st = AlignerState(idx)
+    dev = DeviceAligner(st)
+    opt = MemOpt()
+    seqs = _load(small_dataset / "reads.fq", 120)
+    # mutate a third of the reads so chains fragment (forces appends and
+    # new-chain insertions beyond the trivial single-chain case)
+    for i in range(0, len(seqs), 3):
+        mut = seqs[i].seq.copy()
+        mut[::23] = (mut[::23] + 2) % 4
+        seqs[i].seq = mut
+        seqs[i].seq0 = mut
+    lanes = [(s, p) for s in seqs for p in (0, 1)]
+    seeds, lookups = dev._collect_seeds(opt, lanes)
+    jobs = [(s.l_seq, p, seeds[li], lookups[li])
+            for li, (s, p) in enumerate(lanes)]
+    got = mem_chain_batch(opt, idx, jobs)
+    n_dev = 0
+    for li, (s, p) in enumerate(lanes):
+        fm, fmc = st.fm_pair(p)
+        want = mem_chain(opt, fm, fmc, idx, s.l_seq, bsconvert(s, p), p,
+                         seeds_intv=seeds[li], sa_lookup=lookups[li])
+        if got[li] is None:
+            continue  # capacity fallback lane: host path runs anyway
+        n_dev += 1
+        assert len(got[li]) == len(want), (li, len(got[li]), len(want))
+        for cg, cw in zip(got[li], want):
+            assert (cg.pos, cg.rid, cg.is_alt) == (cw.pos, cw.rid, cw.is_alt)
+            assert cg.frac_rep == cw.frac_rep
+            assert cg.seeds == cw.seeds, (li, cg.seeds, cw.seeds)
+            assert cg.seeds_extra == cw.seeds_extra
+    assert n_dev >= len(lanes) * 0.9  # the device path must carry the batch

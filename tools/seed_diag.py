@@ -1,14 +1,21 @@
 #!/usr/bin/env python3
-"""Device-seeder diagnostics on the honest 5 Mbp geometry.
+"""Device-seeder cost accounting at a chosen genome scale (default the
+50 Mbp honest geometry, the round-3 VERDICT #2 battleground).
 
-Answers, with chip measurements (tunnel-safe slope timing):
-  1. occ4 fused-row gather: fixed-cost knee vs row count, on the REAL
-     5 Mbp table (the 100 kbp toy overstated throughput by ~3x).
-  2. Pool seeder: iterations + wall per pool at several lane widths on
-     real bisulfite reads -> rows/read and where the time actually goes.
-  3. A claim-gather ablation (claim_every) at honest scale.
+Splits pool-machine iteration cost into its three sinks with CHIP
+measurements (tunnel-safe slope timing, fm closure-captured so the
+dispatch cliff never pollutes a number):
 
-Usage: python tools/seed_diag.py [--data DIR] [--reads N]
+  1. production sweep: iters + wall per pool at several lane widths ->
+     reads/s, us/iter, gather rows/read.
+  2. forced-iteration ablation pair (same K, same shapes): full machine
+     vs gather-stubbed machine. The machine is lockstep SIMD so per-iter
+     cost is data-independent; the difference IS the gather share.
+  3. a bare chained extend_sel loop on the same table: the gather
+     ceiling with zero state-machine overhead.
+  4. sa_batch walk cost on the produced seeds (the other device stage).
+
+Usage: python tools/seed_diag.py [--genome N] [--reads N] [--lanes a,b]
 Writes seed_diag.json.
 """
 import argparse
@@ -24,7 +31,7 @@ import numpy as np
 from tools.tpu_regress import _timeit, _sync
 
 
-def get_dataset(data_dir, genome=5_000_000, n_reads=100_000):
+def get_dataset(data_dir, genome, n_reads):
     if not os.path.exists(os.path.join(data_dir, "genome.fa")):
         os.makedirs(data_dir, exist_ok=True)
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -39,44 +46,34 @@ def get_dataset(data_dir, genome=5_000_000, n_reads=100_000):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", default="/tmp/bt_seed_diag_data")
-    ap.add_argument("--reads", type=int, default=16384)
+    ap.add_argument("--genome", type=int, default=50_000_000)
+    ap.add_argument("--reads", type=int, default=32768)
+    ap.add_argument("--data", default=None)
     ap.add_argument("--out", default="seed_diag.json")
-    ap.add_argument("--lanes", default="2048,4096")
+    ap.add_argument("--lanes", default="1024,2048,4096")
+    ap.add_argument("--force-iters", type=int, default=512)
     args = ap.parse_args()
+    data_dir = args.data or f"/tmp/bt_seed_diag_{args.genome}"
 
-    fa, fq = get_dataset(args.data)
+    fa, fq = get_dataset(data_dir, args.genome, args.reads)
     import jax
     import jax.numpy as jnp
     from biscuit_tpu.index.build import build_index
     from biscuit_tpu.align.pipeline import bsconvert
     from biscuit_tpu.config import MemOpt
     from biscuit_tpu.io.fastq import fastq_iter, read_batch
-    from biscuit_tpu.ops.seed_batch import FMPair, occ4_sel, smem3_pool_batch
+    from biscuit_tpu.ops.seed_batch import (FMPair, _fm_jit, extend_sel,
+                                            sa_batch, smem3_pool_batch)
 
-    res = {"platform": jax.devices()[0].platform}
+    res = {"platform": jax.devices()[0].platform,
+           "genome_bp": args.genome, "n_reads": args.reads}
     print(f"[diag] building index over {fa}", flush=True)
     idx = build_index(fa)
     fm = FMPair.from_index(idx)
     n64 = int(fm.tab.shape[1])
-    res["table_rows"] = n64
-    res["table_mb"] = round(fm.tab.size * 4 / 1e6, 1)
+    res["table_rows_per_strand"] = n64
+    res["table_mb"] = round(float(fm.tab.size * fm.tab.dtype.itemsize) / 1e6, 1)
 
-    # ---- 1. gather knee on the real table ----
-    rng = np.random.default_rng(0)
-    occ4_j = jax.jit(occ4_sel)
-    knee = {}
-    for B in (2048, 4096, 8192, 16384, 65536):
-        ks = jnp.asarray(
-            rng.integers(0, int(idx.dau.seq_len), B), fm.rdt)
-        wh = jnp.asarray(rng.integers(0, 2, B), jnp.int32)
-        t = _timeit(lambda: occ4_j(fm, wh, ks), n=8)
-        knee[str(B)] = {"us_per_call": round(t * 1e6, 1),
-                        "mrows_per_s": round(B / t / 1e6, 2)}
-        print(f"[diag] occ4 B={B}: {knee[str(B)]}", flush=True)
-    res["occ4_knee"] = knee
-
-    # ---- 2/3. pool seeder sweep ----
     opt = MemOpt()
     seqs = read_batch(fastq_iter(fq), None, 1 << 60)[:args.reads]
     N = 1 << max(0, len(seqs) - 1).bit_length()
@@ -89,30 +86,123 @@ def main():
         pool[i, L + 1] = p
     pj = jnp.asarray(pool)
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    sp4 = (int(opt.min_seed_len), int(opt.max_mem_intv), split_len,
+           int(opt.split_width))
+    K = args.force_iters
+
+    # ---- 3. gather ceiling: bare chained extend_sel loop ----
+    def gather_loop(f):
+        def run(x0):
+            def body(st):
+                x, acc, it = st
+                nxq, nxo, sz = extend_sel(
+                    f, (x & 1).astype(jnp.int32), x, x, x % 17 + 1,
+                    jnp.bool_(False))
+                x = (x + nxq[:, 0] + nxo[:, 1]) % (f.seq_len - 64)
+                return x, acc + sz[:, 0], it + 1
+            def cond(st):
+                return st[2] < K
+            return jax.lax.while_loop(cond, body, (x0, x0 * 0, jnp.int32(0)))
+        return run
+
+    ceil = {}
+    rng = np.random.default_rng(0)
+    for B in (2048, 4096, 8192):
+        x0 = jnp.asarray(rng.integers(1, int(idx.dau.seq_len) - 64, B)
+                         .astype(np.int64 if fm.wide else np.int32))
+        fn = _fm_jit(fm, ("diag_gather", B, K), gather_loop)
+        t = _timeit(lambda: fn(x0), n=4)
+        ceil[str(B)] = {
+            "us_per_iter": round(t / K * 1e6, 2),
+            "mrows_per_s": round(2 * B * K / t / 1e6, 1),  # 2B rows/iter
+        }
+        print(f"[diag] gather ceiling B={B}: {ceil[str(B)]}", flush=True)
+    res["gather_ceiling"] = ceil
+
+    # ---- 1/2. pool machine: production sweep + ablation pair ----
     sweeps = {}
     for lanes in [int(x) for x in args.lanes.split(",")]:
-        for claim_every in (1, 4):
-            S = max(64, min(1024, 24 * max(1, N // lanes) + 40))
-            fn = jax.jit(lambda pj=pj, lanes=lanes, S=S, ce=claim_every:
-                         smem3_pool_batch(fm, pj, int(opt.min_seed_len),
-                                          int(opt.max_mem_intv), split_len,
-                                          int(opt.split_width), lanes, 32,
-                                          S, 16, claim_every=ce))
-            out = fn()
-            iters = int(out[4])
-            ov = int((np.asarray(out[2]) >= 0).sum())
-            t = _timeit(fn, n=4)
-            key = f"lanes{lanes}_ce{claim_every}"
-            sweeps[key] = {
-                "iters": iters, "overflow_reads": ov,
-                "wall_s": round(t, 4),
-                "reads_per_s": round(len(seqs) / t, 1),
-                "us_per_iter": round(t / iters * 1e6, 2),
-                "gather_rows_per_iter": 2 * lanes + (
-                    lanes // claim_every),
-            }
-            print(f"[diag] {key}: {sweeps[key]}", flush=True)
+        S = max(64, min(1024, 24 * max(1, N // lanes) + 40))
+        C_m = max(32, min(160, L // 4))
+
+        def mk(force=0, ablate=False, lanes=lanes, S=S, C_m=C_m):
+            return _fm_jit(
+                fm, ("diag_pool", lanes, S, C_m, force, ablate),
+                lambda f: lambda p: smem3_pool_batch(
+                    f, p, *sp4, lanes, C_m, S, 16,
+                    _force_iters=force, _ablate_gather=ablate))
+
+        prod = mk()
+        out = prod(pj)
+        iters = int(out[4])
+        ov = int((np.asarray(out[2]) >= 0).sum())
+        t = _timeit(lambda: prod(pj), n=4)
+        # iteration slope between two forced K: cancels the per-call carry
+        # initialization (the ~20 MB of state planes are zeroed per call,
+        # which a call-level slope cannot separate from iteration cost)
+        K2 = K * 4
+        full1 = mk(force=K)
+        full2 = mk(force=K2)
+        abl1 = mk(force=K, ablate=True)
+        abl2 = mk(force=K2, ablate=True)
+        t_full = (_timeit(lambda: full2(pj), n=4)
+                  - _timeit(lambda: full1(pj), n=4)) / (K2 - K)
+        t_abl = (_timeit(lambda: abl2(pj), n=4)
+                 - _timeit(lambda: abl1(pj), n=4)) / (K2 - K)
+        g_us = (t_full - t_abl) * 1e6
+        rows_it = 3 * lanes            # 2B extend + B claim
+        key = f"lanes{lanes}"
+        sweeps[key] = {
+            "iters": iters, "overflow_reads": ov,
+            "wall_s": round(t, 4),
+            "reads_per_s": round(len(seqs) / t, 1),
+            "us_per_iter": round(t / iters * 1e6, 2),
+            "us_per_iter_forced_full": round(t_full * 1e6, 2),
+            "us_per_iter_forced_ablated": round(t_abl * 1e6, 2),
+            "gather_us_per_iter": round(g_us, 2),
+            "gather_mrows_per_s": round(rows_it / g_us, 1) if g_us > 0 else None,
+            "gather_rows_per_read": round(rows_it * iters / len(seqs), 1),
+            "gather_share": round(g_us / (t / iters * 1e6), 3),
+        }
+        print(f"[diag] {key}: {sweeps[key]}", flush=True)
     res["pool_sweep"] = sweeps
+
+    # ---- 4. SA walk cost on real seed ranks ----
+    best = min(sweeps.values(), key=lambda s: s["wall_s"])
+    lanes_b = int([k for k, v in sweeps.items() if v is best][0][5:])
+    S = max(64, min(1024, 24 * max(1, N // lanes_b) + 40))
+    C_m = max(32, min(160, L // 4))
+    out = _fm_jit(fm, ("diag_pool", lanes_b, S, C_m, 0, False),
+                  lambda f: lambda p: smem3_pool_batch(
+                      f, p, *sp4, lanes_b, C_m, S, 16))(pj)
+    seeds = np.asarray(out[0])           # [B, S, 6]
+    n_seeds = np.asarray(out[1])
+    ks, ws = [], []
+    for b in range(seeds.shape[0]):
+        for s in range(int(n_seeds[b])):
+            st_, en_, x0_, x1_, sz_, rd_ = seeds[b, s]
+            if rd_ < 0 or sz_ <= 0:
+                continue
+            for r in range(min(int(sz_), 4)):   # first occurrences only
+                ks.append(int(x0_) + r)
+                ws.append(1)
+    n_sa = len(ks)
+    Bsa = 1 << max(0, n_sa - 1).bit_length()
+    karr = np.zeros(Bsa, np.int64 if fm.wide else np.int32)
+    karr[:n_sa] = np.asarray(ks[:Bsa], karr.dtype)
+    warr = np.zeros(Bsa, np.int32)
+    warr[:n_sa] = np.asarray(ws[:Bsa], np.int32)
+    kj, wj = jnp.asarray(karr), jnp.asarray(warr)
+    fn_sa = _fm_jit(fm, ("sa_batch",),
+                    lambda f: lambda w, kk: sa_batch(f, w, kk))
+    t_sa = _timeit(lambda: fn_sa(wj, kj), n=4)
+    res["sa_walk"] = {
+        "n_ranks": n_sa, "batch": Bsa,
+        "us_per_call": round(t_sa * 1e6, 1),
+        "s_per_pool": round(t_sa, 4),
+        "sa_share_vs_best_pool": round(t_sa / best["wall_s"], 3),
+    }
+    print(f"[diag] sa_walk: {res['sa_walk']}", flush=True)
 
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
