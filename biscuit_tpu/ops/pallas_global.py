@@ -44,7 +44,7 @@ B_TILE = 128
 
 def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
                  w_ref, score_ref, z_ref, h_scr, e_scr, prof_scr, *, Lq,
-                 o_del, e_del, o_ins, e_ins):
+                 o_del, e_del, o_ins, e_ins, _ablate=""):
     """Grid (b_tile, i): one target row for B_TILE lanes per step.
     query [Lq, B], target row [1, B], matb [25, B], scalars [1, B].
     score [1, B] (final h[qlen]); z block [1, Lq, B] int32 holds FOUR
@@ -106,18 +106,21 @@ def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
     # closed form (ops/sw.py:_f_scan): F(j) = max(f0 - (j-beg)*e_ins,
     # max_{j'<j}(t(j') + j'*e_ins) - (j-1)*e_ins) with t = M - oe_ins; the
     # beg offset cancels in the second term so a global-j ramp works.
-    b_arr = jnp.where(jm, (M - oe_ins) + jcell * e_ins, VERYNEG)
-    s = 1
-    x = b_arr
-    while s < Lq:
-        x = jnp.maximum(
-            x, jnp.concatenate(
-                [jnp.full((s, B), VERYNEG, jnp.int32), x[:-s]], axis=0))
-        s <<= 1
-    cm_excl = jnp.concatenate(
-        [jnp.full((1, B), VERYNEG, jnp.int32), x[:-1]], axis=0)
-    F = jnp.maximum(MINUS_INF - (jcell - beg[None, :]) * e_ins,
-                    cm_excl - (jcell - 1) * e_ins)
+    if "scan" in _ablate:        # diagnostics only: F share of step cost
+        F = M - oe_ins
+    else:
+        b_arr = jnp.where(jm, (M - oe_ins) + jcell * e_ins, VERYNEG)
+        s = 1
+        x = b_arr
+        while s < Lq:
+            x = jnp.maximum(
+                x, jnp.concatenate(
+                    [jnp.full((s, B), VERYNEG, jnp.int32), x[:-s]], axis=0))
+            s <<= 1
+        cm_excl = jnp.concatenate(
+            [jnp.full((1, B), VERYNEG, jnp.int32), x[:-1]], axis=0)
+        F = jnp.maximum(MINUS_INF - (jcell - beg[None, :]) * e_ins,
+                        cm_excl - (jcell - 1) * e_ins)
     ME = jnp.maximum(M, E)
     H = jnp.maximum(ME, F)
 
@@ -131,7 +134,8 @@ def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
     # is revisited for 4 consecutive steps, so the OR accumulates in VMEM.
     sub = (i & 3) << 3
     word = (d << sub)[None]
-    z_ref[...] = jnp.where(sub == 0, word, z_ref[...] | word)
+    if "z" not in _ablate:       # diagnostics: z-write share of step cost
+        z_ref[...] = jnp.where(sub == 0, word, z_ref[...] | word)
 
     # stores: h[beg]=h1_first; h[j+1]=H(j) for j in band; e[j] in band,
     # e[end]=MINUS_INF (ops/sw.py:186-190)
@@ -150,10 +154,10 @@ def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
 
 
 @partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins", "e_ins",
-                                   "interpret"))
+                                   "interpret", "_ablate"))
 def sw_global_batch_pallas(query, qlens, target, tlens, mats, matsel,
                            o_del: int, e_del: int, o_ins: int, e_ins: int,
-                           w, interpret: bool = False):
+                           w, interpret: bool = False, _ablate: str = ""):
     """Banded global DP for a padded batch.  query [B, Lq], target [B, Lt]
     (codes 0-4, pad 4), per-lane band w [B].  Returns (score [B] int32,
     z [ceil(Lt/4), Lq, Bp] int32 with four packed direction bytes per word,
@@ -181,7 +185,7 @@ def sw_global_batch_pallas(query, qlens, target, tlens, mats, matsel,
     lane = lambda d: pl.BlockSpec((d, B_TILE), lambda b, i: (0, b))
     score, z = pl.pallas_call(
         partial(_glob_kernel, Lq=Lq, o_del=o_del, e_del=e_del,
-                o_ins=o_ins, e_ins=e_ins),
+                o_ins=o_ins, e_ins=e_ins, _ablate=_ablate),
         grid=grid,
         in_specs=[lane(Lq),
                   pl.BlockSpec((Lt, B_TILE), lambda b, i: (0, b)),
