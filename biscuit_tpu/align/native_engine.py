@@ -197,8 +197,10 @@ class NativeAligner:
         self.par = strand(idx.par, "par")
         ann_off = np.ascontiguousarray(
             np.array([a.offset for a in idx.anns], np.int64))
+        # int64: a single contig may exceed 2^31 chars (the reference's
+        # bntann1_t caps contig length at int32; we don't)
         ann_len = np.ascontiguousarray(
-            np.array([a.length for a in idx.anns], np.int32))
+            np.array([a.length for a in idx.anns], np.int64))
         ann_alt = np.ascontiguousarray(
             np.array([getattr(a, "is_alt", 0) for a in idx.anns], np.uint8))
         pac = np.ascontiguousarray(idx.pac)

@@ -2033,7 +2033,7 @@ static void collect_intv_interleaved(const Opt &opt,
 
 struct Bns {
     const int64_t *ann_off;  // [n_seqs]
-    const int32_t *ann_len;
+    const int64_t *ann_len;  // int64: one contig may exceed 2^31 (reference caps at int32, bntann1_t)
     const uint8_t *ann_alt;
     int32_t n_seqs;
     const uint8_t *pac;      // unpacked forward codes [l_pac]
@@ -4497,7 +4497,7 @@ void *bt_build_ilv(const StrandFMC *s) {
 
 struct BnsC {
     const int64_t *ann_off;
-    const int32_t *ann_len;
+    const int64_t *ann_len;  // int64: one contig may exceed 2^31 (reference caps at int32, bntann1_t)
     const uint8_t *ann_alt;
     int32_t n_seqs;
     const uint8_t *pac;

@@ -42,61 +42,34 @@ B_TILE = 128
 # cigar op codes (BAM): 0=M, 1=I (consumes query), 2=D (consumes target)
 
 
-def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
-                 w_ref, score_ref, z_ref, h_scr, e_scr, prof_scr, *, Lq,
-                 o_del, e_del, o_ins, e_ins, _ablate=""):
-    """Grid (b_tile, i): one target row for B_TILE lanes per step.
-    query [Lq, B], target row [1, B], matb [25, B], scalars [1, B].
-    score [1, B] (final h[qlen]); z block [1, Lq, B] int32 holds FOUR
-    packed direction bytes per word (target rows 4t..4t+3 at bit 8*(i&3)):
-    the block's index_map revisits the same block for 4 consecutive grid
-    steps, so it stays in VMEM and flushes to HBM once — 1 byte/cell of
-    write traffic instead of 4. h_scr [Lq+1, B], e_scr [Lq, B] and the
-    query score profiles prof_scr [5*Lq, B] persist across i steps."""
-    i = pl.program_id(1)
+def _init_he(qlens, w, jfull, Lq, o_ins, e_ins):
+    """h_row[0]=0; h_row[j]=-(o_ins+e_ins*j) for 1<=j<=min(w,qlen);
+    else MINUS_INF (ops/sw.py:156-162)."""
+    B = B_TILE
+    h0 = jnp.where(
+        jfull == 0, 0,
+        jnp.where((jfull <= w[None, :]) & (jfull <= qlens[None, :]),
+                  -(o_ins + e_ins * jfull), MINUS_INF)).astype(jnp.int32)
+    return h0, jnp.full((Lq, B), MINUS_INF, jnp.int32)
+
+
+def _row_body(i, tb, h, e, prof, qlens, tlens, w, jcell, jfull, Lq,
+              o_del, e_del, o_ins, e_ins, _ablate=""):
+    """One banded DP target row for B_TILE lanes: returns the direction
+    plane d [Lq, B] (0 outside run/band) and the run-masked next (h, e).
+    prof: list of 5 [Lq, B] query score profiles (one per target char)."""
+    B = B_TILE
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
-    B = B_TILE
-    jcell = jax.lax.broadcasted_iota(jnp.int32, (Lq, B), 0)
-    jfull = jax.lax.broadcasted_iota(jnp.int32, (Lq + 1, B), 0)
-
-    qlens = qlens_ref[0, :]
-    tlens = tlens_ref[0, :]
-    w = w_ref[0, :]
-
-    @pl.when(i == 0)
-    def _init():
-        # h_row[0]=0; h_row[j]=-(o_ins+e_ins*j) for 1<=j<=min(w,qlen);
-        # else MINUS_INF (ops/sw.py:156-162)
-        h0 = jnp.where(
-            jfull == 0, 0,
-            jnp.where((jfull <= w[None, :]) & (jfull <= qlens[None, :]),
-                      -(o_ins + e_ins * jfull), MINUS_INF)).astype(jnp.int32)
-        h_scr[...] = h0
-        e_scr[...] = jnp.full((Lq, B), MINUS_INF, jnp.int32)
-        # query profiles (pallas_sw trick): the 25-term select runs ONCE
-        # here; every row then needs only a 5-term select on the target char
-        qv0 = query_ref[...]
-        for t in range(5):
-            Pt = jnp.zeros((Lq, B), jnp.int32)
-            for q in range(5):
-                Pt = jnp.where(qv0 == q, matb_ref[t * 5 + q, :][None, :], Pt)
-            prof_scr[pl.ds(t * Lq, Lq), :] = Pt
-
     run = i < tlens                                     # [B]
     beg = jnp.maximum(i - w, 0)
     end = jnp.minimum(jnp.minimum(i + w + 1, qlens), Lq)
     h1_first = jnp.where(beg == 0, -(o_del + e_del * (i + 1)), MINUS_INF)
 
-    # whole target block resident (Lt x 128 x 4B); dynamic one-row slice —
-    # a (1, B_TILE) row block fails Mosaic's (8, 128) tiling requirement
-    tb = target_ref[pl.ds(i, 1), :][0, :]
     S = jnp.zeros((Lq, B), jnp.int32)
     for t in range(5):
-        S = jnp.where((tb == t)[None, :], prof_scr[pl.ds(t * Lq, Lq), :], S)
+        S = jnp.where((tb == t)[None, :], prof[t], S)
 
-    h = h_scr[...]
-    e = e_scr[...]
     jm = (jcell >= beg[None, :]) & (jcell < end[None, :])
 
     Hdiag = h[:-1]
@@ -130,12 +103,6 @@ def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
     d = d | (((E - e_del) > (M - oe_del)).astype(jnp.int32) << 2)
     d = d | (((F - e_ins) > (M - oe_ins)).astype(jnp.int32) << 5)
     d = jnp.where(run[None, :] & jm, d, 0)
-    # pack 4 rows per int32 word: bits 8*(i&3). The z block (index i//4)
-    # is revisited for 4 consecutive steps, so the OR accumulates in VMEM.
-    sub = (i & 3) << 3
-    word = (d << sub)[None]
-    if "z" not in _ablate:       # diagnostics: z-write share of step cost
-        z_ref[...] = jnp.where(sub == 0, word, z_ref[...] | word)
 
     # stores: h[beg]=h1_first; h[j+1]=H(j) for j in band; e[j] in band,
     # e[end]=MINUS_INF (ops/sw.py:186-190)
@@ -145,24 +112,135 @@ def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
                      jnp.where(jmsh, Hsh, h))
     newe = jnp.where(jm, jnp.maximum(E - e_del, M - oe_del),
                      jnp.where(jcell == end[None, :], MINUS_INF, e))
-    h_scr[...] = jnp.where(run[None, :], newh, h)
-    e_scr[...] = jnp.where(run[None, :], newe, e)
+    return (d, jnp.where(run[None, :], newh, h),
+            jnp.where(run[None, :], newe, e))
+
+
+def _profiles(query_ref, matb_ref, Lq):
+    """Query score profiles (pallas_sw trick): the 25-term select runs
+    ONCE; every row then needs only a 5-term select on the target char."""
+    B = B_TILE
+    qv0 = query_ref[...]
+    prof = []
+    for t in range(5):
+        Pt = jnp.zeros((Lq, B), jnp.int32)
+        for q in range(5):
+            Pt = jnp.where(qv0 == q, matb_ref[t * 5 + q, :][None, :], Pt)
+        prof.append(Pt)
+    return prof
+
+
+def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
+                 w_ref, score_ref, z_ref, h_scr, e_scr, prof_scr, *, Lq,
+                 o_del, e_del, o_ins, e_ins, _ablate=""):
+    """Fallback grid kernel for buckets whose z block exceeds the VMEM
+    budget.  Grid (b_tile, i): one target row for B_TILE lanes per step.
+    query [Lq, B], target row [1, B], matb [25, B], scalars [1, B].
+    score [1, B] (final h[qlen]); z block [1, Lq, B] int32 holds FOUR
+    packed direction bytes per word (target rows 4t..4t+3 at bit 8*(i&3)):
+    the block's index_map revisits the same block for 4 consecutive grid
+    steps, so it stays in VMEM and flushes to HBM once — 1 byte/cell of
+    write traffic instead of 4. h_scr [Lq+1, B], e_scr [Lq, B] and the
+    query score profiles prof_scr [5*Lq, B] persist across i steps."""
+    i = pl.program_id(1)
+    B = B_TILE
+    jcell = jax.lax.broadcasted_iota(jnp.int32, (Lq, B), 0)
+    jfull = jax.lax.broadcasted_iota(jnp.int32, (Lq + 1, B), 0)
+
+    qlens = qlens_ref[0, :]
+    tlens = tlens_ref[0, :]
+    w = w_ref[0, :]
+
+    @pl.when(i == 0)
+    def _init():
+        h0, e0 = _init_he(qlens, w, jfull, Lq, o_ins, e_ins)
+        h_scr[...] = h0
+        e_scr[...] = e0
+        prof = _profiles(query_ref, matb_ref, Lq)
+        for t in range(5):
+            prof_scr[pl.ds(t * Lq, Lq), :] = prof[t]
+
+    # whole target block resident (Lt x 128 x 4B); dynamic one-row slice —
+    # a (1, B_TILE) row block fails Mosaic's (8, 128) tiling requirement
+    tb = target_ref[pl.ds(i, 1), :][0, :]
+    prof = [prof_scr[pl.ds(t * Lq, Lq), :] for t in range(5)]
+    d, newh, newe = _row_body(
+        i, tb, h_scr[...], e_scr[...], prof, qlens, tlens, w, jcell, jfull,
+        Lq, o_del, e_del, o_ins, e_ins, _ablate)
+    # pack 4 rows per int32 word: bits 8*(i&3). The z block (index i//4)
+    # is revisited for 4 consecutive steps, so the OR accumulates in VMEM.
+    sub = (i & 3) << 3
+    word = (d << sub)[None]
+    if "z" not in _ablate:       # diagnostics: z-write share of step cost
+        z_ref[...] = jnp.where(sub == 0, word, z_ref[...] | word)
+    h_scr[...] = newh
+    e_scr[...] = newe
 
     # final score h[qlen]: write every step; the last active row wins
-    hq = jnp.sum(jnp.where(jfull == qlens[None, :], h_scr[...], 0), axis=0)
+    hq = jnp.sum(jnp.where(jfull == qlens[None, :], newh, 0), axis=0)
     score_ref[...] = hq[None, :]
 
 
+def _glob_kernel_loop(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
+                      w_ref, score_ref, z_ref, *, Lq, Lt4,
+                      o_del, e_del, o_ins, e_ins, _ablate=""):
+    """Main kernel: grid (b_tile,) only; the target walk is an internal
+    fori_loop with a PER-TILE dynamic trip count (ceil(max tlens / 4)), so
+    short tiles exit early and there is no per-row grid/DMA overhead —
+    this is what took pallas_sw from 1 to 20 GCUPS.  The whole z block
+    [Lt4, Lq, B] lives in VMEM as this tile's output (the wrapper only
+    selects this kernel when it fits) and each 4-row macro step stores its
+    fully packed word once — no read-modify-write."""
+    B = B_TILE
+    jcell = jax.lax.broadcasted_iota(jnp.int32, (Lq, B), 0)
+    jfull = jax.lax.broadcasted_iota(jnp.int32, (Lq + 1, B), 0)
+
+    qlens = qlens_ref[0, :]
+    tlens = tlens_ref[0, :]
+    w = w_ref[0, :]
+    prof = _profiles(query_ref, matb_ref, Lq)
+    h0, e0 = _init_he(qlens, w, jfull, Lq, o_ins, e_ins)
+    target = target_ref[...]
+
+    n4 = (jnp.max(tlens) + 3) // 4        # pad lanes carry tlens == 0
+
+    def body4(i4, carry):
+        h, e = carry
+        word = jnp.zeros((Lq, B), jnp.int32)
+        for s in range(4):
+            i = i4 * 4 + s
+            tb = jax.lax.dynamic_slice(target, (i, 0), (1, B))[0, :]
+            d, h, e = _row_body(
+                i, tb, h, e, prof, qlens, tlens, w, jcell, jfull, Lq,
+                o_del, e_del, o_ins, e_ins, _ablate)
+            word = word | (d << (s << 3))
+        if "z" not in _ablate:
+            z_ref[pl.ds(i4, 1)] = word[None]
+        return (h, e)
+
+    h, _ = jax.lax.fori_loop(0, n4, body4, (h0, e0))
+    hq = jnp.sum(jnp.where(jfull == qlens[None, :], h, 0), axis=0)
+    score_ref[...] = hq[None, :]
+
+
+# VMEM budget for the loop kernel's resident z block + profiles + carries
+# (v5e VMEM is 16 MB more or less; leave headroom for Mosaic's own buffers)
+_LOOP_VMEM_BUDGET = 10 << 20
+
+
 @partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins", "e_ins",
-                                   "interpret", "_ablate"))
+                                   "interpret", "_ablate", "_force"))
 def sw_global_batch_pallas(query, qlens, target, tlens, mats, matsel,
                            o_del: int, e_del: int, o_ins: int, e_ins: int,
-                           w, interpret: bool = False, _ablate: str = ""):
+                           w, interpret: bool = False, _ablate: str = "",
+                           _force: str = ""):
     """Banded global DP for a padded batch.  query [B, Lq], target [B, Lt]
     (codes 0-4, pad 4), per-lane band w [B].  Returns (score [B] int32,
     z [ceil(Lt/4), Lq, Bp] int32 with four packed direction bytes per word,
     target row i at bits 8*(i&3)) — z stays on device for
-    global_traceback."""
+    global_traceback.  _force: "loop"/"grid" pins the kernel variant
+    (tests); default picks the loop kernel whenever its VMEM-resident z
+    block fits."""
     B, Lq = query.shape
     Lt = target.shape[1]
     Lt4 = (Lt + 3) // 4
@@ -180,6 +258,29 @@ def sw_global_batch_pallas(query, qlens, target, tlens, mats, matsel,
     ql = padb(qlens.astype(jnp.int32))[None, :]
     tl = padb(jnp.maximum(tlens.astype(jnp.int32), 1))[None, :]
     wv = padb(jnp.maximum(w.astype(jnp.int32), 1))[None, :]
+
+    # z block + target + 5 profiles + h/e carries, all int32 on B_TILE lanes
+    vmem_need = 4 * B_TILE * (Lt4 * Lq + Lt + 5 * Lq + 2 * (Lq + 1))
+    use_loop = _force == "loop" or (_force != "grid"
+                                    and vmem_need <= _LOOP_VMEM_BUDGET)
+    if use_loop:
+        score, z = pl.pallas_call(
+            partial(_glob_kernel_loop, Lq=Lq, Lt4=Lt4, o_del=o_del,
+                    e_del=e_del, o_ins=o_ins, e_ins=e_ins, _ablate=_ablate),
+            grid=(Bp // B_TILE,),
+            in_specs=[pl.BlockSpec((Lq, B_TILE), lambda b: (0, b)),
+                      pl.BlockSpec((Lt, B_TILE), lambda b: (0, b)),
+                      pl.BlockSpec((25, B_TILE), lambda b: (0, b)),
+                      pl.BlockSpec((1, B_TILE), lambda b: (0, b)),
+                      pl.BlockSpec((1, B_TILE), lambda b: (0, b)),
+                      pl.BlockSpec((1, B_TILE), lambda b: (0, b))],
+            out_specs=[pl.BlockSpec((1, B_TILE), lambda b: (0, b)),
+                       pl.BlockSpec((Lt4, Lq, B_TILE), lambda b: (0, 0, b))],
+            out_shape=[jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+                       jax.ShapeDtypeStruct((Lt4, Lq, Bp), jnp.int32)],
+            interpret=interpret,
+        )(qT, tT, mT, ql, tl, wv)
+        return score[0, :B], z
 
     grid = (Bp // B_TILE, Lt)
     lane = lambda d: pl.BlockSpec((d, B_TILE), lambda b, i: (0, b))

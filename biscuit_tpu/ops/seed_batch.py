@@ -217,6 +217,27 @@ def _occ4_from_row(row: jnp.ndarray, kk: jnp.ndarray) -> jnp.ndarray:
     return acc + counts
 
 
+def _tab_row(fm: FMPair, which: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
+    """Fused-table row for per-lane strand `which` and 64-base block `blk`.
+
+    Fast path: ONE gather on the [2*n64, W] view (the TPU design point —
+    occ4/invPsi cost a single row gather).  When the flattened table
+    exceeds 2^31 ELEMENTS (human-scale wide indexes on the CPU backend;
+    such a table cannot fit a v5e's HBM anyway), XLA:CPU's internal gather
+    offsets overflow int32 and scribble memory — so gather each strand
+    separately (both operands stay < 2^31 elements) and 2-way select.
+    BISCUIT_TPU_SPLIT_TAB=1 forces the split path for testing."""
+    n64 = fm.tab.shape[1]
+    W = fm.tab.shape[-1]
+    if 2 * n64 * W <= 0x7FFFFFFF \
+            and not os.environ.get("BISCUIT_TPU_SPLIT_TAB"):
+        return fm.tab.reshape(2 * n64, W)[which * n64 + blk]
+    r0 = fm.tab[0][blk]
+    r1 = fm.tab[1][blk]
+    w = (which == 1).reshape(which.shape + (1,))
+    return jnp.where(w, r1, r0)
+
+
 def occ4_sel(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """occ4 with a per-lane strand-index selector `which` in {0,1}.
     One fused-table row gather per query."""
@@ -226,8 +247,7 @@ def occ4_sel(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     ksafe = jnp.clip(k, 0, fm.seq_len - 1)
     prim = _sel2(fm.primary, which)
     kk = ksafe - (ksafe >= prim).astype(fm.rdt)
-    n64 = fm.tab.shape[1]
-    row = fm.tab.reshape(2 * n64, fm.tab.shape[-1])[which * n64 + (kk >> 6)]
+    row = _tab_row(fm, which, kk >> 6)
     res = _occ4_from_row(row, kk)
     totals = _sel2(fm.L2[:, 1:5] - fm.L2[:, 0:4], which)
     res = jnp.where(is_full[..., None], totals, res)
@@ -337,8 +357,7 @@ def occ4_selT(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     ksafe = jnp.clip(k, 0, fm.seq_len - 1)
     prim = _sel2(fm.primary, which)
     kk = ksafe - (ksafe >= prim).astype(fm.rdt)
-    n64 = fm.tab.shape[1]
-    row = fm.tab.reshape(2 * n64, fm.tab.shape[-1])[which * n64 + (kk >> 6)]
+    row = _tab_row(fm, which, kk >> 6)
     res = _occ4_from_rowT(row.T, kk)
     totalsT = _sel2T(fm.L2[:, 1:5] - fm.L2[:, 0:4], which)
     res = jnp.where(is_full[None], totalsT, res)
@@ -1862,6 +1881,8 @@ def _fm_jit(fm: FMPair, key, build):
     if cache is None:
         cache = {}
         object.__setattr__(fm, "_jit_cache", cache)
+    # the split-tab escape hatch changes traced gather structure (_tab_row)
+    key = (key, bool(os.environ.get("BISCUIT_TPU_SPLIT_TAB")))
     fn = cache.get(key)
     if fn is None:
         fn = jax.jit(build(fm))
@@ -1890,8 +1911,7 @@ def sa_batch(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     def inv_psi(which, kk):
         prim = _sel2(fm.primary, which)
         j = kk - (kk >= prim).astype(jnp.int32)
-        n64 = fm.tab.shape[1]
-        row = fm.tab.reshape(2 * n64, fm.tab.shape[-1])[which * n64 + (j >> 6)]
+        row = _tab_row(fm, which, j >> 6)
         wbase = fm.tab.shape[-1] - 4  # BWT words: cols 4.. (8.. on wide rows)
         w = _pick_oh(row, wbase + ((j >> 4) & 3).astype(jnp.int32))
         c = ((w >> (((~j & 15) << 1).astype(jnp.uint32))) & 3).astype(jnp.int32)
@@ -1999,11 +2019,12 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
     the host collect_intv's stable ks_introsort-key order."""
     B, L = reads.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    # default pool: on the honest 5 Mbp geometry (real reads, DRAM-resident
-    # occ tables) pool measures 25.0k reads/s compute-only vs merged 25.0k
-    # and log 22.4k (r3 chip sweep); the log machine only wins on the
-    # 100 kbp toy index where its denser compaction isn't gather-bound.
-    mode = os.environ.get("BISCUIT_TPU_SEEDER", "pool")
+    # default log: r4 chip sweep at N=32768/lanes=4096 (post dispatch-cliff
+    # fix) — 5 Mbp: log 45.1k vs pool 44.8k reads/s compute-only (parity);
+    # 50 Mbp: log 27.2k vs pool 23.0k (the iteration-indexed log amortizes
+    # the gather-bound regime's archive rewrites).  The r3 numbers that
+    # favored pool (25.0k vs 22.4k) predate the pool-depth/dispatch fixes.
+    mode = os.environ.get("BISCUIT_TPU_SEEDER", "log")
     merged = mode != "fused"
 
     if mode == "log":
@@ -2152,7 +2173,7 @@ def sm_compute_closure(fm: FMPair, pool: np.ndarray, opt):
     B = pool.shape[0]
     L = pool.shape[1] - 2
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    mode = os.environ.get("BISCUIT_TPU_SEEDER", "pool")
+    mode = os.environ.get("BISCUIT_TPU_SEEDER", "log")
     pj = jnp.asarray(pool)
     ce = int(os.environ.get("BISCUIT_TPU_CLAIM_EVERY", "1"))
     C_m = max(32, min(160, L // 4))

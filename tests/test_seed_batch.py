@@ -185,3 +185,28 @@ def test_log_seeder_spill_flags_not_truncates(setup):
     _, _, _, ov3, _, nc3, unf3 = [np.asarray(x) for x in out3]
     assert (np.asarray(unf3) >= 0).sum() > 0
     assert int(nc3) < B
+
+
+def test_split_tab_path_parity(wide_setup, monkeypatch):
+    """BISCUIT_TPU_SPLIT_TAB=1 (the >2^31-element fused-table regime:
+    XLA:CPU gather offsets overflow int32, so human-scale wide tables
+    gather each strand separately) must match the fused single-gather."""
+    idx, fmpair, d = wide_setup
+    opt = MemOpt()
+    raw = read_seqs(d / "reads.fq", 16)
+    parents = [i % 2 for i in range(len(raw))]
+    conv = [bsconvert(s, p) for s, p in zip(raw, parents)]
+    q, lens = pad_batch(conv)
+    pv = np.array(parents, np.int32)
+    base, ov0 = seed_batch.collect_intv_batch(fmpair, q, lens, pv, opt)
+    rng = np.random.default_rng(5)
+    n = int(idx.dau.seq_len)
+    ranks = rng.integers(1, n, 64).astype(np.int64)
+    which = rng.integers(0, 2, 64).astype(np.int32)
+    sa0 = seed_batch.sa_batch_np(fmpair, which, ranks)
+    monkeypatch.setenv("BISCUIT_TPU_SPLIT_TAB", "1")
+    got, ov1 = seed_batch.collect_intv_batch(fmpair, q, lens, pv, opt)
+    sa1 = seed_batch.sa_batch_np(fmpair, which, ranks)
+    assert not ov0.any() and not ov1.any()
+    assert got == base
+    assert (sa0 == sa1).all()

@@ -42,22 +42,27 @@ def main():
         print(f"[big] wrote {n/1e9:.1f} Gbp fasta in {time.time()-t0:.0f}s",
               flush=True)
 
-    t0 = time.time()
-    code = ("import resource, subprocess, sys\n"
-            "r = subprocess.run(sys.argv[1:])\n"
-            "peak = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss\n"
-            "print('PEAK_RSS_KB', peak)\n"
-            "sys.exit(r.returncode)\n")
-    r = subprocess.run([sys.executable, "-c", code, sys.executable, "-m",
-                        "biscuit_tpu.cli", "index", "-M", fa],
-                       capture_output=True, text=True)
-    assert r.returncode == 0, r.stderr[-3000:]
-    peak_kb = 0
-    for line in r.stdout.splitlines():
-        if line.startswith("PEAK_RSS_KB"):
-            peak_kb = int(line.split()[-1])
-    print(f"[big] index built in {time.time()-t0:.0f}s, "
-          f"peak RSS {peak_kb/1e6:.1f} GB", flush=True)
+    meta = os.path.join(fa + ".btidx", "meta.json")
+    if os.path.exists(meta) and os.path.getmtime(meta) > os.path.getmtime(fa):
+        print("[big] reusing existing index (meta.json newer than fasta); "
+              "build time/RSS were recorded by the original run", flush=True)
+    else:
+        t0 = time.time()
+        code = ("import resource, subprocess, sys\n"
+                "r = subprocess.run(sys.argv[1:])\n"
+                "peak = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss\n"
+                "print('PEAK_RSS_KB', peak)\n"
+                "sys.exit(r.returncode)\n")
+        r = subprocess.run([sys.executable, "-c", code, sys.executable, "-m",
+                            "biscuit_tpu.cli", "index", "-M", fa],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-3000:]
+        peak_kb = 0
+        for line in r.stdout.splitlines():
+            if line.startswith("PEAK_RSS_KB"):
+                peak_kb = int(line.split()[-1])
+        print(f"[big] index built in {time.time()-t0:.0f}s, "
+              f"peak RSS {peak_kb/1e6:.1f} GB", flush=True)
 
     # sample reads from the genome, bisulfite-convert, align, check placement
     from biscuit_tpu.index.fmindex import BisIndex
@@ -101,6 +106,34 @@ def main():
             good += 1
     print(f"[big] placements exact: {good}/{n_reads}", flush=True)
     assert good >= n_reads * 0.99, "placement rate below 99%"
+
+    # wide-index device seeding against the same index: the hybrid engine
+    # (device seeds/SA injected into the C++ chain/extend/SAM) must emit
+    # byte-identical SAM.  BT_BIG_DEVICE=cpu (default; the v5e's 16 GB HBM
+    # cannot hold two 6.2 G-char fused strands), tpu, or off.
+    dev = os.environ.get("BT_BIG_DEVICE", "cpu")
+    if dev != "off":
+        nd = min(int(os.environ.get("BT_BIG_DEVICE_READS", "512")), n_reads)
+        fq_d = os.path.join(d, "reads_dev.fq")
+        with open(fq_d, "w") as f, open(fq) as src:
+            for _ in range(nd * 4):
+                f.write(src.readline())
+        env = dict(os.environ, BISCUIT_TPU_ENGINE="device",
+                   BISCUIT_TPU_PLATFORM=("" if dev == "tpu" else dev))
+        t0 = time.time()
+        rd = subprocess.run([sys.executable, "-m", "biscuit_tpu.cli",
+                             "align", fa, fq_d],
+                            capture_output=True, text=True, env=env)
+        assert rd.returncode == 0, rd.stderr[-3000:]
+        rh = subprocess.run([sys.executable, "-m", "biscuit_tpu.cli",
+                             "align", fa, fq_d], capture_output=True,
+                            text=True)
+        assert rh.returncode == 0, rh.stderr[-3000:]
+        same = rd.stdout == rh.stdout
+        print(f"[big] device-seeded align ({dev}, {nd} reads) in "
+              f"{time.time()-t0:.0f}s: SAM byte-identical to host = {same}",
+              flush=True)
+        assert same, "device-seeded SAM differs from host SAM"
     print("[big] OK")
 
 
