@@ -133,15 +133,23 @@ def _profiles(query_ref, matb_ref, Lq):
 def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
                  w_ref, score_ref, z_ref, h_scr, e_scr, prof_scr, *, Lq,
                  o_del, e_del, o_ins, e_ins, _ablate=""):
-    """Fallback grid kernel for buckets whose z block exceeds the VMEM
-    budget.  Grid (b_tile, i): one target row for B_TILE lanes per step.
-    query [Lq, B], target row [1, B], matb [25, B], scalars [1, B].
-    score [1, B] (final h[qlen]); z block [1, Lq, B] int32 holds FOUR
-    packed direction bytes per word (target rows 4t..4t+3 at bit 8*(i&3)):
-    the block's index_map revisits the same block for 4 consecutive grid
-    steps, so it stays in VMEM and flushes to HBM once — 1 byte/cell of
-    write traffic instead of 4. h_scr [Lq+1, B], e_scr [Lq, B] and the
-    query score profiles prof_scr [5*Lq, B] persist across i steps."""
+    """Grid (b_tile, i): one target row for B_TILE lanes per step.
+    query [Lq, B], target block [Lt, B] resident, matb [25, B],
+    scalars [1, B].  score [1, B] (final h[qlen]); z block [1, Lq, B]
+    int32 holds FOUR packed direction bytes per word (target rows
+    4t..4t+3 at bit 8*(i&3)): the block's index_map revisits the same
+    block for 4 consecutive grid steps, so it stays in VMEM and flushes
+    to HBM once — 1 byte/cell of write traffic.  h_scr [Lq+1, B],
+    e_scr [Lq, B] and the query score profiles prof_scr [5*Lq, B]
+    persist across i steps.
+
+    Structure notes (r4 on-chip ablation, 512x128x160 honest compute-only
+    timing — args pre-uploaded, scalar-D2H sync): this shape measures
+    9.0 GCUPS; a 4-rows-per-step variant (packed word stored once, no
+    RMW) measured SLOWER (7.0 — the 4-row body's live set spills), and an
+    internal fori_loop variant with the whole z in VMEM measured 6.6
+    (loop-carried [Lq,B] vectors bounce through VMEM).  Ablations: the
+    F shift-max scan costs ~11% of step time, the z write ~28%."""
     i = pl.program_id(1)
     B = B_TILE
     jcell = jax.lax.broadcasted_iota(jnp.int32, (Lq, B), 0)
@@ -160,8 +168,9 @@ def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
         for t in range(5):
             prof_scr[pl.ds(t * Lq, Lq), :] = prof[t]
 
-    # whole target block resident (Lt x 128 x 4B); dynamic one-row slice —
-    # a (1, B_TILE) row block fails Mosaic's (8, 128) tiling requirement
+    # dynamic one-row REF slice — a (1, B_TILE) row block fails Mosaic's
+    # (8, 128) tiling requirement, so the whole target block stays
+    # resident and is row-sliced per step
     tb = target_ref[pl.ds(i, 1), :][0, :]
     prof = [prof_scr[pl.ds(t * Lq, Lq), :] for t in range(5)]
     d, newh, newe = _row_body(
@@ -181,66 +190,16 @@ def _glob_kernel(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
     score_ref[...] = hq[None, :]
 
 
-def _glob_kernel_loop(query_ref, target_ref, matb_ref, qlens_ref, tlens_ref,
-                      w_ref, score_ref, z_ref, *, Lq, Lt4,
-                      o_del, e_del, o_ins, e_ins, _ablate=""):
-    """Main kernel: grid (b_tile,) only; the target walk is an internal
-    fori_loop with a PER-TILE dynamic trip count (ceil(max tlens / 4)), so
-    short tiles exit early and there is no per-row grid/DMA overhead —
-    this is what took pallas_sw from 1 to 20 GCUPS.  The whole z block
-    [Lt4, Lq, B] lives in VMEM as this tile's output (the wrapper only
-    selects this kernel when it fits) and each 4-row macro step stores its
-    fully packed word once — no read-modify-write."""
-    B = B_TILE
-    jcell = jax.lax.broadcasted_iota(jnp.int32, (Lq, B), 0)
-    jfull = jax.lax.broadcasted_iota(jnp.int32, (Lq + 1, B), 0)
-
-    qlens = qlens_ref[0, :]
-    tlens = tlens_ref[0, :]
-    w = w_ref[0, :]
-    prof = _profiles(query_ref, matb_ref, Lq)
-    h0, e0 = _init_he(qlens, w, jfull, Lq, o_ins, e_ins)
-    target = target_ref[...]
-
-    n4 = (jnp.max(tlens) + 3) // 4        # pad lanes carry tlens == 0
-
-    def body4(i4, carry):
-        h, e = carry
-        word = jnp.zeros((Lq, B), jnp.int32)
-        for s in range(4):
-            i = i4 * 4 + s
-            tb = jax.lax.dynamic_slice(target, (i, 0), (1, B))[0, :]
-            d, h, e = _row_body(
-                i, tb, h, e, prof, qlens, tlens, w, jcell, jfull, Lq,
-                o_del, e_del, o_ins, e_ins, _ablate)
-            word = word | (d << (s << 3))
-        if "z" not in _ablate:
-            z_ref[pl.ds(i4, 1)] = word[None]
-        return (h, e)
-
-    h, _ = jax.lax.fori_loop(0, n4, body4, (h0, e0))
-    hq = jnp.sum(jnp.where(jfull == qlens[None, :], h, 0), axis=0)
-    score_ref[...] = hq[None, :]
-
-
-# VMEM budget for the loop kernel's resident z block + profiles + carries
-# (v5e VMEM is 16 MB more or less; leave headroom for Mosaic's own buffers)
-_LOOP_VMEM_BUDGET = 10 << 20
-
-
 @partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins", "e_ins",
-                                   "interpret", "_ablate", "_force"))
+                                   "interpret", "_ablate"))
 def sw_global_batch_pallas(query, qlens, target, tlens, mats, matsel,
                            o_del: int, e_del: int, o_ins: int, e_ins: int,
-                           w, interpret: bool = False, _ablate: str = "",
-                           _force: str = ""):
+                           w, interpret: bool = False, _ablate: str = ""):
     """Banded global DP for a padded batch.  query [B, Lq], target [B, Lt]
     (codes 0-4, pad 4), per-lane band w [B].  Returns (score [B] int32,
     z [ceil(Lt/4), Lq, Bp] int32 with four packed direction bytes per word,
     target row i at bits 8*(i&3)) — z stays on device for
-    global_traceback.  _force: "loop"/"grid" pins the kernel variant
-    (tests); default picks the loop kernel whenever its VMEM-resident z
-    block fits."""
+    global_traceback."""
     B, Lq = query.shape
     Lt = target.shape[1]
     Lt4 = (Lt + 3) // 4
@@ -259,35 +218,11 @@ def sw_global_batch_pallas(query, qlens, target, tlens, mats, matsel,
     tl = padb(jnp.maximum(tlens.astype(jnp.int32), 1))[None, :]
     wv = padb(jnp.maximum(w.astype(jnp.int32), 1))[None, :]
 
-    # z block + target + 5 profiles + h/e carries, all int32 on B_TILE lanes
-    vmem_need = 4 * B_TILE * (Lt4 * Lq + Lt + 5 * Lq + 2 * (Lq + 1))
-    use_loop = _force == "loop" or (_force != "grid"
-                                    and vmem_need <= _LOOP_VMEM_BUDGET)
-    if use_loop:
-        score, z = pl.pallas_call(
-            partial(_glob_kernel_loop, Lq=Lq, Lt4=Lt4, o_del=o_del,
-                    e_del=e_del, o_ins=o_ins, e_ins=e_ins, _ablate=_ablate),
-            grid=(Bp // B_TILE,),
-            in_specs=[pl.BlockSpec((Lq, B_TILE), lambda b: (0, b)),
-                      pl.BlockSpec((Lt, B_TILE), lambda b: (0, b)),
-                      pl.BlockSpec((25, B_TILE), lambda b: (0, b)),
-                      pl.BlockSpec((1, B_TILE), lambda b: (0, b)),
-                      pl.BlockSpec((1, B_TILE), lambda b: (0, b)),
-                      pl.BlockSpec((1, B_TILE), lambda b: (0, b))],
-            out_specs=[pl.BlockSpec((1, B_TILE), lambda b: (0, b)),
-                       pl.BlockSpec((Lt4, Lq, B_TILE), lambda b: (0, 0, b))],
-            out_shape=[jax.ShapeDtypeStruct((1, Bp), jnp.int32),
-                       jax.ShapeDtypeStruct((Lt4, Lq, Bp), jnp.int32)],
-            interpret=interpret,
-        )(qT, tT, mT, ql, tl, wv)
-        return score[0, :B], z
-
-    grid = (Bp // B_TILE, Lt)
     lane = lambda d: pl.BlockSpec((d, B_TILE), lambda b, i: (0, b))
     score, z = pl.pallas_call(
         partial(_glob_kernel, Lq=Lq, o_del=o_del, e_del=e_del,
                 o_ins=o_ins, e_ins=e_ins, _ablate=_ablate),
-        grid=grid,
+        grid=(Bp // B_TILE, Lt),
         in_specs=[lane(Lq),
                   pl.BlockSpec((Lt, B_TILE), lambda b, i: (0, b)),
                   lane(25), lane(1), lane(1), lane(1)],

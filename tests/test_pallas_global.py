@@ -32,8 +32,7 @@ def _rand_case(rng, qlen, tlen):
     return q, t
 
 
-def _run_batch(cases, mats, matsel, o_del, e_del, o_ins, e_ins, ws,
-               force=""):
+def _run_batch(cases, mats, matsel, o_del, e_del, o_ins, e_ins, ws):
     B = len(cases)
     Lq = max(len(q) for q, _ in cases)
     Lt = max(len(t) for _, t in cases)
@@ -49,8 +48,7 @@ def _run_batch(cases, mats, matsel, o_del, e_del, o_ins, e_ins, ws,
     score, z = sw_global_batch_pallas(
         jnp.asarray(q), jnp.asarray(qlens), jnp.asarray(t),
         jnp.asarray(tlens), jnp.asarray(mats), jnp.asarray(matsel),
-        o_del, e_del, o_ins, e_ins, jnp.asarray(ws), interpret=True,
-        _force=force)
+        o_del, e_del, o_ins, e_ins, jnp.asarray(ws), interpret=True)
     ops, n_ops, ov = global_traceback(
         z, jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ws))
     assert not bool(np.asarray(ov).any())
@@ -58,9 +56,8 @@ def _run_batch(cases, mats, matsel, o_del, e_del, o_ins, e_ins, ws,
             decode_cigars(np.asarray(ops), np.asarray(n_ops)))
 
 
-@pytest.mark.parametrize("force", ["loop", "grid"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_global_batch_matches_scalar(seed, force):
+def test_global_batch_matches_scalar(seed):
     rng = np.random.default_rng(seed)
     mat = np.full((5, 5), -2, np.int64)
     np.fill_diagonal(mat, 1)
@@ -82,7 +79,7 @@ def test_global_batch_matches_scalar(seed, force):
         matsel.append(i & 1)
     scores, cigars = _run_batch(cases, mats, np.array(matsel, np.int32),
                                 o_del, e_del, o_ins, e_ins,
-                                np.array(ws, np.int32), force=force)
+                                np.array(ws, np.int32))
     for b, (q, t) in enumerate(cases):
         want_s, want_c = sw.sw_global(q, t, mats[matsel[b]].astype(np.int64),
                                       o_del, e_del, o_ins, e_ins, ws[b])
@@ -90,8 +87,7 @@ def test_global_batch_matches_scalar(seed, force):
         assert cigars[b] == want_c, f"lane {b}:\n {cigars[b]}\n {want_c}"
 
 
-@pytest.mark.parametrize("force", ["loop", "grid"])
-def test_global_batch_narrow_band_and_edges(force):
+def test_global_batch_narrow_band_and_edges():
     """w=1 bands, tlen >> qlen within band, single-base cases."""
     rng = np.random.default_rng(7)
     mat = np.full((5, 5), -3, np.int64)
@@ -106,7 +102,7 @@ def test_global_batch_narrow_band_and_edges(force):
     scores, cigars = _run_batch(cases, mats,
                                 np.zeros(len(cases), np.int32),
                                 o_del, e_del, o_ins, e_ins,
-                                np.array(ws, np.int32), force=force)
+                                np.array(ws, np.int32))
     for b, (q, t) in enumerate(cases):
         want_s, want_c = sw.sw_global(q, t, mat, o_del, e_del, o_ins,
                                       e_ins, ws[b])

@@ -181,13 +181,18 @@ def check_pallas_global(res):
             ok = False
             break
 
+    # pre-upload every argument: a jnp.asarray inside the timed lambda
+    # charges H2D per call on the tunneled runtime (~700 KB/call here),
+    # which buried the kernel under upload time (r3's 1.07-1.43 "GCUPS"
+    # were measuring the uploads, not the DP)
+    qj, tj = jnp.asarray(q), jnp.asarray(t)
+    qlj, tlj = jnp.asarray(qlens), jnp.asarray(tlens)
+    mj, msj, wsj = jnp.asarray(mat), jnp.asarray(msel), jnp.asarray(ws)
     dp = lambda: sw_global_batch_pallas(
-        jnp.asarray(q), jnp.asarray(qlens), jnp.asarray(t),
-        jnp.asarray(tlens), jnp.asarray(mat), jnp.asarray(msel),
-        o_del, e_del, o_ins, e_ins, jnp.asarray(ws))[0]
+        qj, qlj, tj, tlj, mj, msj,
+        o_del, e_del, o_ins, e_ins, wsj)[0]
     tdp = _timeit(dp)
-    ttb = _timeit(lambda: global_traceback(
-        z, jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ws))[0])
+    ttb = _timeit(lambda: global_traceback(z, qlj, tlj, wsj)[0])
     res["pallas_global"] = {
         "bit_identical": ok,
         "overflow_lanes": n_ov,
