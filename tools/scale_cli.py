@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Wall-clock multi-process scaling of the PRODUCTION align CLI.
+
+Round-3 VERDICT #6: the distributed scaling evidence was a 2048-read
+microbench; the production workload was never measured. This driver times
+`tools/shard_align.py` (the multi-host data-parallel layer: FASTQ sharded
+round-robin, one `biscuit_tpu align` worker per shard over the shared mmap
+index, SAM shards interleaved back) at n = 1, 2, 3, 4 workers with ONE
+core per worker (-@ 1), so efficiency = T1 / (n * Tn) measures true
+process scaling on this host. n=3 leaves a core for the parent/OS — the
+largest n this 4-core host supports without oversubscription; n=4 is
+reported for completeness but oversubscribes the merger.
+
+Writes cli_scaling.json and folds the table into dist_scaling.json under
+"cli" so the driver artifact carries both the microbench and the
+production workload.
+
+Usage: python tools/scale_cli.py [--genome 5000000] [--reads 100000]
+       [--ns 1,2,3,4] [--reps 3]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome", type=int, default=5_000_000)
+    ap.add_argument("--reads", type=int, default=100_000)
+    ap.add_argument("--ns", default="1,2,3,4")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--data", default="/tmp/bt_scale_cli")
+    args = ap.parse_args()
+
+    d = args.data
+    fa = os.path.join(d, "genome.fa")
+    fq = os.path.join(d, "reads.fq")
+    if not os.path.exists(fq):
+        os.makedirs(d, exist_ok=True)
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "make_testdata.py"),
+             d, "--genome-size", str(args.genome),
+             "--n-reads", str(args.reads)], check=True, capture_output=True)
+    if not os.path.exists(fa + ".btidx"):
+        subprocess.run([sys.executable, "-m", "biscuit_tpu.cli", "index",
+                        "-M", fa], check=True, capture_output=True,
+                       env={**os.environ, "PYTHONPATH": REPO,
+                            "BISCUIT_TPU_PLATFORM": "cpu"})
+
+    env = dict(os.environ, PYTHONPATH=REPO, BISCUIT_TPU_PLATFORM="cpu")
+    results = {}
+    base_md5 = None
+    import hashlib
+    for n in [int(x) for x in args.ns.split(",")]:
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.time()
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools",
+                                              "shard_align.py"),
+                 "-n", str(n), "-@", "1", fa, fq],
+                capture_output=True, env=env)
+            dt = time.time() - t0
+            assert r.returncode == 0, r.stderr[-2000:]
+            best = min(best, dt)
+        body = b"\n".join(l for l in r.stdout.split(b"\n")
+                          if not l.startswith(b"@"))
+        md5 = hashlib.md5(body).hexdigest()
+        if base_md5 is None:
+            base_md5 = md5
+        assert md5 == base_md5, f"n={n} SAM body diverged"
+        results[n] = best
+        print(f"[cli] n={n}: {best:.2f}s ({args.reads/best:.0f} reads/s)",
+              flush=True)
+
+    ns = sorted(results)
+    t1 = results[ns[0]]
+    table = [{"n_procs": n, "wall_s": round(results[n], 2),
+              "reads_per_s": round(args.reads / results[n], 1),
+              "speedup": round(t1 / results[n], 3),
+              "efficiency": round(t1 / (n * results[n]), 3)}
+             for n in ns]
+    out = {"workload": f"align CLI via shard_align, {args.genome/1e6:.0f} "
+                       f"Mbp genome, {args.reads} reads, -@1 per worker, "
+                       f"mmap index shared",
+           "parity": "SAM bodies identical across n",
+           "table": table}
+    with open(os.path.join(REPO, "cli_scaling.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    # fold into the driver artifact next to the microbench table
+    dsp = os.path.join(REPO, "dist_scaling.json")
+    if os.path.exists(dsp):
+        with open(dsp) as f:
+            ds = json.load(f)
+        ds["cli"] = out
+        with open(dsp, "w") as f:
+            json.dump(ds, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -197,16 +197,24 @@ def main():
     warr = np.zeros(Bsa, np.int32)
     warr[:n_sa] = np.asarray(ws[:Bsa], np.int32)
     kj, wj = jnp.asarray(karr), jnp.asarray(warr)
-    fn_sa = _fm_jit(fm, ("sa_batch",),
-                    lambda f: lambda w, kk: sa_batch(f, w, kk))
-    t_sa = _timeit(lambda: fn_sa(wj, kj), n=4)
-    t_pool_sa = t_sa * (n_total / max(n_sa, 1))
-    res["sa_walk"] = {
-        "n_ranks_total": n_total, "n_ranks_timed": n_sa, "batch": Bsa,
-        "us_per_call": round(t_sa * 1e6, 1),
-        "s_per_pool_scaled": round(t_pool_sa, 4),
-        "sa_share_vs_best_pool": round(t_pool_sa / best["wall_s"], 3),
-    }
+    # every section is flushed to disk as it lands: an sa_walk failure
+    # (the tunnel's remote_compile body limit rejects a second executable
+    # that closure-captures the 50 Mbp tables) must not lose the rest
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=1)
+    try:
+        fn_sa = _fm_jit(fm, ("sa_batch",),
+                        lambda f: lambda w, kk: sa_batch(f, w, kk))
+        t_sa = _timeit(lambda: fn_sa(wj, kj), n=4)
+        t_pool_sa = t_sa * (n_total / max(n_sa, 1))
+        res["sa_walk"] = {
+            "n_ranks_total": n_total, "n_ranks_timed": n_sa, "batch": Bsa,
+            "us_per_call": round(t_sa * 1e6, 1),
+            "s_per_pool_scaled": round(t_pool_sa, 4),
+            "sa_share_vs_best_pool": round(t_pool_sa / best["wall_s"], 3),
+        }
+    except Exception as e:
+        res["sa_walk"] = {"error": f"{type(e).__name__}: {e}"[:300]}
     print(f"[diag] sa_walk: {res['sa_walk']}", flush=True)
 
     with open(args.out, "w") as f:
