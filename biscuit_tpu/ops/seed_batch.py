@@ -1876,7 +1876,13 @@ def _fm_jit(fm: FMPair, key, build):
     ran 630 reads/s with fm-as-argument vs 11,473 reads/s with fm closed
     over (identical executable math). Closure capture uploads the tables
     once at compile; per-batch inputs stay arguments so shapes reuse the
-    same executable. `key` must cover every static parameter of `build`."""
+    same executable. `key` must cover every static parameter of `build`.
+
+    On the CPU backend the trade inverts: arguments are zero-copy (no
+    dispatch cliff to dodge) while closure capture embeds the tables as
+    lowering CONSTANTS — at human scale (9.3 GB fused tab) XLA:CPU's
+    constant handling is both slow and unsafe, so fm stays an argument
+    there."""
     cache = getattr(fm, "_jit_cache", None)
     if cache is None:
         cache = {}
@@ -1885,7 +1891,11 @@ def _fm_jit(fm: FMPair, key, build):
     key = (key, bool(os.environ.get("BISCUIT_TPU_SPLIT_TAB")))
     fn = cache.get(key)
     if fn is None:
-        fn = jax.jit(build(fm))
+        if jax.default_backend() == "cpu":
+            jfn = jax.jit(lambda f, *args: build(f)(*args))
+            fn = lambda *args, _j=jfn: _j(fm, *args)
+        else:
+            fn = jax.jit(build(fm))
         cache[key] = fn
     return fn
 
