@@ -405,6 +405,22 @@ Input/output options:
         else:
             it2 = fastq_iter(args[2])
             opt.flag |= MEM_F_PE
+    # BISCUIT_TPU_FASTQ_STRIDE=k:n — this worker owns records k, k+n,
+    # k+2n, ... of the (shared) input. The multi-host data-parallel layer
+    # (tools/shard_align.py) uses this so every worker streams the SAME
+    # fastq: no serial sharding pass, no temp shard files. With -1/-2
+    # the stride applies per file, keeping mates paired.
+    stride = os.environ.get("BISCUIT_TPU_FASTQ_STRIDE")
+    if stride:
+        k_s, n_s = (int(x) for x in stride.split(":"))
+
+        def _strided(it, k=k_s, n=n_s):
+            for i, rec in enumerate(it):
+                if i % n == k:
+                    yield rec
+        it1 = _strided(it1)
+        if it2 is not None:
+            it2 = _strided(it2)
     n_processed = 0
     chunk = opt.chunk_size * opt.n_threads
     # kt_pipeline equivalent (reference align.c:577 + kthread.c:176-256):

@@ -157,8 +157,11 @@ def test_shard_align_matches_single_process(pipe):
         [sys.executable, "-m", "biscuit_tpu.cli", "align", fa,
          str(d / "reads.fq")], capture_output=True, text=True, cwd=REPO)
     assert single.returncode == 0
+    # "-@ 1" regression: a flag VALUE must not be parsed as a positional
+    # (it shifted ref/fastq detection into PE mode with ref.fa as read1)
     sh = subprocess.run(
-        [sys.executable, f"{REPO}/tools/shard_align.py", "-n", "3", fa,
+        [sys.executable, f"{REPO}/tools/shard_align.py", "-n", "3",
+         "-@", "1", fa,
          str(d / "reads.fq")], capture_output=True, text=True, cwd=REPO)
     assert sh.returncode == 0, sh.stderr[-500:]
     strip = lambda s: [l for l in s.splitlines() if not l.startswith("@")]

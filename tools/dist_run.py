@@ -80,7 +80,9 @@ def child(args):
     from biscuit_tpu.io.fastq import fastq_iter, read_batch
     seqs = read_batch(fastq_iter(os.path.join(args.data, "reads.fq")),
                       None, 1 << 60)[:args.reads]
-    N = len(seqs) - len(seqs) % (n * 4) or n * 4
+    # N must be IDENTICAL across every n (the parity hash compares runs),
+    # so truncate to a multiple of 48 = lcm of n*4 for n in {1,2,3,4}
+    N = len(seqs) - len(seqs) % 48 or 48
     L = max((max(s.l_seq for s in seqs) + 31) // 32 * 32, 32)
     pool = np.full((N, L + 2), 4, np.int32)
     for i, s in enumerate(seqs[:N]):
@@ -102,6 +104,12 @@ def child(args):
                               int(opt.split_width), lanes=lanes, C=32,
                               S=S, T2=16)
     seeds, n_seeds, ov = fn(gpool)          # compile + run
+    # an archive overflow would truncate different seeds under different
+    # partitions (production reruns overflowed reads on the host; this
+    # microbench has no fallback) — fail loudly instead of "parity broke".
+    # ov is the ov_rd id list, -1-padded: entries >= 0 are real overflows.
+    assert not bool(np.asarray(jnp.any(ov >= 0))), \
+        "read overflow: S too small for N/lanes — shrink --reads or grow S"
     # hard sync + local materialization
     local_seeds = np.concatenate(
         [np.asarray(x.data) for x in seeds.addressable_shards], axis=0)
@@ -236,7 +244,14 @@ def parent(args):
                        f"lanes={base['lanes']}/proc, 1 core/proc",
            "parity": "seed + psum-count hashes identical across n",
            "table": table}
-    with open(os.path.join(REPO, "dist_scaling.json"), "w") as f:
+    # preserve the production-CLI table (tools/scale_cli.py) if present
+    dsp = os.path.join(REPO, "dist_scaling.json")
+    if os.path.exists(dsp):
+        with open(dsp) as f:
+            prev = json.load(f)
+        if "cli" in prev:
+            out["cli"] = prev["cli"]
+    with open(dsp, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 

@@ -48,35 +48,52 @@ def main():
                     help="align options + ref.fa + fastq(s)")
     args, unknown = ap.parse_known_args()
     rest = unknown + args.rest  # pass-through align flags
-    # split trailing positionals from flags: last 2-3 non-flag args
-    pos = [a for a in rest if not a.startswith("-")]
+    # split trailing positionals (ref.fa + 1-2 fastqs) from pass-through
+    # flags: a bare flag VALUE (e.g. the "1" of "-@ 1") must not count as
+    # a positional, so positionals are the TRAILING args that exist on
+    # disk — flags and their values all precede them in an align command
+    pos = []
+    i = len(rest)
+    while i > 0 and len(pos) < 3 and not rest[i - 1].startswith("-") \
+            and os.path.exists(rest[i - 1]):
+        pos.insert(0, rest[i - 1])
+        i -= 1
     if len(pos) < 2:
         print("need ref.fa and at least one fastq", file=sys.stderr)
         return 1
-    fqs = pos[-2:] if (len(pos) >= 3 and os.path.exists(pos[-1])
-                       and not pos[-1].endswith((".fa", ".fasta"))) else pos[-1:]
-    ref_and_flags = rest[:len(rest) - len(fqs)]
+    ref, fqs = pos[0], pos[1:]
+    ref_and_flags = rest[:i] + [ref]
     pe = len(fqs) == 2
 
     with tempfile.TemporaryDirectory(prefix="shardaln") as td:
-        shards1 = shard_fastq(fqs[0], args.n, td, "r1", 1)
-        shards2 = shard_fastq(fqs[1], args.n, td, "r2", 1) if pe else None
         procs = []
         outs = []
         exdir = os.path.join(td, "pes_exchange")
         for i in range(args.n):
             of = open(os.path.join(td, f"out.{i}.sam"), "w")
+            # every worker streams the SAME fastq, owning records
+            # i, i+n, ... (BISCUIT_TPU_FASTQ_STRIDE): the serial
+            # shard-to-temp-files pass (O(reads), it dominated wall-clock
+            # scaling) is gone
             cmd = [sys.executable, "-m", "biscuit_tpu.cli", "align",
-                   *ref_and_flags, shards1[i]]
+                   *ref_and_flags, fqs[0]]
             env = dict(os.environ)
+            env["BISCUIT_TPU_FASTQ_STRIDE"] = f"{i}:{args.n}"
             if pe:
-                cmd.append(shards2[i])
+                cmd.append(fqs[1])
                 # pool candidate insert sizes across ranks: every worker then
                 # computes the same pes as a single-process run would
                 # (reference chunk-wide semantics, bwamem.c:464-467)
                 env["BISCUIT_TPU_PES_EXCHANGE"] = f"{exdir}:{i}:{args.n}"
+            # BT_SHARD_WORKER_LOGS=dir keeps each worker's stderr (the
+            # [M::mem_process_seqs] phase timings) for scaling analysis
+            logdir = os.environ.get("BT_SHARD_WORKER_LOGS")
+            errdst = (open(os.path.join(logdir, f"worker.{i}.log"), "w")
+                      if logdir else subprocess.DEVNULL)
             procs.append(subprocess.Popen(cmd, stdout=of, env=env,
-                                          stderr=subprocess.DEVNULL))
+                                          stderr=errdst))
+            if errdst is not subprocess.DEVNULL:
+                errdst.close()
             outs.append(of)
         rcs = [p.wait() for p in procs]
         for of in outs:
@@ -84,35 +101,46 @@ def main():
         if any(rcs):
             print(f"worker failures: {rcs}", file=sys.stderr)
             return 1
-        # header from shard 0; bodies interleaved round-robin to restore the
-        # single-process read order
+        # header from shard 0; bodies interleaved round-robin to restore
+        # the single-process read order. This pass is the serial tail of
+        # the whole run, so it avoids per-line print()/split in the hot
+        # loop: qnames are precomputed in one pass and output is buffered
+        # into a single write.
         bodies = []
+        qns = []
+        out = sys.stdout
         for i in range(args.n):
             with open(os.path.join(td, f"out.{i}.sam")) as f:
                 lines = f.read().splitlines()
-            hdr = [l for l in lines if l.startswith("@")]
             body = [l for l in lines if not l.startswith("@")]
             if i == 0:
-                for h in hdr:
-                    if not h.startswith("@PG"):
-                        print(h)
+                out.write("\n".join(
+                    h for h in lines
+                    if h.startswith("@") and not h.startswith("@PG")))
+                out.write("\n")
             bodies.append(body)
+            qns.append([l.split("\t", 1)[0] for l in body])
         idx = [0] * args.n
         i = 0
         total = sum(len(b) for b in bodies)
         emitted = 0
+        chunks = []
         while emitted < total:
             w = i % args.n
             # one qname group per visit: a read's records (pair mates,
             # supplementaries) share the qname and stay contiguous
-            b = bodies[w]
-            if idx[w] < len(b):
-                qname = b[idx[w]].split("\t", 1)[0]
-                while idx[w] < len(b) and b[idx[w]].split("\t", 1)[0] == qname:
-                    print(b[idx[w]])
-                    idx[w] += 1
-                    emitted += 1
+            b, q, j = bodies[w], qns[w], idx[w]
+            if j < len(b):
+                k = j + 1
+                while k < len(b) and q[k] == q[j]:
+                    k += 1
+                chunks.extend(b[j:k])
+                emitted += k - j
+                idx[w] = k
             i += 1
+        if chunks:
+            out.write("\n".join(chunks))
+            out.write("\n")
     return 0
 
 
