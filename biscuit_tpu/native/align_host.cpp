@@ -1967,13 +1967,19 @@ static void collect_intv_interleaved(const Opt &opt,
                                      const std::vector<SeedJob> &jobs) {
     constexpr int LANES = 16;
     if (jobs.empty()) return;
-    // Opt-in (BISCUIT_TPU_SEED_IL=1): measured on this host the coroutine
-    // interleave is byte-identical but ~5-20% slower at 5-50 Mbp — the
-    // backward pass was already prefetched and the forward chain hits cache
-    // often enough that the ~35 ns/suspend overhead wins. Kept for
-    // DRAM-bound (human-scale) experiments.
-    static const bool il_on = getenv("BISCUIT_TPU_SEED_IL") &&
-                              getenv("BISCUIT_TPU_SEED_IL")[0] == '1';
+    // BISCUIT_TPU_SEED_IL=1/0 forces the coroutine interleave on/off.
+    // Unset -> AUTO by index scale: at 5-50 Mbp the interleave is
+    // byte-identical but ~5-20% slower (the forward chain hits cache and
+    // the ~35 ns/suspend overhead wins), and at a 400 M-char strand the
+    // AVX-512 lockstep seeder still leads by ~16% — but on a wide
+    // (>= 2^31-char) strand the 15+ GB occ tables are purely DRAM-bound
+    // and the interleave measured 3.8x FASTER than lockstep (3.1 Gbp,
+    // 100k reads: 92.0 s -> 24.1 s at -@4). Auto enables it exactly
+    // there (r4 measurement, docs/SCALING.md).
+    static const char *il_env = getenv("BISCUIT_TPU_SEED_IL");
+    const bool il_auto = !jobs.empty() &&
+                         jobs[0].fm->seq_len > 0x7FFFFFFFLL;
+    const bool il_on = il_env ? (il_env[0] == '1') : il_auto;
 #ifdef BT_HAVE_AVX512_OCC
     // Default on AVX-512 hosts: the SIMD lockstep seeder (byte-identical
     // seeds, ~vectorized forward chains). BISCUIT_TPU_SEED_LS=0 disables;
