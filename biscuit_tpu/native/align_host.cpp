@@ -2392,11 +2392,35 @@ static void chain_from_seeds(const Opt &opt, const StrandFM &fm, const Bns &bns,
 
     std::vector<int64_t> keys;  // chain pos, sorted
     std::vector<Chain> tree;
+    // Cross-seed SA pre-resolution: the per-seed tile below only batches
+    // WITHIN one occurrence list, so near-unique seeds (s = 1..3 — the
+    // common case on a large genome) degrade to serial invPsi walks of
+    // ~sa_intv/2 dependent DRAM misses each. Resolve the first
+    // min(s, PRECAP) occurrences of EVERY seed in one fm_sa_batch call:
+    // the walks of different seeds overlap their misses (measured 36% of
+    // human-scale align time in this slot before this pass).
+    constexpr int64_t PRECAP = 8;
+    std::vector<int64_t> pre_ks, pre_out;
+    std::vector<int32_t> pre_at(mem.size() + 1, 0);
+    if (!sa_off) {
+        ProfScope psa(6);
+        for (size_t si = 0; si < mem.size(); ++si) {
+            const Seed5 &iv = mem[si];
+            int64_t n_i = std::min<int64_t>(iv.s, PRECAP);
+            for (int64_t j = 0; j < n_i; ++j)
+                pre_ks.push_back(iv.x0 + j);
+            pre_at[si + 1] = (int32_t)pre_ks.size();
+        }
+        pre_out.resize(pre_ks.size());
+        fm_sa_batch(fm, pre_ks.data(), (int)pre_ks.size(), pre_out.data());
+    }
     for (size_t si = 0; si < mem.size(); ++si) {
         const Seed5 &iv = mem[si];
         int32_t slen = iv.end - iv.start;
-        int64_t pre_base = sa_off ? sa_off[si] : 0;
-        int64_t pre_n = sa_off ? sa_off[si + 1] - sa_off[si] : 0;
+        int64_t pre_base = sa_off ? sa_off[si] : pre_at[si];
+        int64_t pre_n = sa_off ? sa_off[si + 1] - sa_off[si]
+                               : pre_at[si + 1] - pre_at[si];
+        const int64_t *pre_pos = sa_off ? sa_pos : pre_out.data();
         int64_t k = 0, count = 0;
         // SA positions resolved in tiles (fm_sa_batch): occurrences are
         // consumed strictly in order, so over-resolve past the loop's
@@ -2407,7 +2431,7 @@ static void chain_from_seeds(const Opt &opt, const StrandFM &fm, const Bns &bns,
         while (k < iv.s && count < opt.max_occ &&
                ((count > 5 && k < opt.max_occ) || count <= 5)) {
             int64_t rbeg;
-            if (k < pre_n) rbeg = sa_pos[pre_base + k];
+            if (k < pre_n) rbeg = pre_pos[pre_base + k];
             else {
                 if (k >= tile_base + tile_n) {
                     ProfScope psa(6);
