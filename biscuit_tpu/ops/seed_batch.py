@@ -107,14 +107,30 @@ class FMPair:
     wide=True: ranks/SA are int64 (strands >= 2^31 chars, reference
     bwtint_t semantics) and tab rows carry split 64-bit counts. All kernels
     must then run under jax.experimental.enable_x64 (the public wrappers
-    below do this) so int64 survives tracing."""
-    tab: jnp.ndarray       # [2, n64, 8|12] uint32 fused occ+BWT rows
+    below do this) so int64 survives tracing.
+
+    shard_axis set (only ever inside a shard_map body): `tab` is this
+    device's row-contiguous SLICE of the flattened [2*n64_global, W] fused
+    table and `sa_samples` the matching slice of the flattened
+    [2*n_sa_global] samples, partitioned over the named mesh axis. Every
+    occ4/invPsi/SA gather becomes shard-local-gather + masked-zero + psum
+    over that axis (exactly one shard owns each row, so the psum
+    reconstructs it bit-exactly on all shards). This is SURVEY §2d's "or
+    shard, for big genomes" clause: the reference holds bwt_t bwt[2]
+    resident in host RAM (bwa.h:42-50); at human scale the fused tables
+    (~15 GB) exceed one v5e's 16 GB HBM, so they partition across the mesh
+    instead — HBM capacity scales with devices while the psum adds latency,
+    not bandwidth (gathers are row-rate-bound; see docs/SCALING.md)."""
+    tab: jnp.ndarray       # [2, n64, 8|12] uint32 fused rows ([R_loc, W] sharded)
     L2: jnp.ndarray        # [2, 5] int32|int64
     primary: jnp.ndarray   # [2] int32|int64
     seq_len: jnp.ndarray   # int32|int64 (same for both strands)
-    sa_samples: jnp.ndarray  # [2, n_sa] int32|int64
+    sa_samples: jnp.ndarray  # [2, n_sa] int32|int64 ([S_loc] sharded)
     wide: bool = False     # static (pytree aux): selects the rank dtype
     sa_intv: int = 32      # static: SA sampling interval (power of two)
+    shard_axis: str | None = None  # static: mesh axis of the table shards
+    n64_global: int = 0    # static: per-strand row count of the FULL table
+    n_sa_global: int = 0   # static: per-strand SA count of the FULL table
 
     @property
     def rdt(self):
@@ -157,9 +173,38 @@ class FMPair:
 jax.tree_util.register_pytree_node(
     FMPair,
     lambda f: ((f.tab, f.L2, f.primary, f.seq_len, f.sa_samples),
-               (f.wide, f.sa_intv)),
-    lambda aux, ch: FMPair(*ch, wide=aux[0], sa_intv=aux[1]),
+               (f.wide, f.sa_intv, f.shard_axis, f.n64_global,
+                f.n_sa_global)),
+    lambda aux, ch: FMPair(*ch, wide=aux[0], sa_intv=aux[1],
+                           shard_axis=aux[2], n64_global=aux[3],
+                           n_sa_global=aux[4]),
 )
+
+
+def fm_shard_arrays(fm: FMPair, n_shards: int):
+    """Host-side prep for index sharding: flatten the [2, n64, W] fused
+    table to [2*n64, W] rows and the [2, n_sa] SA samples to [2*n_sa], each
+    zero-padded so n_shards divides the leading axis (pad rows land past
+    every addressable global id, so no query ever selects one).
+
+    Returns (tab_flat [Rp, W] np.uint32, sa_flat [Sp], n64, n_sa) — feed
+    tab_flat/sa_flat through shard_map with in_specs P(axis, None)/P(axis)
+    and rebuild the local FMPair with shard_axis=axis, n64_global=n64,
+    n_sa_global=n_sa (see parallel/mesh.sharded_index_seed_fn)."""
+    n64 = int(fm.tab.shape[1])
+    W = int(fm.tab.shape[-1])
+    tab_flat = np.asarray(fm.tab).reshape(2 * n64, W)
+    Rp = -(-2 * n64 // n_shards) * n_shards
+    if Rp != 2 * n64:
+        tab_flat = np.concatenate(
+            [tab_flat, np.zeros((Rp - 2 * n64, W), np.uint32)])
+    n_sa = int(fm.sa_samples.shape[1])
+    sa_flat = np.asarray(fm.sa_samples).reshape(-1)
+    Sp = -(-2 * n_sa // n_shards) * n_shards
+    if Sp != 2 * n_sa:
+        sa_flat = np.concatenate(
+            [sa_flat, np.zeros((Sp - 2 * n_sa,), sa_flat.dtype)])
+    return tab_flat, sa_flat, n64, n_sa
 
 
 def _sel2(pair: jnp.ndarray, which: jnp.ndarray) -> jnp.ndarray:
@@ -226,12 +271,34 @@ def _tab_row(fm: FMPair, which: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
     such a table cannot fit a v5e's HBM anyway), XLA:CPU's internal gather
     offsets overflow int32 and scribble memory — so gather each strand
     separately (both operands stay < 2^31 elements) and 2-way select.
-    BISCUIT_TPU_SPLIT_TAB=1 forces the split path for testing."""
+    BISCUIT_TPU_SPLIT_TAB=1 forces the split path for testing.
+
+    Sharded path (fm.shard_axis set): the local tab is [R_local, W] rows
+    [start, start+R_local) of the flattened global table, start derived
+    from this device's axis_index. Out-of-shard queries gather a clamped
+    row, zero it, and the psum over the shard axis reconstructs every row
+    on every device (exactly one shard owns each row)."""
+    if fm.shard_axis is not None:
+        R = fm.tab.shape[0]
+        g = which.astype(fm.rdt) * fm.n64_global + blk.astype(fm.rdt)
+        start = (jax.lax.axis_index(fm.shard_axis).astype(fm.rdt) * R)
+        loc = g - start
+        ok = (loc >= 0) & (loc < R)
+        row = fm.tab[jnp.clip(loc, 0, R - 1).astype(jnp.int32)]
+        row = jnp.where(ok[..., None], row, 0)
+        return jax.lax.psum(row, fm.shard_axis)
     n64 = fm.tab.shape[1]
     W = fm.tab.shape[-1]
     if 2 * n64 * W <= 0x7FFFFFFF \
             and not os.environ.get("BISCUIT_TPU_SPLIT_TAB"):
         return fm.tab.reshape(2 * n64, W)[which * n64 + blk]
+    # the split path halves the operand; past ~11 Gbp PER STRAND even one
+    # strand's table overflows XLA:CPU's int32 gather offsets — fail loudly
+    # instead of scribbling memory (advisor r4)
+    assert n64 * W <= 0x7FFFFFFF, (
+        f"single-strand fused table has {n64 * W} elements >= 2^31; "
+        "XLA:CPU gather offsets would overflow — this regime needs the "
+        "sharded-index path (FMPair.shard_axis)")
     r0 = fm.tab[0][blk]
     r1 = fm.tab[1][blk]
     w = (which == 1).reshape(which.shape + (1,))
@@ -1944,8 +2011,18 @@ def sa_batch(fm: FMPair, which: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     add0 = jnp.zeros_like(k)
     act0 = (k & (fm.sa_intv - 1)) != 0
     kf, add, _ = jax.lax.while_loop(cond, body, (k, add0, act0))
-    n_sa = fm.sa_samples.shape[1]
     sa_shift = fm.sa_intv.bit_length() - 1
+    if fm.shard_axis is not None:
+        # sharded samples: local gather + masked-zero + psum (see _tab_row)
+        S = fm.sa_samples.shape[0]
+        g = which.astype(fm.rdt) * fm.n_sa_global \
+            + (kf >> sa_shift).astype(fm.rdt)
+        start = jax.lax.axis_index(fm.shard_axis).astype(fm.rdt) * S
+        loc = g - start
+        ok = (loc >= 0) & (loc < S)
+        v = fm.sa_samples[jnp.clip(loc, 0, S - 1).astype(jnp.int32)]
+        return add + jax.lax.psum(jnp.where(ok, v, 0), fm.shard_axis)
+    n_sa = fm.sa_samples.shape[1]
     return add + fm.sa_samples.reshape(-1)[which * n_sa + (kf >> sa_shift)]
 
 

@@ -43,6 +43,17 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), ("dp",))
 
 
+def make_mesh2(n_dp: int, n_idx: int) -> Mesh:
+    """2-D mesh: reads data-parallel over `dp`, FM-index sharded over
+    `idx`. An (n_dp, n_idx) grid rides ICI both ways; n_dp=1 gives pure
+    index sharding (the human-genome HBM-capacity configuration)."""
+    devs = jax.devices()
+    assert len(devs) >= n_dp * n_idx, \
+        f"need {n_dp * n_idx} devices, have {len(devs)}"
+    return Mesh(np.array(devs[:n_dp * n_idx]).reshape(n_dp, n_idx),
+                ("dp", "idx"))
+
+
 def sharded_seed_fn(mesh: Mesh, fm: FMPair, L: int,
                     min_seed_len: int, max_mem_intv: int):
     """Returns a jitted fn: (q [B, L], lens [B], parents [B]) -> packed seed
@@ -116,6 +127,116 @@ def pileup_count_window(positions: jnp.ndarray, stat: jnp.ndarray,
     counts = jnp.zeros((window * n_codes + 1,), jnp.int32)
     counts = counts.at[idx].add(1)
     return counts[:window * n_codes].reshape(window, n_codes)
+
+
+def _local_fm(fm: FMPair, tab_l, sa_l, L2, primary, seq_len,
+              n64: int, n_sa: int) -> FMPair:
+    """Per-device FMPair inside a shard_map body: local table/SA slices +
+    replicated small arrays (traced), shard-routing over the idx axis."""
+    return FMPair(tab=tab_l, L2=L2, primary=primary, seq_len=seq_len,
+                  sa_samples=sa_l, wide=fm.wide, sa_intv=fm.sa_intv,
+                  shard_axis="idx", n64_global=n64, n_sa_global=n_sa)
+
+
+def sharded_index_seed_fn(mesh: Mesh, fm: FMPair, min_seed_len: int,
+                          max_mem_intv: int, split_len: int,
+                          split_width: int, *, seeder: str = "log",
+                          lanes: int = 64, C: int = 32, S: int = 64,
+                          T2: int = 16, LOG_LEN: int = 4096, W: int = 64,
+                          claim_every: int = 1):
+    """Production seeding with the FM-INDEX SHARDED over the mesh (SURVEY
+    §2d "replicate (or shard, for big genomes) both converted indexes in
+    HBM"; reference bwt_t bwt[2] residency, bwa.h:42-50).
+
+    The fused occ+BWT tables and SA samples partition row-contiguously
+    over the `idx` mesh axis — each device holds 1/n_idx of both strands —
+    and read pools shard over `dp`. Every occ4/invPsi/SA gather routes to
+    the owning shard (local gather + masked-zero + psum over idx; exactly
+    one shard owns each row). Devices in one idx group run identical
+    lockstep control flow (pool replicated over idx), so the psum'd rows,
+    and therefore the seeds, are bit-identical to the replicated-index
+    machine — asserted in tests/test_sharded_index.py and the driver
+    dryrun.
+
+    seeder="log" (production default) wraps _collect_sm_log and returns
+    jit fn(pool [N, L+2]) -> (packed [N_l*24, 5], rid_sorted [N_l*24],
+    ov_rd [B_l, 8], unfinished [B_l]) per dp shard (read ids local to the
+    shard; callers add shard * N_l). seeder="pool" wraps the archive
+    machine and returns (seeds [B_l, S, 6], n_seeds [B_l], ov_rd)."""
+    from ..ops.seed_batch import (_collect_sm_log, _collect_sm_pool,
+                                  _rank_ctx, fm_shard_arrays)
+
+    n_idx = mesh.shape["idx"]
+    with _rank_ctx(fm):
+        tab_flat, sa_flat, n64, n_sa = fm_shard_arrays(fm, n_idx)
+        tab_j = jnp.asarray(tab_flat)
+        sa_j = jnp.asarray(sa_flat)
+
+    if seeder == "pool":
+        def local(tab_l, sa_l, L2, primary, seq_len, pool):
+            fml = _local_fm(fm, tab_l, sa_l, L2, primary, seq_len,
+                            n64, n_sa)
+            packed, rid, total, ov_rd, ov_spill, next_ctr = \
+                _collect_sm_pool(fml, pool, min_seed_len, max_mem_intv,
+                                 split_len, split_width, lanes=lanes, C=C,
+                                 S=S, T2=T2, claim_every=claim_every)
+            return packed, rid, ov_rd
+        out_specs = (P("dp", None), P("dp"), P("dp", None))
+    elif seeder == "log":
+        def local(tab_l, sa_l, L2, primary, seq_len, pool):
+            fml = _local_fm(fm, tab_l, sa_l, L2, primary, seq_len,
+                            n64, n_sa)
+            packed, rid, total, ov_rd, ov_spill, next_ctr, unfinished = \
+                _collect_sm_log(fml, pool, min_seed_len, max_mem_intv,
+                                split_len, split_width, lanes=lanes, C=C,
+                                T2=T2, LOG_LEN=LOG_LEN, W=W,
+                                claim_every=claim_every)
+            return packed, rid, ov_rd, unfinished
+        out_specs = (P("dp", None), P("dp"), P("dp", None), P("dp"))
+    else:
+        raise ValueError(f"unknown seeder {seeder!r}")
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("idx", None), P("idx"), P(), P(), P(),
+                             P("dp", None)),
+                   out_specs=out_specs)
+    jfn = jax.jit(fn)
+
+    def run(pool):
+        with _rank_ctx(fm):
+            return jfn(tab_j, sa_j, fm.L2, fm.primary, fm.seq_len,
+                       jnp.asarray(pool))
+    return run
+
+
+def sharded_index_sa_fn(mesh: Mesh, fm: FMPair):
+    """Batched SA resolution (bwt_sa invPsi walk) against the idx-sharded
+    tables: (which [M], k [M]) sharded over dp, each walk step's tab row
+    and the final sample gather psum-routed over idx. Bit-identical to
+    the replicated sa_batch."""
+    from ..ops.seed_batch import _rank_ctx, fm_shard_arrays, sa_batch
+
+    n_idx = mesh.shape["idx"]
+    with _rank_ctx(fm):
+        tab_flat, sa_flat, n64, n_sa = fm_shard_arrays(fm, n_idx)
+        tab_j = jnp.asarray(tab_flat)
+        sa_j = jnp.asarray(sa_flat)
+
+    def local(tab_l, sa_l, L2, primary, seq_len, which, k):
+        fml = _local_fm(fm, tab_l, sa_l, L2, primary, seq_len, n64, n_sa)
+        return sa_batch(fml, which, k)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("idx", None), P("idx"), P(), P(), P(),
+                             P("dp"), P("dp")),
+                   out_specs=P("dp"))
+    jfn = jax.jit(fn)
+
+    def run(which, k):
+        with _rank_ctx(fm):
+            return jfn(tab_j, sa_j, fm.L2, fm.primary, fm.seq_len,
+                       jnp.asarray(which), jnp.asarray(k))
+    return run
 
 
 def sharded_pileup_counts_fn(mesh: Mesh, window: int, n_codes: int = 32):

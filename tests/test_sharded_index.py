@@ -1,0 +1,181 @@
+"""FM-index sharded across the device mesh (SURVEY §2d "replicate (or
+shard, for big genomes) both converted indexes in HBM").
+
+The fused occ+BWT tables and SA samples partition over the `idx` mesh axis
+(each device holds 1/n_idx of both strands' rows); occ4/invPsi/SA gathers
+route to the owning shard (local gather + masked-zero + psum). Reference
+residency semantics: bwt_t bwt[2] in host RAM (/root/reference/lib/aln/
+bwa.h:42-50) — the TPU-native answer to a genome whose tables exceed one
+chip's HBM. Every test asserts BIT-IDENTITY to the replicated-index
+machines on the 8-device CPU mesh, narrow and wide layouts both.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from biscuit_tpu.config import MemOpt
+from biscuit_tpu.index.build import build_index
+from biscuit_tpu.ops import seed_batch
+from biscuit_tpu.parallel.mesh import (make_mesh2, sharded_index_sa_fn,
+                                       sharded_index_seed_fn)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def setup(small_dataset):
+    idx = build_index(str(small_dataset / "genome.fa"))
+    return idx, seed_batch.FMPair.from_index(idx)
+
+
+@pytest.fixture(scope="module")
+def wide_setup(small_dataset, monkeypatch_module):
+    monkeypatch_module.setenv("BISCUIT_TPU_WIDE_INDEX", "1")
+    idx = build_index(str(small_dataset / "genome.fa"))
+    fm = seed_batch.FMPair.from_index(idx)
+    assert fm.wide and fm.tab.shape[-1] == 12
+    return idx, fm
+
+
+def _mk_pool(idx, N, L, seed=11, err=0.02):
+    rng = np.random.default_rng(seed)
+    pool = np.full((N, L + 2), 4, np.int32)
+    for b in range(N):
+        p = int(rng.integers(0, idx.l_pac - L))
+        frag = idx.pac[p:p + L].astype(np.int32)
+        r = np.where(frag == 1, 3, frag)
+        ne = rng.binomial(L, err)
+        r[rng.integers(0, L, ne)] = rng.integers(0, 5, ne)
+        pool[b, :L] = r
+        pool[b, L] = L
+        pool[b, L + 1] = b % 2
+    return pool
+
+
+def _seed_args(opt):
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    return (int(opt.min_seed_len), int(opt.max_mem_intv), split_len,
+            int(opt.split_width))
+
+
+@pytest.mark.parametrize("n_dp,n_idx", [(1, 8), (2, 4)])
+def test_sharded_index_pool_seeder_bit_identical(setup, n_dp, n_idx):
+    """Pool seeder against idx-sharded tables == replicated tables, per
+    dp shard, bit for bit (packed rows AND read-id stream)."""
+    idx, fm = setup
+    opt = MemOpt()
+    args = _seed_args(opt)
+    N, L = 32, 96
+    pool = _mk_pool(idx, N, L)
+    mesh = make_mesh2(n_dp, n_idx)
+    fn = sharded_index_seed_fn(mesh, fm, *args, seeder="pool",
+                               lanes=16, C=32, S=64, T2=16)
+    packed, rid, ov = [np.asarray(x) for x in fn(pool)]
+
+    N_l = N // n_dp
+    cap = N_l * 24
+    for s in range(n_dp):
+        pr, rr, tr, *_ = seed_batch._collect_sm_pool(
+            fm, jnp.asarray(pool[s * N_l:(s + 1) * N_l]), *args,
+            16, 32, 64, 16)
+        t = int(tr)
+        assert (np.asarray(rr)[:t] == rid[s * cap:s * cap + t]).all()
+        assert (np.asarray(pr)[:t] == packed[s * cap:s * cap + t]).all()
+    assert (ov < 0).all()
+
+
+def test_sharded_index_log_seeder_bit_identical(setup):
+    """The PRODUCTION (log) seeder against idx-sharded tables == the
+    replicated log machine, per dp shard."""
+    idx, fm = setup
+    opt = MemOpt()
+    args = _seed_args(opt)
+    N, L = 32, 96
+    pool = _mk_pool(idx, N, L, seed=12)
+    mesh = make_mesh2(2, 4)
+    fn = sharded_index_seed_fn(mesh, fm, *args, seeder="log",
+                               lanes=16, C=32, T2=16, LOG_LEN=4096, W=64)
+    packed, rid, ov, unf = [np.asarray(x) for x in fn(pool)]
+
+    N_l = N // 2
+    cap = N_l * 24
+    for s in range(2):
+        pr, rr, tr, ovr, _sp, _nc, unfr = seed_batch._collect_sm_log(
+            fm, jnp.asarray(pool[s * N_l:(s + 1) * N_l]), *args,
+            16, 32, 16, 4096, 64)
+        t = int(tr)
+        assert (np.asarray(rr)[:t] == rid[s * cap:s * cap + t]).all()
+        assert (np.asarray(pr)[:t] == packed[s * cap:s * cap + t]).all()
+        assert (np.asarray(unfr) == unf[s * 16:(s + 1) * 16]).all()
+    assert (ov < 0).all() and (unf < 0).all()
+
+
+@pytest.mark.parametrize("n_dp,n_idx", [(1, 8), (2, 4)])
+def test_sharded_index_sa_walk_bit_identical(setup, n_dp, n_idx):
+    """Batched SA resolution against idx-sharded samples+tables == the
+    replicated walk for random ranks on both strands."""
+    idx, fm = setup
+    n = int(idx.dau.seq_len)
+    rng = np.random.default_rng(7)
+    M = 128
+    ranks = rng.integers(1, n, M).astype(np.int32)
+    which = rng.integers(0, 2, M).astype(np.int32)
+    mesh = make_mesh2(n_dp, n_idx)
+    got = np.asarray(sharded_index_sa_fn(mesh, fm)(which, ranks))
+    want = seed_batch.sa_batch_np(fm, which, ranks)
+    assert (got == want).all()
+
+
+def test_sharded_index_wide_pool_and_sa(wide_setup):
+    """The wide (int64 rank, split-count row) layout — the human-scale
+    regime the sharding exists for — through the same sharded paths."""
+    idx, fm = wide_setup
+    opt = MemOpt()
+    args = _seed_args(opt)
+    N, L = 16, 96
+    pool = _mk_pool(idx, N, L, seed=13)
+    mesh = make_mesh2(2, 4)
+    fn = sharded_index_seed_fn(mesh, fm, *args, seeder="pool",
+                               lanes=8, C=32, S=64, T2=16)
+    packed, rid, ov = [np.asarray(x) for x in fn(pool)]
+    N_l = N // 2
+    cap = N_l * 24
+    with seed_batch._rank_ctx(fm):
+        for s in range(2):
+            pr, rr, tr, *_ = seed_batch._collect_sm_pool(
+                fm, jnp.asarray(pool[s * N_l:(s + 1) * N_l]), *args,
+                8, 32, 64, 16)
+            t = int(tr)
+            assert (np.asarray(rr)[:t] == rid[s * cap:s * cap + t]).all()
+            assert (np.asarray(pr)[:t] == packed[s * cap:s * cap + t]).all()
+    assert (ov < 0).all()
+
+    n = int(idx.dau.seq_len)
+    rng = np.random.default_rng(9)
+    ranks = rng.integers(1, n, 64).astype(np.int64)
+    which = rng.integers(0, 2, 64).astype(np.int32)
+    got = np.asarray(sharded_index_sa_fn(mesh, fm)(which, ranks))
+    want = seed_batch.sa_batch_np(fm, which, ranks)
+    assert (got == want).all()
+
+
+def test_sharded_index_hbm_budget_scales():
+    """The capacity arithmetic the sharding buys: per-device bytes of the
+    idx-sharded human-scale tables must fit a v5e (16 GB) for concrete N
+    — the numbers documented in docs/SCALING.md."""
+    # 3.1 Gbp genome -> 6.2 G-char strands, wide rows (48 B / 64 chars),
+    # int64 SA samples at intv 16
+    strand = 6_200_000_000
+    tab_bytes = 2 * (strand // 64) * 48
+    sa_bytes = 2 * (strand // 16) * 8
+    total = tab_bytes + sa_bytes        # 15.5 GB of tables alone
+    # one v5e: 16 GB HBM minus runtime buffers + the seeder's working set
+    # (pool/log/planes ~1 GB at production lanes) — tables alone consume
+    # >96% of the chip; the machine cannot run (the r4 gap)
+    assert total > 0.96 * 16e9
+    for n in (2, 4, 8):
+        per_dev = total / n
+        assert per_dev + 1e9 < 16e9     # fits with working-set headroom
+    assert total / 2 < 0.55 * 16e9      # n_idx=2 leaves ~45% of each chip
