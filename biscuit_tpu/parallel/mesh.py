@@ -129,6 +129,76 @@ def pileup_count_window(positions: jnp.ndarray, stat: jnp.ndarray,
     return counts[:window * n_codes].reshape(window, n_codes)
 
 
+def sharded_log_seed_fn(mesh: Mesh, fm: FMPair, min_seed_len: int,
+                        max_mem_intv: int, split_len: int, split_width: int,
+                        lanes: int = 16, C: int = 32, T2: int = 16,
+                        LOG_LEN: int = 4096, W: int = 64,
+                        claim_every: int = 1):
+    """The PRODUCTION (log/smem4) seeder under shard_map with the index
+    replicated and read pools sharded over dp — the shipping default
+    (BISCUIT_TPU_SEEDER=log) configuration. Returns jit fn(pool [N, L+2])
+    -> (packed [n_dp*N_l*24, 5], rid [n_dp*N_l*24], ov_rd, unfinished)
+    with per-shard-local read ids (callers add shard * N_l)."""
+    from ..ops.seed_batch import _collect_sm_log
+
+    def local(pool):
+        packed, rid, total, ov_rd, ov_spill, next_ctr, unfinished = \
+            _collect_sm_log(fm, pool, min_seed_len, max_mem_intv,
+                            split_len, split_width, lanes=lanes, C=C,
+                            T2=T2, LOG_LEN=LOG_LEN, W=W,
+                            claim_every=claim_every)
+        return packed, rid, ov_rd, unfinished
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P("dp", None),),
+                   out_specs=(P("dp", None), P("dp"), P("dp", None),
+                              P("dp")))
+    return jax.jit(fn)
+
+
+def sharded_chain_fn(mesh: Mesh, w: int, max_gap: int, max_occ: int,
+                     NC: int = 64):
+    """Device chaining (ops/chain_batch.chain_scan_batch — the mem_chain
+    B-tree replay, memchain.c:218-393) with the lane (read) axis sharded
+    over dp. Occurrence planes are [J, B] J-major; l_pac rides as a
+    replicated scalar. Returns jit fn(qbeg, len, rbeg, valid, rid, k,
+    n_occ, l_pac) -> (log [J, B], ov [B])."""
+    from ..ops.chain_batch import chain_scan_batch
+
+    def local(qbeg, ln, rbeg, valid, rid, kk, n_occ, l_pac):
+        return chain_scan_batch(qbeg, ln, rbeg, valid, rid, kk, n_occ,
+                                l_pac, w, max_gap, max_occ, NC=NC)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, "dp"), P(None, "dp"), P(None, "dp"),
+                             P(None, "dp"), P(None, "dp"), P(None, "dp"),
+                             P("dp"), P()),
+                   out_specs=(P(None, "dp"), P("dp")))
+    return jax.jit(fn)
+
+
+def sharded_rescue_fn(mesh: Mesh, o_del: int, e_del: int, o_ins: int,
+                      e_ins: int):
+    """Batched mate rescue (ops/sw_local.sw_local_kernel — exact
+    ksw_align2, ksw.c:111-334) with the lane axis sharded over dp.
+    Returns jit fn(query, qlens, target, tlens, mats, matsel, minsc,
+    endsc, u8) -> the kernel's output dict, imax_rows kept [Lt, B]."""
+    from ..ops.sw_local import sw_local_kernel
+
+    def local(query, qlens, target, tlens, mats, matsel, minsc, endsc, u8):
+        return sw_local_kernel(query, qlens, target, tlens, mats, matsel,
+                               o_del, e_del, o_ins, e_ins, minsc, endsc,
+                               u8)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp", None), P("dp"), P("dp", None),
+                             P("dp"), P(), P("dp"), P("dp"), P("dp"),
+                             P("dp")),
+                   out_specs=dict(gmax=P("dp"), te=P("dp"), qe=P("dp"),
+                                  shift=P("dp"), sat=P("dp"),
+                                  imax_rows=P(None, "dp")))
+    return jax.jit(fn)
+
+
 def _local_fm(fm: FMPair, tab_l, sa_l, L2, primary, seq_len,
               n64: int, n_sa: int) -> FMPair:
     """Per-device FMPair inside a shard_map body: local table/SA slices +

@@ -184,6 +184,126 @@ def test_pileup_mesh_cli_vcf_matches_single():
     assert sharded == single
 
 
+def test_sharded_log_seeder_matches_single(setup):
+    """The PRODUCTION default seeder (BISCUIT_TPU_SEEDER=log, the smem4
+    log machine) under shard_map over dp: per-shard packed seed streams
+    must be bit-identical to the single-device machine on each pool
+    slice."""
+    from biscuit_tpu.ops.seed_batch import _collect_sm_log
+    from biscuit_tpu.parallel.mesh import make_mesh, sharded_log_seed_fn
+
+    idx, fm = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    opt = MemOpt()
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    args = (int(opt.min_seed_len), int(opt.max_mem_intv), split_len,
+            int(opt.split_width))
+    rng = np.random.default_rng(21)
+    N, L = 64, 96
+    pool = np.full((N, L + 2), 4, np.int32)
+    for b in range(N):
+        p = int(rng.integers(0, idx.l_pac - L))
+        frag = idx.pac[p:p + L].astype(np.int32)
+        r = np.where(frag == 1, 3, frag)
+        ne = rng.binomial(L, 0.02)
+        r[rng.integers(0, L, ne)] = rng.integers(0, 5, ne)
+        pool[b, :L] = r
+        pool[b, L] = L
+        pool[b, L + 1] = b % 2
+
+    mesh = make_mesh(8)
+    fn = sharded_log_seed_fn(mesh, fm, *args, lanes=8, C=32, T2=16,
+                             LOG_LEN=4096, W=32)
+    packed, rid, ov, unf = [np.asarray(x) for x in fn(jnp.asarray(pool))]
+    N_l = N // 8
+    cap = N_l * 24
+    for s in range(8):
+        pr, rr, tr, *_rest = _collect_sm_log(
+            fm, jnp.asarray(pool[s * N_l:(s + 1) * N_l]), *args,
+            8, 32, 16, 4096, 32)
+        t = int(tr)
+        assert (np.asarray(rr)[:t] == rid[s * cap:s * cap + t]).all()
+        assert (np.asarray(pr)[:t] == packed[s * cap:s * cap + t]).all()
+    assert (ov < 0).all() and (unf < 0).all()
+
+
+def test_sharded_chain_matches_single():
+    """Device chaining (ops/chain_batch — the round-4 production stage)
+    under shard_map over dp: action logs bit-identical to single-device."""
+    from biscuit_tpu.ops.chain_batch import chain_scan_batch
+    from biscuit_tpu.parallel.mesh import make_mesh, sharded_chain_fn
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(23)
+    J, B = 48, 32
+    l_pac = 30000
+    qbeg = rng.integers(0, 80, (J, B)).astype(np.int32)
+    slen = rng.integers(19, 40, (J, B)).astype(np.int32)
+    rbeg = rng.integers(0, 2 * l_pac - 64, (J, B)).astype(np.int32)
+    valid = (rng.random((J, B)) < 0.9).astype(np.int32)
+    rid = rng.integers(0, 2, (J, B)).astype(np.int32)
+    # occurrence index within its seed: runs of 0..len-1 per lane
+    kk = np.zeros((J, B), np.int32)
+    for b in range(B):
+        j = 0
+        while j < J:
+            run = int(rng.integers(1, 6))
+            for t in range(min(run, J - j)):
+                kk[j + t, b] = t
+            j += run
+    n_occ = rng.integers(0, J + 1, B).astype(np.int32)
+
+    opt = MemOpt()
+    args = [jnp.asarray(a) for a in
+            (qbeg, slen, rbeg, valid, rid, kk, n_occ)]
+    log1, ov1 = chain_scan_batch(*args, jnp.int32(l_pac), int(opt.w),
+                                 int(opt.max_chain_gap), 500, NC=16)
+    mesh = make_mesh(8)
+    fn = sharded_chain_fn(mesh, int(opt.w), int(opt.max_chain_gap), 500,
+                          NC=16)
+    log8, ov8 = fn(*args, jnp.int32(l_pac))
+    np.testing.assert_array_equal(np.asarray(log8), np.asarray(log1))
+    np.testing.assert_array_equal(np.asarray(ov8), np.asarray(ov1))
+
+
+def test_sharded_rescue_matches_single():
+    """Batched mate rescue (ops/sw_local — the round-4 production stage)
+    under shard_map over dp: kernel outputs bit-identical to
+    single-device."""
+    from biscuit_tpu.ops.sw_local import sw_local_kernel
+    from biscuit_tpu.parallel.mesh import make_mesh, sharded_rescue_fn
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(29)
+    B, Lq, Lt = 32, 96, 160
+    q = rng.integers(0, 4, (B, Lq)).astype(np.int32)
+    qlens = rng.integers(20, Lq + 1, B).astype(np.int32)
+    q[np.arange(Lq)[None, :] >= qlens[:, None]] = 4
+    t = rng.integers(0, 4, (B, Lt)).astype(np.int32)
+    tlens = rng.integers(30, Lt + 1, B).astype(np.int32)
+    mats = np.zeros((2, 5, 5), np.int32)
+    mats[:, :4, :4] = -2
+    for i in range(4):
+        mats[:, i, i] = 1
+    mats[1, 0, 1] = 1
+    matsel = rng.integers(0, 2, B).astype(np.int32)
+    minsc = np.full(B, 20, np.int32)
+    endsc = np.full(B, 0xFFFF, np.int32)
+    u8 = rng.integers(0, 2, B).astype(np.int32)
+
+    args = [jnp.asarray(a) for a in
+            (q, qlens, t, tlens, mats, matsel, minsc, endsc, u8)]
+    one = sw_local_kernel(*args[:6], 6, 1, 6, 1, *args[6:])
+    mesh = make_mesh(8)
+    eight = sharded_rescue_fn(mesh, 6, 1, 6, 1)(*args)
+    for key in one:
+        np.testing.assert_array_equal(np.asarray(eight[key]),
+                                      np.asarray(one[key]), err_msg=key)
+
+
 def test_sharded_pool_seeder_matches_single(setup):
     """The production lane-refill seeder under shard_map: per-read seed
     sets from the 8-way sharded pools equal the single-device machine's."""
