@@ -101,14 +101,30 @@ def check_pallas_sw(res):
     a = np.asarray(sw_extend_batch_pallas(*args))
     b = np.asarray(sw_extend_batch(*args))
     ok = bool((a == b).all())
-    tp = _timeit(lambda: sw_extend_batch_pallas(*args))
-    tx = _timeit(lambda: sw_extend_batch(*args))
+    # GCUPS on the SURVIVE-ALL geometry (targets = query + ~5% mutations,
+    # full qlens/tlens): random-vs-random lanes die to m==0 within a few
+    # rows and the all-done early exit stops the kernel, so counting the
+    # nominal B*Lq*Lt cells over the random bit-check inputs INFLATED the
+    # number ~2x (BENCH_r04 10.47 vs tpu_regress 21.38 — round-4 VERDICT
+    # weak #1). bench.py uses this same geometry + the same slope-timed
+    # hard-sync protocol; production extensions do survive (seeds seed
+    # real matches), so this is the representative rate.
+    tn = rng.integers(0, 4, (B, Lt)).astype(np.int32)
+    qn = np.asarray(q)
+    tn[:, :Lq] = np.where(rng.random((B, Lq)) < 0.05,
+                          rng.integers(0, 4, (B, Lq)), qn)
+    targs = (q, jnp.full((B,), Lq, jnp.int32), jnp.asarray(tn),
+             jnp.full((B,), Lt, jnp.int32), mats, msel, 6, 1, 6, 1,
+             ws, ebs, 100, jnp.full((B,), 30, jnp.int32))
+    tp = _timeit(lambda: sw_extend_batch_pallas(*targs))
+    tx = _timeit(lambda: sw_extend_batch(*targs))
     cells = B * Lq * Lt
     res["pallas_sw"] = {
         "bit_identical": ok,
         "pallas_gcups": round(cells / tp / 1e9, 2),
         "xla_gcups": round(cells / tx / 1e9, 2),
         "pallas_speedup_vs_xla": round(tx / tp, 2),
+        "geometry": "survive-all (bench.py-identical); slope-timed",
     }
     return ok
 
