@@ -409,14 +409,19 @@ Input/output options:
     # k+2n, ... of the (shared) input. The multi-host data-parallel layer
     # (tools/shard_align.py) uses this so every worker streams the SAME
     # fastq: no serial sharding pass, no temp shard files. With -1/-2
-    # the stride applies per file, keeping mates paired.
+    # the stride applies per file, keeping mates paired; with -p (smart
+    # pairing, interleaved mates in ONE file) it strides by PAIR groups —
+    # a per-record stride would hand all read-1s to one worker and
+    # silently mispair (pairing is positional: mem_process_seqs pairs
+    # records 2i, 2i+1).
     stride = os.environ.get("BISCUIT_TPU_FASTQ_STRIDE")
     if stride:
         k_s, n_s = (int(x) for x in stride.split(":"))
+        grp = 2 if (opt.flag & MEM_F_SMARTPE) else 1
 
-        def _strided(it, k=k_s, n=n_s):
+        def _strided(it, k=k_s, n=n_s, g=grp):
             for i, rec in enumerate(it):
-                if i % n == k:
+                if (i // g) % n == k:
                     yield rec
         it1 = _strided(it1)
         if it2 is not None:

@@ -193,6 +193,55 @@ def test_shard_align_pe_matches_single_process(tmp_path):
     assert strip(sh.stdout) == strip(single.stdout)
 
 
+def test_shard_align_smart_pairing_matches_single_process(tmp_path):
+    """-p (interleaved mates, ONE file): the stride must move by PAIR
+    groups — a per-record stride hands all read-1s to one worker and
+    silently mispairs (advisor r4). Sharded == single-process output."""
+    subprocess.run(
+        [sys.executable, f"{REPO}/tools/make_testdata.py", str(tmp_path),
+         "--genome-size", "40000", "--n-reads", "200", "--pe", "--seed",
+         "37", "--n-chroms", "1"],
+        check=True, capture_output=True)
+    fa = str(tmp_path / "genome.fa")
+    run(["index", fa])
+    # interleave mates into one smart-pairing file
+    r1 = (tmp_path / "reads_1.fq").read_text().splitlines()
+    r2 = (tmp_path / "reads_2.fq").read_text().splitlines()
+    il = tmp_path / "il.fq"
+    with open(il, "w") as f:
+        for i in range(0, len(r1), 4):
+            f.write("\n".join(r1[i:i + 4]) + "\n")
+            f.write("\n".join(r2[i:i + 4]) + "\n")
+    single = subprocess.run(
+        [sys.executable, "-m", "biscuit_tpu.cli", "align", "-p", fa,
+         str(il)], capture_output=True, text=True, cwd=REPO)
+    assert single.returncode == 0
+    sh = subprocess.run(
+        [sys.executable, f"{REPO}/tools/shard_align.py", "-n", "2", "-p",
+         fa, str(il)], capture_output=True, text=True, cwd=REPO)
+    assert sh.returncode == 0, sh.stderr[-500:]
+    strip = lambda s: [l for l in s.splitlines() if not l.startswith("@")]
+    assert strip(sh.stdout) == strip(single.stdout)
+
+
+def test_shard_align_streaming_source_spooled(pipe):
+    """Streaming FASTQ sources ('-', pipes, URLs) are spooled once and
+    shared by the striding workers (advisor r4: they used to be misparsed
+    as flags and the driver failed)."""
+    d, fa = pipe
+    single = subprocess.run(
+        [sys.executable, "-m", "biscuit_tpu.cli", "align", fa,
+         str(d / "reads.fq")], capture_output=True, text=True, cwd=REPO)
+    assert single.returncode == 0
+    sh = subprocess.run(
+        [sys.executable, f"{REPO}/tools/shard_align.py", "-n", "2", fa,
+         f"cat {d / 'reads.fq'} |"], capture_output=True, text=True,
+        cwd=REPO)
+    assert sh.returncode == 0, sh.stderr[-500:]
+    strip = lambda s: [l for l in s.splitlines() if not l.startswith("@")]
+    assert strip(sh.stdout) == strip(single.stdout)
+
+
 def test_fastq_kopen_sources(tmp_path):
     """kopen-style inputs (lib/aln/kopen.c): stdin '-', shell pipes, and
     magic-sniffed gzip (no extension) all feed the FASTQ reader."""

@@ -3,41 +3,118 @@
 
 The single-process aligner already data-parallelizes a batch across one
 host's cores (and a chip's lanes on the device engine). This driver is the
-multi-HOST layer of SURVEY.md §2d: shard the FASTQ round-robin, run one
-`biscuit_tpu align` worker per shard (each host/process loads or mmaps the
-same index), and concatenate the SAM shards in order — the DCN-side analog
-of the reference's single-node kt_pipeline.
+multi-HOST layer of SURVEY.md §2d: workers stream the SAME fastq with a
+record stride (each owns records k, k+n, ...), one `biscuit_tpu align`
+process per shard (each host/process loads or mmaps the same index), and
+the SAM shards are interleaved back record-by-record so the output order
+equals the single-process order.
 
-Ordering: workers keep their shard's internal order; shards are interleaved
-back record-by-record so the output order equals the single-process order
-(reads are independent; PE pairs stay adjacent within a shard).
+The ordered merge STREAMS concurrently with the workers (the reference's
+ordered-shelf protocol, src/bisc_utils.c:240-271, lifted to processes): a
+merger tails every worker's growing output file and emits the next
+round-robin qname group the moment it is complete, so by the time workers
+exit only the last groups remain — the merge is no longer a serial tail
+on the critical path (round-4 scaling: n=4 wall eff 0.718 with the
+post-hoc merge).
+
+Streaming FASTQ sources the align CLI accepts (stdin '-', 'cmd |' shell
+pipes, http[s]/ftp URLs) are spooled once to a temp file first — n
+striding workers each need an independent pass over the same bytes.
 
 Usage:
     tools/shard_align.py -n 4 [-p] [align options...] ref.fa r1.fq [r2.fq] > out.sam
 """
 import argparse
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
+import time
 
 
-def shard_fastq(path: str, n: int, outdir: str, tag: str, group: int):
-    """Round-robin by read (or pair group) into n shard files."""
-    import gzip
-    opener = gzip.open if path.endswith(".gz") else open
-    outs = [open(os.path.join(outdir, f"{tag}.{i}.fq"), "w") for i in range(n)]
-    with opener(path, "rt") as f:
-        i = 0
+def _is_streaming_src(a: str) -> bool:
+    """kopen-style non-file FASTQ sources (io/fastq._open_source)."""
+    return a == "-" or a.endswith("|") or \
+        a.startswith(("http://", "https://", "ftp://"))
+
+
+def _spool(src: str, dst: str) -> str:
+    """Copy a streaming source's raw bytes to a file (gzip bytes stay
+    gzip; the workers sniff the magic exactly as they would the source)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from biscuit_tpu.io.fastq import _open_source
+    f = _open_source(src)
+    # _open_source transparently gunzips; spool the DECODED stream (plain
+    # fastq) so workers see well-formed input either way
+    with open(dst, "wb") as o:
+        shutil.copyfileobj(f, o, 1 << 20)
+    return dst
+
+
+class ShardTail:
+    """Incremental reader over one worker's growing SAM file: yields
+    complete qname GROUPS (a read's records — mates, supplementaries —
+    share the qname and are written contiguously by the worker)."""
+
+    def __init__(self, path: str, proc: subprocess.Popen):
+        self.f = open(path)
+        self.proc = proc
+        self.lines = []          # complete lines, headers already dropped
+        self.header = []         # header lines (kept for shard 0)
+        self.partial = ""
+        self.eof = False
+        self.in_header = True
+
+    def _pump(self) -> bool:
+        data = self.f.read(1 << 20)
+        if not data:
+            if self.proc.poll() is not None:
+                data = self.f.read()     # final drain after exit
+                if not data:
+                    self.eof = True
+                    return False
+            else:
+                return False
+        parts = (self.partial + data).split("\n")
+        self.partial = parts.pop()
+        for l in parts:
+            if self.in_header:
+                if l.startswith("@"):
+                    self.header.append(l)
+                    continue
+                self.in_header = False
+            self.lines.append(l)
+        return True
+
+    def next_group(self):
+        """Block until one full qname group is available; None when the
+        worker exited and everything was consumed."""
         while True:
-            rec = [f.readline() for _ in range(4 * group)]
-            if not rec[0]:
-                break
-            outs[(i // group) % n].writelines(rec)
-            i += group
-    for o in outs:
-        o.close()
-    return [o.name for o in outs]
+            if self.lines:
+                q0 = self.lines[0].split("\t", 1)[0]
+                k = 1
+                while k < len(self.lines) and \
+                        self.lines[k].split("\t", 1)[0] == q0:
+                    k += 1
+                # the group is complete if a different qname follows, or
+                # nothing can follow (worker done, buffers drained)
+                if k < len(self.lines) or (self.eof and not self.partial):
+                    g = self.lines[:k]
+                    del self.lines[:k]
+                    return g
+            elif self.eof:
+                return None
+            if not self._pump():
+                if not self.eof:
+                    time.sleep(0.02)
+
+    def wait_header(self):
+        while self.in_header and not self.eof:
+            if not self._pump():
+                time.sleep(0.02)
+        return self.header
 
 
 def main():
@@ -50,31 +127,44 @@ def main():
     rest = unknown + args.rest  # pass-through align flags
     # split trailing positionals (ref.fa + 1-2 fastqs) from pass-through
     # flags: a bare flag VALUE (e.g. the "1" of "-@ 1") must not count as
-    # a positional, so positionals are the TRAILING args that exist on
-    # disk — flags and their values all precede them in an align command
+    # a positional, so positionals are the TRAILING args that either exist
+    # on disk or are kopen streaming sources ('-', 'cmd |', URLs) — flags
+    # and their values all precede them in an align command
     pos = []
     i = len(rest)
-    while i > 0 and len(pos) < 3 and not rest[i - 1].startswith("-") \
-            and os.path.exists(rest[i - 1]):
-        pos.insert(0, rest[i - 1])
+    while i > 0 and len(pos) < 3:
+        a = rest[i - 1]
+        if (a.startswith("-") and a != "-") or not (
+                os.path.exists(a) or _is_streaming_src(a)):
+            break
+        pos.insert(0, a)
         i -= 1
     if len(pos) < 2:
         print("need ref.fa and at least one fastq", file=sys.stderr)
         return 1
     ref, fqs = pos[0], pos[1:]
+    if not os.path.exists(ref):
+        print(f"reference {ref!r} must be a regular file (its index is "
+              "opened by every worker)", file=sys.stderr)
+        return 1
     ref_and_flags = rest[:i] + [ref]
     pe = len(fqs) == 2
 
     with tempfile.TemporaryDirectory(prefix="shardaln") as td:
+        # spool streaming sources once: n striding workers each need an
+        # independent pass over the same records
+        for j, fq in enumerate(fqs):
+            if _is_streaming_src(fq):
+                fqs[j] = _spool(fq, os.path.join(td, f"spool.{j}.fq"))
         procs = []
         outs = []
         exdir = os.path.join(td, "pes_exchange")
         for i in range(args.n):
-            of = open(os.path.join(td, f"out.{i}.sam"), "w")
+            path = os.path.join(td, f"out.{i}.sam")
+            of = open(path, "w")
             # every worker streams the SAME fastq, owning records
-            # i, i+n, ... (BISCUIT_TPU_FASTQ_STRIDE): the serial
-            # shard-to-temp-files pass (O(reads), it dominated wall-clock
-            # scaling) is gone
+            # i, i+n, ... (BISCUIT_TPU_FASTQ_STRIDE; with -p the cli
+            # strides by PAIR groups so interleaved mates stay together)
             cmd = [sys.executable, "-m", "biscuit_tpu.cli", "align",
                    *ref_and_flags, fqs[0]]
             env = dict(os.environ)
@@ -85,6 +175,8 @@ def main():
                 # computes the same pes as a single-process run would
                 # (reference chunk-wide semantics, bwamem.c:464-467)
                 env["BISCUIT_TPU_PES_EXCHANGE"] = f"{exdir}:{i}:{args.n}"
+            if "-p" in ref_and_flags:
+                env["BISCUIT_TPU_PES_EXCHANGE"] = f"{exdir}:{i}:{args.n}"
             # BT_SHARD_WORKER_LOGS=dir keeps each worker's stderr (the
             # [M::mem_process_seqs] phase timings) for scaling analysis
             logdir = os.environ.get("BT_SHARD_WORKER_LOGS")
@@ -94,53 +186,43 @@ def main():
                                           stderr=errdst))
             if errdst is not subprocess.DEVNULL:
                 errdst.close()
-            outs.append(of)
+            outs.append((path, of))
+
+        # STREAMING ordered merge, concurrent with the workers: header from
+        # shard 0, then bodies interleaved round-robin by qname group.
+        # Output is buffered in ~4 MB chunks (one write syscall each).
+        tails = [ShardTail(p, procs[i]) for i, (p, _f) in enumerate(outs)]
+        out = sys.stdout
+        hdr = tails[0].wait_header()
+        out.write("\n".join(h for h in hdr if not h.startswith("@PG")))
+        out.write("\n")
+        done = [False] * args.n
+        i = 0
+        buf = []
+        buflen = 0
+        while not all(done):
+            w = i % args.n
+            if not done[w]:
+                g = tails[w].next_group()
+                if g is None:
+                    done[w] = True
+                else:
+                    buf.extend(g)
+                    buflen += sum(len(x) + 1 for x in g)
+                    if buflen >= (1 << 22):
+                        out.write("\n".join(buf))
+                        out.write("\n")
+                        buf, buflen = [], 0
+            i += 1
+        if buf:
+            out.write("\n".join(buf))
+            out.write("\n")
         rcs = [p.wait() for p in procs]
-        for of in outs:
+        for _p, of in outs:
             of.close()
         if any(rcs):
             print(f"worker failures: {rcs}", file=sys.stderr)
             return 1
-        # header from shard 0; bodies interleaved round-robin to restore
-        # the single-process read order. This pass is the serial tail of
-        # the whole run, so it avoids per-line print()/split in the hot
-        # loop: qnames are precomputed in one pass and output is buffered
-        # into a single write.
-        bodies = []
-        qns = []
-        out = sys.stdout
-        for i in range(args.n):
-            with open(os.path.join(td, f"out.{i}.sam")) as f:
-                lines = f.read().splitlines()
-            body = [l for l in lines if not l.startswith("@")]
-            if i == 0:
-                out.write("\n".join(
-                    h for h in lines
-                    if h.startswith("@") and not h.startswith("@PG")))
-                out.write("\n")
-            bodies.append(body)
-            qns.append([l.split("\t", 1)[0] for l in body])
-        idx = [0] * args.n
-        i = 0
-        total = sum(len(b) for b in bodies)
-        emitted = 0
-        chunks = []
-        while emitted < total:
-            w = i % args.n
-            # one qname group per visit: a read's records (pair mates,
-            # supplementaries) share the qname and stay contiguous
-            b, q, j = bodies[w], qns[w], idx[w]
-            if j < len(b):
-                k = j + 1
-                while k < len(b) and q[k] == q[j]:
-                    k += 1
-                chunks.extend(b[j:k])
-                emitted += k - j
-                idx[w] = k
-            i += 1
-        if chunks:
-            out.write("\n".join(chunks))
-            out.write("\n")
     return 0
 
 
