@@ -5,12 +5,17 @@ reusing the exact host logic (chaining, region bookkeeping) via the
 extension-request generator protocol (region.chain2region_gen). Output is
 identical to the host engine (tested in tests/test_device_engine.py).
 
-Batch flow per call:
+Batch flow per call (round-4 production configuration):
   1. host: read clipping + in-silico conversion; build (read, parent) lanes
-  2. device: 3-pass SMEM seed collection (ops/seed_batch.smem_batch)
+  2. device: 3-pass SMEM seed collection — the log machine by default
+     (ops/seed_batch._collect_sm_log; BISCUIT_TPU_SEEDER selects
+     log/pool/merged/fused)
   3. device: batched SA walks for seed occurrence positions
-  4. host: chaining + chain filtering per lane
-  5. device: banded extension, scheduled in lockstep rounds across lanes
+  4. device: chaining as the lockstep B-tree replay
+     (ops/chain_batch.chain_scan_batch via chain.mem_chain_batch;
+     cap-overflow lanes rerun the host walk), then host chain filtering
+  5. device: banded extension (Pallas SW kernel), scheduled in lockstep
+     rounds across lanes; batched mate rescue (ops/sw_local) in PE
   6. host: region merge + downstream (mark primary, pairing, SAM)
 """
 from typing import Dict, List, Optional, Tuple
