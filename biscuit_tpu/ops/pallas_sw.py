@@ -10,6 +10,21 @@ prefix max uses a log-step shift-max scan instead of lax.cummax.
 
 Ground truth chain: ops/sw.py (scalar, oracle-tested) -> ops/sw_batch.py
 (XLA) -> this kernel (tests/test_pallas_sw.py compares against sw_batch).
+
+Packing ablations (rounds 3-5, all measured on the v5e):
+  * native int16 2x vectors FAIL Mosaic legalization (arith.maxsi on
+    vector<8x128x2xi16>) on this toolchain (round 3).
+  * SWAR 2x (two 15-bit cells per int32 lane, manual carry/borrow
+    masking — tools/swar_ablate.py, swar_ablate.json): the max-dominated
+    row recurrence measures only 1.09x packed even with the per-field
+    band masks and cross-field reductions OMITTED — an upper bound. TPU
+    VPU ops count per 32-bit lane, so a SWAR max (~4 bitwise ops + smear
+    + blend per 2 fields) replaces 2 native maxes at best break-even;
+    the real kernel's field-wise jm masks and h1_first/h1_last
+    reductions push it below 1.0. The ksw striped-i8/i16 trick pays on
+    SSE hosts because 16-lane byte ops double throughput there; on TPU
+    it cannot. 10.5 GCUPS on the survive-all geometry stands as the
+    honest number (early-exit-inflated 21.4 retired in round 5).
 """
 from functools import partial
 
