@@ -628,12 +628,53 @@ def process_seqs_hybrid(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
                         pes0=None, rg_id: str = "",
                         engine=None, seeder: Optional[DeviceSeeder] = None):
     """The production TPU engine: device seeding + SA (DeviceSeeder) injected
-    into the C++ chain/extend/SAM stages (process_seqs_native)."""
+    into the C++ chain/extend/SAM stages (process_seqs_native).
+
+    SE chunks larger than one device sweep are PIPELINED: an injector
+    thread builds sub-batch k+1's injection (device compute + the tunneled
+    D2H of packed seed rows) while the C++ stages align sub-batch k (the
+    ctypes call releases the GIL), so the injection cost is hidden behind
+    the host align instead of serialized in front of it — the kt_pipeline
+    idea applied to the host<->device boundary. Output is byte-identical:
+    sub-batches pass n_processed offsets through, and reads are
+    independent in SE. PE keeps the whole-chunk path (insert-size stats
+    span the chunk, bwamem.c:464-467)."""
     from .native_engine import NativeAligner, process_seqs_native
     nat = engine if isinstance(engine, NativeAligner) else NativeAligner(st)
     sdr = seeder or DeviceSeeder(st)
-    process_seqs_native(opt, st, seqs, n_processed, pes0, rg_id, engine=nat,
-                        seeder=sdr)
+    pe = bool(opt.flag & MEM_F_PE)
+    if pe or len(seqs) <= DEVICE_BATCH or \
+            os.environ.get("BISCUIT_TPU_HYBRID_PIPELINE", "1") == "0":
+        process_seqs_native(opt, st, seqs, n_processed, pes0, rg_id,
+                            engine=nat, seeder=sdr)
+        return
+    import queue
+    import threading
+    subs = [seqs[lo:lo + DEVICE_BATCH]
+            for lo in range(0, len(seqs), DEVICE_BATCH)]
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def _injector():
+        try:
+            for sub in subs:
+                for s in sub:
+                    read_clipping(s, opt.adaptor1, opt)
+                q.put((sub, sdr.build_injection(opt, sub, False)))
+        except BaseException as e:  # surface in the consumer
+            q.put(e)
+
+    th = threading.Thread(target=_injector, daemon=True)
+    th.start()
+    lo = 0
+    for _ in subs:
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        sub, inj = item
+        process_seqs_native(opt, st, sub, n_processed + lo, pes0, rg_id,
+                            engine=nat, inj_pre=inj, pre_clipped=True)
+        lo += len(sub)
+    th.join()
 
 
 # reads per device sweep. The lane-refill pool pays its straggler tail once

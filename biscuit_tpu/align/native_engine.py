@@ -496,12 +496,16 @@ def _w2_pe_chunk(args):
 def process_seqs_native(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
                         pes0=None, rg_id: str = "",
                         engine: Optional[NativeAligner] = None,
-                        seeder=None) -> None:
+                        seeder=None, inj_pre=None,
+                        pre_clipped: bool = False) -> None:
     """mem_process_seqs with the native worker1 (C++ threads) and worker2
     fanned out over a fork pool (exact: PE insert-size stats still span the
     whole chunk, as in the reference). `seeder` is an optional
     device_engine.DeviceSeeder: seeds + SA prefetches then come from the TPU
-    (seed injection), C++ keeps the branchy chain/extend/SAM stages."""
+    (seed injection), C++ keeps the branchy chain/extend/SAM stages.
+    `inj_pre`/`pre_clipped`: the hybrid pipeline (process_seqs_hybrid)
+    builds the next sub-batch's injection on device WHILE C++ aligns the
+    current one; it clips and injects up front and passes the result in."""
     nat = engine or NativeAligner(st)
     pe = bool(opt.flag & MEM_F_PE)
     if pe:
@@ -512,10 +516,12 @@ def process_seqs_native(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
                     and s2.name[-1] == "2"):
                 raise RuntimeError(
                     f'paired reads have different names: "{s1.name}", "{s2.name}"')
-    for s in seqs:
-        read_clipping(s, opt.adaptor1 if (not pe or s.id % 2 == 0)
-                      else opt.adaptor2, opt)
-    inj = seeder.build_injection(opt, seqs, pe) if seeder is not None else None
+    if not pre_clipped:
+        for s in seqs:
+            read_clipping(s, opt.adaptor1 if (not pe or s.id % 2 == 0)
+                          else opt.adaptor2, opt)
+    inj = inj_pre if inj_pre is not None else (
+        seeder.build_injection(opt, seqs, pe) if seeder is not None else None)
 
     n_workers = max(1, opt.n_threads)
     from . import pair as pairmod

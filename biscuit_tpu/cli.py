@@ -373,9 +373,15 @@ Input/output options:
         ct0, rt0 = _time.process_time(), _time.perf_counter()
         if dev is not None:
             process_seqs_device(opt, st, seqs, n_processed, pes0, rg_id, engine=dev)
+        elif nat is not None and sdr is not None:
+            # hybrid engine: pipelined device injection (see
+            # device_engine.process_seqs_hybrid)
+            from .align.device_engine import process_seqs_hybrid
+            process_seqs_hybrid(opt, st, seqs, n_processed, pes0, rg_id,
+                                engine=nat, seeder=sdr)
         elif nat is not None:
             process_seqs_native(opt, st, seqs, n_processed, pes0, rg_id,
-                                engine=nat, seeder=sdr)
+                                engine=nat)
         else:
             process_seqs(opt, st, seqs, n_processed, pes0, rg_id)
         if verbose >= 3:

@@ -42,6 +42,26 @@ def test_se_hybrid_matches_host(setup):
         assert h.sam == v.sam, f"{h.name}\nhost: {h.sam}\nhyb : {v.sam}"
 
 
+def test_se_hybrid_pipelined_subbatches_match_host(setup, monkeypatch):
+    """The round-5 injection pipeline (injector thread builds sub-batch
+    k+1's device injection while C++ aligns k) must keep SAM bytes
+    identical — forced into many sub-batches via a tiny DEVICE_BATCH."""
+    from biscuit_tpu.align import device_engine
+    idx, d = setup
+    st = AlignerState(idx)
+    opt = MemOpt()
+    opt.flag |= MEM_F_NO_MULTI
+    host_seqs = _load(d / "reads.fq", 90)
+    process_seqs(opt, st, host_seqs, 0)
+    monkeypatch.setattr(device_engine, "DEVICE_BATCH", 16)
+    opt2 = MemOpt()
+    opt2.flag |= MEM_F_NO_MULTI
+    hyb_seqs = _load(d / "reads.fq", 90)
+    process_seqs_hybrid(opt2, st, hyb_seqs, 0)   # 6 pipelined sub-batches
+    for h, v in zip(host_seqs, hyb_seqs):
+        assert h.sam == v.sam, f"{h.name}\nhost: {h.sam}\npipe: {v.sam}"
+
+
 def test_injection_covers_lanes(setup):
     """The seeder must actually inject (not silently fall back): every lane
     of a normal batch gets has=1 and at least one seed row."""
