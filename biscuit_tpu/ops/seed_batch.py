@@ -2094,6 +2094,89 @@ def _collect_sm_fused(fm: FMPair, q, lens, parents,
     return packed, n_all, ov, s1, n1, s2, n2, s3, n3
 
 
+def _collect_flat_index_sharded(fm: FMPair, reads, lens, parents, opt,
+                                n_idx: int):
+    """collect_intv_flat_sm with the FM-INDEX SHARDED over the visible
+    device mesh (BISCUIT_TPU_INDEX_SHARD=n_idx): fused tables + SA
+    samples partition over an `idx` axis, read pools over `dp`
+    (n_dp = n_devices // n_idx), occ4/invPsi gathers psum-routed to the
+    owning shard. The production path for genomes whose tables exceed
+    one chip's HBM (SURVEY §2d; SCALING.md round-5 budget table). Same
+    (lane_of, rows, overflow) contract as collect_intv_flat_sm; output
+    is bit-identical to the replicated log machine."""
+    import jax as _jax
+    from ..parallel.mesh import make_mesh2, sharded_index_seed_fn
+
+    B, L = reads.shape
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    ndev = len(_jax.devices())
+    assert 1 < n_idx <= ndev, \
+        f"BISCUIT_TPU_INDEX_SHARD={n_idx} needs that many devices (have {ndev})"
+    n_dp = max(1, ndev // n_idx)
+    N_pad = -(-B // n_dp) * n_dp
+    N_l = N_pad // n_dp
+    C_m = max(32, min(160, L // 4))
+    lanes = min(int(os.environ.get("BISCUIT_TPU_SEED_LANES", "4096")),
+                _pow2(max(N_l, 2)))
+    LOG_LEN = -(-max(2048, (N_l // lanes + 2) * 1100) // 1024) * 1024
+    W = min(256, lanes)
+    pool = np.full((N_pad, L + 2), 4, np.int32)
+    pool[:B, :L] = reads
+    pool[:B, L] = lens
+    pool[:B, L + 1] = parents
+    pool[B:, L] = 0
+
+    cache = getattr(fm, "_jit_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(fm, "_jit_cache", cache)
+    sp = (int(opt.min_seed_len), int(opt.max_mem_intv), split_len,
+          int(opt.split_width))
+    key = ("idx_shard", n_dp, n_idx, lanes, C_m, LOG_LEN, W) + sp
+    fn = cache.get(key)
+    if fn is None:
+        mesh = make_mesh2(n_dp, n_idx)
+        fn = sharded_index_seed_fn(mesh, fm, *sp, seeder="log",
+                                   lanes=lanes, C=C_m, T2=16,
+                                   LOG_LEN=LOG_LEN, W=W)
+        cache[key] = fn
+    packed, rid, ov_rd, unfinished, next_ctr, spill = \
+        (np.asarray(x) for x in fn(pool))
+
+    cap = N_l * 24
+    ov = np.zeros(B, bool)
+    rid_parts, row_parts = [], []
+    for s in range(n_dp):
+        rs = rid[s * cap:(s + 1) * cap]
+        t = int((rs < BIG).sum())
+        rid_parts.append(rs[:t].astype(np.int64) + s * N_l)
+        row_parts.append(packed[s * cap:s * cap + t])
+        ovr = ov_rd[s * lanes:(s + 1) * lanes].reshape(-1)
+        ok = (ovr >= 0) & (ovr < N_l)
+        ov_ids = ovr[ok] + s * N_l
+        ov[ov_ids[ov_ids < B]] = True
+        unf = unfinished[s * lanes:(s + 1) * lanes]
+        ok = (unf >= 0) & (unf < N_l)
+        unf_ids = unf[ok] + s * N_l
+        ov[unf_ids[unf_ids < B]] = True
+        nc = int(next_ctr[s])
+        if nc < N_l:            # log exhausted: unclaimed tail reruns
+            lo = min(s * N_l + nc, B)
+            hi = min((s + 1) * N_l, B)
+            ov[lo:hi] = True
+        if int(spill[s]):       # whole-shard spill: rerun its reads
+            ov[min(s * N_l, B):min((s + 1) * N_l, B)] = True
+    # shard s owns the contiguous read range [s*N_l, (s+1)*N_l) and each
+    # per-shard stream is already (read, start, end) stable-sorted, so
+    # concatenation in shard order IS the global reference order
+    rid_all = np.concatenate(rid_parts) if rid_parts else \
+        np.zeros(0, np.int64)
+    rows_all = np.concatenate(row_parts) if row_parts else \
+        np.zeros((0, 5), np.int32)
+    keep = rid_all < B          # drop pool padding (len-0 reads emit none)
+    return (rid_all[keep].astype(np.int32), rows_all[keep], ov)
+
+
 def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
                          C: int = 160, S: int = 96, S3: int = 48):
     """Device mem_collect_intv via the lockstep state machine, flat output.
@@ -2103,8 +2186,16 @@ def collect_intv_flat_sm(fm: FMPair, reads, lens, parents, opt,
     compaction, final reference-order sort) — no per-read Python loops.
     Returns (lane_of [M] int32, rows [M, 5] int32 (start, end, x0, x1, s),
     overflow [B] bool), ordered by (lane, start<<32|end, pass-insertion) —
-    the host collect_intv's stable ks_introsort-key order."""
+    the host collect_intv's stable ks_introsort-key order.
+
+    BISCUIT_TPU_INDEX_SHARD=n (n > 1): the FM-index shards over the
+    visible device mesh instead of replicating (big-genome HBM capacity;
+    see _collect_flat_index_sharded)."""
     B, L = reads.shape
+    nshard = int(os.environ.get("BISCUIT_TPU_INDEX_SHARD", "0"))
+    if nshard > 1:
+        return _collect_flat_index_sharded(fm, reads, lens, parents, opt,
+                                           nshard)
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
     # default log: r4 chip sweep at N=32768/lanes=4096 (post dispatch-cliff
     # fix) — 5 Mbp: log 45.1k vs pool 44.8k reads/s compute-only (parity);

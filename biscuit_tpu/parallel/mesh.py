@@ -230,9 +230,10 @@ def sharded_index_seed_fn(mesh: Mesh, fm: FMPair, min_seed_len: int,
 
     seeder="log" (production default) wraps _collect_sm_log and returns
     jit fn(pool [N, L+2]) -> (packed [N_l*24, 5], rid_sorted [N_l*24],
-    ov_rd [B_l, 8], unfinished [B_l]) per dp shard (read ids local to the
-    shard; callers add shard * N_l). seeder="pool" wraps the archive
-    machine and returns (seeds [B_l, S, 6], n_seeds [B_l], ov_rd)."""
+    ov_rd [B_l, 8], unfinished [B_l], next_ctr [1], spill [1]) per dp
+    shard (read ids local to the shard; callers add shard * N_l).
+    seeder="pool" wraps the archive machine and returns (packed, rid,
+    ov_rd)."""
     from ..ops.seed_batch import (_collect_sm_log, _collect_sm_pool,
                                   _rank_ctx, fm_shard_arrays)
 
@@ -261,8 +262,11 @@ def sharded_index_seed_fn(mesh: Mesh, fm: FMPair, min_seed_len: int,
                                 split_len, split_width, lanes=lanes, C=C,
                                 T2=T2, LOG_LEN=LOG_LEN, W=W,
                                 claim_every=claim_every)
-            return packed, rid, ov_rd, unfinished
-        out_specs = (P("dp", None), P("dp"), P("dp", None), P("dp"))
+            return (packed, rid, ov_rd, unfinished,
+                    jnp.reshape(next_ctr, (1,)),
+                    jnp.reshape(ov_spill.astype(jnp.int32), (1,)))
+        out_specs = (P("dp", None), P("dp"), P("dp", None), P("dp"),
+                     P("dp"), P("dp"))
     else:
         raise ValueError(f"unknown seeder {seeder!r}")
 

@@ -9,6 +9,8 @@ bwa.h:42-50) — the TPU-native answer to a genome whose tables exceed one
 chip's HBM. Every test asserts BIT-IDENTITY to the replicated-index
 machines on the 8-device CPU mesh, narrow and wide layouts both.
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -97,7 +99,8 @@ def test_sharded_index_log_seeder_bit_identical(setup):
     mesh = make_mesh2(2, 4)
     fn = sharded_index_seed_fn(mesh, fm, *args, seeder="log",
                                lanes=16, C=32, T2=16, LOG_LEN=4096, W=64)
-    packed, rid, ov, unf = [np.asarray(x) for x in fn(pool)]
+    packed, rid, ov, unf, nctr, spill = [np.asarray(x) for x in fn(pool)]
+    assert (nctr == N // 2).all() and (spill == 0).all()
 
     N_l = N // 2
     cap = N_l * 24
@@ -159,6 +162,55 @@ def test_sharded_index_wide_pool_and_sa(wide_setup):
     got = np.asarray(sharded_index_sa_fn(mesh, fm)(which, ranks))
     want = seed_batch.sa_batch_np(fm, which, ranks)
     assert (got == want).all()
+
+
+def test_index_shard_env_routes_production_seeder(setup, monkeypatch):
+    """BISCUIT_TPU_INDEX_SHARD=4: the PRODUCTION flat-seed API
+    (collect_intv_flat_sm, what DeviceSeeder injects from) routes through
+    the idx-sharded mesh and returns the identical (lane_of, rows,
+    overflow) stream as the replicated log machine."""
+    idx, fm = setup
+    opt = MemOpt()
+    rng = np.random.default_rng(41)
+    B, L = 37, 96          # deliberately not divisible by n_dp
+    q = np.full((B, L), 4, np.int32)
+    lens = np.full(B, L, np.int32)
+    parents = (np.arange(B) % 2).astype(np.int32)
+    for b in range(B):
+        p = int(rng.integers(0, idx.l_pac - L))
+        frag = idx.pac[p:p + L].astype(np.int32)
+        q[b] = np.where(frag == 1, 3, frag) if parents[b] else \
+            np.where(frag == 2, 0, frag)
+    base = seed_batch.collect_intv_flat_sm(fm, q, lens, parents, opt)
+    monkeypatch.setenv("BISCUIT_TPU_INDEX_SHARD", "4")
+    got = seed_batch.collect_intv_flat_sm(fm, q, lens, parents, opt)
+    assert not base[2].any() and not got[2].any()
+    assert (got[0] == base[0]).all()
+    assert (got[1] == base[1]).all()
+
+
+def test_index_shard_hybrid_cli_sam_identical(small_dataset, monkeypatch):
+    """End-to-end: the hybrid engine with the index sharded over the
+    8-device CPU mesh emits byte-identical SAM."""
+    import subprocess
+    import sys
+    from conftest import REPO
+    fa = str(small_dataset / "genome.fa")
+    fq = str(small_dataset / "reads.fq")
+
+    def run(extra_env):
+        env = dict(os.environ, BISCUIT_TPU_PLATFORM="cpu", **extra_env)
+        r = subprocess.run(
+            [sys.executable, "-m", "biscuit_tpu.cli", "align", fa, fq],
+            capture_output=True, text=True, cwd=REPO, env=env)
+        assert r.returncode == 0, r.stderr[-800:]
+        return [l for l in r.stdout.splitlines() if not l.startswith("@")]
+
+    plain = run({"BISCUIT_TPU_ENGINE": "device"})
+    sharded = run({"BISCUIT_TPU_ENGINE": "device",
+                   "BISCUIT_TPU_INDEX_SHARD": "4"})
+    assert len(plain) > 100
+    assert sharded == plain
 
 
 def test_sharded_index_hbm_budget_scales():
