@@ -638,7 +638,16 @@ def process_seqs_hybrid(opt: MemOpt, st: AlignerState, seqs, n_processed: int,
     idea applied to the host<->device boundary. Output is byte-identical:
     sub-batches pass n_processed offsets through, and reads are
     independent in SE. PE keeps the whole-chunk path (insert-size stats
-    span the chunk, bwamem.c:464-467)."""
+    span the chunk, bwamem.c:464-467).
+
+    Measured on the tunneled rig (5 Mbp / 20k reads, 2 A/B passes):
+    serial 4005/4340 vs pipelined 3856/4605 reads/s — a wash within the
+    tunnel's jitter, because the ~2 MB/s D2H dominates BOTH arms (~90%
+    of hybrid time is the injection transfer; overlap can only hide the
+    smaller C++ term). The design case is a locally-attached chip, where
+    injection ~= device compute ~= C++ time and the overlap halves
+    wall-clock. Pipelined runs are also markedly more consistent (no
+    cold first pass). BISCUIT_TPU_HYBRID_PIPELINE=0 selects serial."""
     from .native_engine import NativeAligner, process_seqs_native
     nat = engine if isinstance(engine, NativeAligner) else NativeAligner(st)
     sdr = seeder or DeviceSeeder(st)
