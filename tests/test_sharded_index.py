@@ -213,6 +213,41 @@ def test_index_shard_hybrid_cli_sam_identical(small_dataset, monkeypatch):
     assert sharded == plain
 
 
+def test_sharded_index_occ4_lowers_to_allreduce(setup):
+    """The shard-routing must be a REAL cross-device collective: occ4
+    against an idx-sharded table lowers to an all-reduce over the idx
+    axis (the ICI collective of SURVEY §2d), and the gather operand is
+    the 1/n_idx local shard, not the full table."""
+    from jax.sharding import PartitionSpec as P
+    from biscuit_tpu.ops.seed_batch import (FMPair, fm_shard_arrays,
+                                            occ4_sel)
+    from biscuit_tpu.parallel.mesh import make_mesh2, shard_map
+
+    idx, fm = setup
+    mesh = make_mesh2(1, 8)
+    tab_flat, sa_flat, n64, n_sa = fm_shard_arrays(fm, 8)
+
+    def local(tab_l, sa_l, k):
+        fml = FMPair(tab=tab_l, L2=fm.L2, primary=fm.primary,
+                     seq_len=fm.seq_len, sa_samples=sa_l, wide=fm.wide,
+                     sa_intv=fm.sa_intv, shard_axis="idx",
+                     n64_global=n64, n_sa_global=n_sa)
+        return occ4_sel(fml, jnp.zeros_like(k), k)
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P("idx", None), P("idx"), P()),
+                           out_specs=P()))
+    k = jnp.arange(1, 65, dtype=jnp.int32)
+    hlo = fn.lower(jnp.asarray(tab_flat), jnp.asarray(sa_flat),
+                   k).compile().as_text()
+    assert "all-reduce" in hlo, \
+        "sharded occ4 must lower to a cross-device all-reduce"
+    # and it computes the right thing
+    got = np.asarray(fn(jnp.asarray(tab_flat), jnp.asarray(sa_flat), k))
+    want = np.asarray(occ4_sel(fm, jnp.zeros_like(k), k))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sharded_index_hbm_budget_scales():
     """The capacity arithmetic the sharding buys: per-device bytes of the
     idx-sharded human-scale tables must fit a v5e (16 GB) for concrete N
