@@ -349,7 +349,7 @@ def main():
                 subprocess.run(
                     [sys.executable,
                      os.path.join(here, "tools", "make_testdata.py"), d50,
-                     "--genome-size", "50000000", "--n-reads", "32768"],
+                     "--genome-size", "50000000", "--n-reads", "131072"],
                     check=True, capture_output=True)
                 fa50 = os.path.join(d50, "genome.fa")
                 fq50 = os.path.join(d50, "reads.fq")

@@ -374,15 +374,17 @@ def check_device_engine(res):
     return ok
 
 
-def seed_compute_reads_per_s(st, fq, n_reads=32768):
+def seed_compute_reads_per_s(st, fq, n_reads=131072):
     """On-chip throughput of the production fused seeder with transfers
     excluded: real reads, device-resident inputs, outputs left on device,
     dispatch latency amortized. Used by bench.py for the compute-only
     device metric (VERDICT: 'reads/s through seed kernels, transfers
-    excluded'). n_reads=32768 on 4096 lanes: the refill pool pays the
-    straggler tail once per POOL, so deeper pools amortize it (r3 chip
-    sweep at 5 Mbp: N=4k 32.1k, N=16k 42.6k, N=32k 44.8k reads/s —
-    past the whole-host C++ engine's 44.1k; N=64k regresses to 28.7k)."""
+    excluded'). The refill machines pay the straggler tail once per POOL,
+    so deeper pools amortize it. r5 chip sweep of the LOG machine (the
+    shipping default) at 5 Mbp / lanes 4096 (log_seed_sweep.json):
+    N=32k 45.1k, N=64k 47.7k, N=96k 48.1k, N=128k 49.0k reads/s medians,
+    monotone — unlike the r3 POOL machine, which regressed past N=32k
+    (S_m growth). 8192 lanes regress hard (33.9k); 2048 lose ~6%."""
     import jax.numpy as jnp
     from biscuit_tpu.align.pipeline import bsconvert
     from biscuit_tpu.config import MemOpt
