@@ -382,9 +382,11 @@ def seed_compute_reads_per_s(st, fq, n_reads=131072):
     excluded'). The refill machines pay the straggler tail once per POOL,
     so deeper pools amortize it. r5 chip sweep of the LOG machine (the
     shipping default) at 5 Mbp / lanes 4096 (log_seed_sweep.json):
-    N=32k 45.1k, N=64k 47.7k, N=96k 48.1k, N=128k 49.0k reads/s medians,
-    monotone — unlike the r3 POOL machine, which regressed past N=32k
-    (S_m growth). 8192 lanes regress hard (33.9k); 2048 lose ~6%."""
+    N=32k 45.1k, N=64k 47.7k, N=96k 48.1k, N=128k 49.0k reads/s medians;
+    N=256k regresses to 33.8k (the O(N) per-refill claim scan eventually
+    outruns the straggler amortization — the same force that capped the
+    r3 pool machine at N=32k, hit 4x deeper here). 8192 lanes regress
+    hard (33.9k); 2048 lose ~6%. So 131072 is the measured knee."""
     import jax.numpy as jnp
     from biscuit_tpu.align.pipeline import bsconvert
     from biscuit_tpu.config import MemOpt
