@@ -855,6 +855,37 @@ static inline void fm_extend_one(const StrandFM &f, const Intv &ik, int c,
 static inline int64_t invpsi_step(const StrandFM &f, int64_t k) {
     if (!f.ilv2) {
         int64_t x = k - (k > f.primary ? 1 : 0);
+        if (f.ilv) {
+            // The 64-byte ilv block holds the four occ counts AND the 128
+            // bases, so the char AND its rank come from ONE cache line —
+            // the wide-strand (no-ilv2) walk step was two dependent lines
+            // (words for bwt_char + the block for occ4). Same inclusive
+            // count as occ4's ilv branch, c-specialized via the magic LUT.
+            // (invpsi_step is never called with k == primary, so occ4's
+            // >=-adjustment and bwt_char's >-adjustment agree on x.)
+            const uint64_t *blk = f.ilv + ((x >> 7) << 3);
+            int sw = (int)((x >> 5) & 3);
+            uint64_t yx = blk[4 + sw];
+            int p = (int)(x & 31);
+            int c = (int)((yx >> (62 - 2 * p)) & 3);
+            const uint64_t M = 0x5555555555555555ULL;
+            static const uint64_t magic[4] = {0ULL, M, M << 1, ~0ULL};
+            int64_t cnt = (int64_t)blk[c];
+            for (int j = 0; j < sw; ++j) {
+                uint64_t t = blk[4 + j] ^ magic[c];
+                cnt += __builtin_popcountll(~((t >> 1) | t) & M);
+            }
+            int zero = 31 - p;
+            uint64_t y = yx;
+            if (zero) {
+                int sh = zero << 1;
+                y = (y >> sh) << sh;
+            }
+            uint64_t t = y ^ magic[c];
+            cnt += __builtin_popcountll(~((t >> 1) | t) & M);
+            if (c == 0) cnt -= zero;
+            return f.L2[c] + cnt;
+        }
         int c = bwt_char(f, x);
         return f.L2[c] + occ4(f, k).c[c];
     }
@@ -909,15 +940,32 @@ static int64_t fm_sa(const StrandFM &f, int64_t k) {
 // independent dependent-chains (avg 16 block reads each), so step W of them
 // round-robin with a software prefetch issued one step ahead — the chain's
 // cache-miss latency overlaps across lanes instead of serializing.
+// The interleave is LAYOUT-AGNOSTIC: only the prefetch target depends on
+// which occ layout invpsi_step will read. Wide (>= 2^32-char) strands can
+// never have ilv2 (its counts are uint32), so gating the whole interleave
+// on ilv2 — as this function originally did — silently serialized every
+// human-scale SA walk: at 3.1 Gbp both intv 8 and intv 16 measured ~66 s
+// of sa_walk per 100k reads (the OOO window overlaps 2-3 short walks but
+// not long ones, equalizing the intervals) vs ~190 s of total align CPU.
 static void fm_sa_batch(const StrandFM &f, const int64_t *ks, int n,
                         int64_t *out) {
-    if (!f.ilv2 || n < 4) {
+    if (n < 4) {
         for (int i = 0; i < n; ++i) out[i] = fm_sa(f, ks[i]);
         return;
     }
     auto pf = [&](int64_t k) {
         int64_t k2 = k - (k > f.primary ? 1 : 0);
-        __builtin_prefetch(f.ilv2 + ((k2 >> 6) << 5), 0, 1);
+        if (f.ilv2) {
+            __builtin_prefetch(f.ilv2 + ((k2 >> 6) << 5), 0, 1);
+        } else if (f.ilv) {
+            // invpsi_step's ilv-specialized step reads only this block
+            __builtin_prefetch(f.ilv + ((k2 >> 7) << 3), 0, 1);
+        } else {
+            // flat fallback: bwt_char reads words[k2>>4], occ4 the
+            // checkpoint row (its word scan mostly shares the words line)
+            __builtin_prefetch(f.words + (k2 >> 4), 0, 1);
+            __builtin_prefetch(f.occ + (k2 >> 7) * 4, 0, 1);
+        }
     };
     constexpr int W = 16;
     const int64_t samp_mask = (1LL << f.sa_shift) - 1;
