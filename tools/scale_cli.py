@@ -38,7 +38,9 @@ def main():
     ap.add_argument("--data", default="/tmp/bt_scale_cli")
     args = ap.parse_args()
 
-    d = args.data
+    # key the dataset dir by workload: a bare existence check once reused a
+    # 650k-read dataset for a --reads 2000000 run and reported nominal/wall
+    d = f"{args.data}_{args.genome}_{args.reads}"
     fa = os.path.join(d, "genome.fa")
     fq = os.path.join(d, "reads.fq")
     if not os.path.exists(fq):
