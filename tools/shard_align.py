@@ -62,7 +62,8 @@ class ShardTail:
         self.f = open(path)
         self.proc = proc
         self.lines = []          # complete lines, headers already dropped
-        self.header = []         # header lines (kept for shard 0)
+        self.head = 0            # consume cursor (del-front on a list is
+        self.header = []         # O(remaining) per group = quadratic)
         self.partial = ""
         self.eof = False
         self.in_header = True
@@ -92,17 +93,22 @@ class ShardTail:
         """Block until one full qname group is available; None when the
         worker exited and everything was consumed."""
         while True:
-            if self.lines:
-                q0 = self.lines[0].split("\t", 1)[0]
-                k = 1
-                while k < len(self.lines) and \
-                        self.lines[k].split("\t", 1)[0] == q0:
+            lines, h = self.lines, self.head
+            if h < len(lines):
+                q0t = lines[h].split("\t", 1)[0] + "\t"
+                k = h + 1
+                # followers share the qname prefix — startswith avoids a
+                # split allocation per record
+                while k < len(lines) and lines[k].startswith(q0t):
                     k += 1
                 # the group is complete if a different qname follows, or
                 # nothing can follow (worker done, buffers drained)
-                if k < len(self.lines) or (self.eof and not self.partial):
-                    g = self.lines[:k]
-                    del self.lines[:k]
+                if k < len(lines) or (self.eof and not self.partial):
+                    g = lines[h:k]
+                    self.head = k
+                    if self.head > 8192:   # reclaim the consumed prefix
+                        del lines[:self.head]
+                        self.head = 0
                     return g
             elif self.eof:
                 return None
@@ -191,6 +197,14 @@ def main():
         # STREAMING ordered merge, concurrent with the workers: header from
         # shard 0, then bodies interleaved round-robin by qname group.
         # Output is buffered in ~4 MB chunks (one write syscall each).
+        # The merge yields CPU to the workers (they were spawned at normal
+        # priority, so on an n-core host with n workers the merging parent
+        # steals align time unless deprioritized; the merge catches up in
+        # worker IO gaps and in the tail).
+        try:
+            os.nice(5)
+        except OSError:
+            pass
         tails = [ShardTail(p, procs[i]) for i, (p, _f) in enumerate(outs)]
         out = sys.stdout
         hdr = tails[0].wait_header()
